@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pricing-summary query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose the declared-query registry
+(SURVEY.md §2.3 Q1..Q24 + §2.4 extension operators) for the driver's
+DuckDB-oracle correctness gate.
 """
 
 from __future__ import annotations
@@ -12,27 +11,42 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H-Q1-style pricing summary over lineitem.
+
+    groupBy + multi-aggregate + order — partial aggregation map-side,
+    decimal-stabilized sums (no float-summation nondeterminism).
+    """
+    lineitem = spark.read.parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from skoltexter_by_ai_spark.plans.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.builder for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible declared query."""
+    from skoltexter_by_ai_spark.plans.registry import all_queries
+
+    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None}

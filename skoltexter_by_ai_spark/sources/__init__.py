@@ -1,0 +1,5 @@
+"""Sources: fixture parquet tables, schools CSV, document directories."""
+
+from skoltexter_by_ai_spark.sources.tables import TABLE_NAMES, load_table, load_tables, register_views
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]

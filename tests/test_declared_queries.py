@@ -1,0 +1,35 @@
+"""Every declared query with an oracle must hash-match DuckDB.
+
+This is a local replica of the driver's t2 correctness gate
+(CORRECTNESS_r{N}.json): same tables, same comparison semantics
+(column names sorted, order-insensitive exact values).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from skoltexter_by_ai_spark.plans.registry import all_queries
+from skoltexter_by_ai_spark.testing import compare_with_oracle
+
+_QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = _QUERIES[name]
+    df = spec.builder(spark, sf_dir)
+    if spec.oracle is None:
+        # Weaker rows-only check, mirroring the driver's fallback.
+        assert df.count() >= 0
+        return
+    report = compare_with_oracle(name, df, spec.oracle, sf_dir)
+    assert report.ok, f"{name}: {report.detail} (rows {report.spark_rows}/{report.oracle_rows})"
+
+
+def test_all_oracle_queries_return_rows(spark, sf_dir):
+    """Guard against vacuous passes: the suite overall must exercise data."""
+    total = 0
+    for name, spec in _QUERIES.items():
+        total += spec.builder(spark, sf_dir).count()
+    assert total > 0
