@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully distributed to a no-op sink (no driver-side
+collect), so the timing measures scan + shuffle + compute, not result
+transfer. A tiny warm-up query first absorbs JVM/codegen startup so
+per-query numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from skoltexter_by_ai_spark.plans.registry import all_queries
+    from skoltexter_by_ai_spark.session import get_spark
+
+    spark = get_spark(app_name="skoltexter-bench")
+
+    # Warm up JVM + parquet footer caches with a trivial job.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, spec in sorted(all_queries().items()):
+        try:
+            df = spec.builder(spark, sf_dir)
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # keep the bench alive; report the failure
+            failures[name] = f"{type(exc).__name__}: {exc}"
+
+    result = {
+        "metric": "declared_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
