@@ -1,0 +1,320 @@
+"""Deduplication operators for document-scale corpora.
+
+Four strategies, cheapest-first; all pure DataFrame/column expressions
+(JVM-side, whole-stage-codegen) — no Python UDFs anywhere:
+
+- :func:`exact_dedup` — hash-groupBy keep-first. One shuffle on the
+  dedup key. The 100 TB workhorse.
+- :func:`ngram_jaccard_pairs` — exact set-similarity pairs via shingle
+  inverted index + document-frequency pruning. Quadratic in the worst
+  case; the pruning bound is the scale lever.
+- :func:`minhash_lsh_candidates` — MinHash signatures + banded LSH:
+  near-linear candidate generation, the scale path for near-dup at
+  100 TB (shuffle keys are (band, band_hash) buckets).
+- :func:`simhash64` / :func:`simhash_near_dups` — 64-bit SimHash with
+  banded Hamming lookup.
+
+Reference parity: the reference only dedups exactly by key keeping the
+first CSV-order row (src/program3_generate_website.py:138-162); the
+keep-first discipline here generalizes it (deterministic `order_col`,
+never `dropDuplicates`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --- tokenize / shingle helpers ----------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text; empty text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def word_shingles(col: Column | str, n: int = 2) -> Column:
+    """Distinct n-word shingles (space-joined) of a text column.
+
+    Guarded: fewer than ``n`` tokens -> empty array (Spark's
+    ``sequence(1, 0)`` would otherwise count *down*).
+    """
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), k)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Casefold + collapse whitespace — canonical form for fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+# --- exact dedup --------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key: Column | str, order_col: Column | str) -> DataFrame:
+    """Keep the first row (by ``order_col``) per dedup ``key``.
+
+    Deterministic keep-first via a row_number window — NOT
+    ``dropDuplicates`` (which keeps an arbitrary row per key).
+    Scale: one shuffle on ``key``; skewed keys are handled by AQE
+    skew-split since the window partitions by the same key.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- exact n-gram Jaccard pairs -----------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_df: int = 20,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity over n-word shingle sets.
+
+    Returns ``(id_a, id_b, jaccard)`` for all pairs sharing at least
+    one shingle whose document frequency is <= ``max_df``. The Jaccard
+    numerator/denominator are computed over the SAME df-pruned shingle
+    universe, so results are a deterministic function of the inputs.
+
+    Scale posture: the inverted-index self-join is O(sum df^2) —
+    ``max_df`` bounds the blowup (a shingle in f docs contributes
+    f*(f-1)/2 candidate pairs). For 100 TB corpora use
+    :func:`minhash_lsh_candidates` instead; this operator is the exact
+    oracle for moderate candidate sets.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, n)).alias("__s"),
+    )
+    # df-prune: drop ubiquitous shingles BEFORE the self-join.
+    rare = sh.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
+    shr = sh.join(rare.select("__s"), "__s")
+    sizes = shr.groupBy("__id").agg(F.count("*").alias("__sz"))
+
+    a = shr.select(F.col("__s"), F.col("__id").alias("id_a"))
+    b = shr.select(F.col("__s"), F.col("__id").alias("id_b"))
+    pairs = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__common").cast("double")
+                / (F.col("__sa") + F.col("__sb") - F.col("__common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+
+def minhash_signature(col: Column | str, n: int = 2, num_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``).
+
+    Hash family: ``xxhash64(seed + j, shingle)`` — seeding through an
+    extra hashed column avoids 64-bit multiply overflow (Spark 4 ANSI
+    mode makes wrap-around arithmetic an error). Entirely JVM-side.
+    Docs with no shingles get Long.MAX mins (never match anything).
+    """
+    shingles = word_shingles(col, n)
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(seed + j), s))),
+            F.lit(2**63 - 1),
+        )
+        for j in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    ``num_hashes`` must divide into ``bands`` equal rows. Two docs
+    become a candidate pair iff at least one band of their signatures
+    hashes identically. Returns distinct ``(id_a, id_b)`` with
+    ``id_a < id_b``.
+
+    Scale posture: signatures are computed in one narrow pass (no
+    shuffle), candidates come from a single shuffle keyed by
+    (band_id, band_hash) — the LSH guarantee keeps bucket sizes small
+    for any corpus where near-dup clusters are small relative to the
+    corpus. Skewed buckets (boilerplate docs) are split by AQE.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    # Docs with no shingles (empty/short text) can never be near-dups;
+    # dropping them also prevents their sentinel signatures colliding.
+    sig = df.filter(F.size(word_shingles(text_col, n)) > 0).select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, n=n, num_hashes=num_hashes, seed=seed).alias("__sig"),
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("__sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("__id", F.explode(band_cols).alias("__b")).select(
+        "__id", F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket")
+    )
+    left = buckets.select("__band", "__bucket", F.col("__id").alias("id_a"))
+    right = buckets.select("__band", "__bucket", F.col("__id").alias("id_b"))
+    return (
+        left.join(right, ["__band", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidates re-ranked by exact Jaccard (verify step).
+
+    The candidate set is tiny relative to the corpus, so the exact
+    verification join touches only candidate rows.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # Guarded: ANSI mode makes /0 an error, and two shingle-less
+            # docs would otherwise divide 0 by 0.
+            F.when(
+                F.size(F.array_union("__sha", "__shb")) > 0,
+                F.size(F.array_intersect("__sha", "__shb")).cast("double")
+                / F.size(F.array_union("__sha", "__shb")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document -> ``(id_col, simhash bigint)``.
+
+    Each token votes ±1 on each of 64 bit positions of its xxhash64;
+    the sign of the per-bit sum becomes the fingerprint bit. Built as
+    64 conditional-sum aggregations over the exploded token stream —
+    one shuffle on the doc id, all JVM-side.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy("__id").agg(*votes)
+    fingerprint = None
+    for b in range(64):
+        bit = F.when(F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return per_doc.select(F.col("__id").alias(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Banded lookup: split the 64-bit fingerprint into 4 16-bit bands;
+    by pigeonhole any pair within Hamming distance 3 shares at least
+    one exact band -> candidates from a bucket join, then exact
+    popcount verification via ``bit_count(a XOR b)``.
+    """
+    sig = simhash64(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = sig.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(bands).alias("__b")).select(
+        "__id", "simhash", F.col("__b.band").alias("__band"), F.col("__b.chunk").alias("__chunk")
+    )
+    left = buckets.select("__band", "__chunk", F.col("__id").alias("id_a"), F.col("simhash").alias("__ha"))
+    right = buckets.select("__band", "__chunk", F.col("__id").alias("id_b"), F.col("simhash").alias("__hb"))
+    return (
+        left.join(right, ["__band", "__chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

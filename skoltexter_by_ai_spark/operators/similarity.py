@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k against one query
+  vector: the correctness baseline. One narrow pass + TakeOrdered.
+- :func:`knn_join` — exact top-k neighbors for a (small) set of query
+  rows via broadcast cross-join + per-query window.
+- :func:`lsh_ann_topk` — random-hyperplane LSH: bucket prefilter, then
+  exact re-rank inside nearby buckets. The 100 TB path: the scan
+  touches only candidate buckets instead of the full corpus.
+
+All dot products run through ``F.zip_with`` / ``F.aggregate``
+(higher-order functions, JVM-side, codegen) — no Python UDFs. Elements
+are cast to double *before* multiplication so results are bitwise
+deterministic and match the DuckDB oracle's double arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    sq = F.transform(_as_double(a), lambda x: x * x)
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot / (|a| * |b|) — formula mirrored exactly by the oracle SQL.
+
+    Zero-norm vectors score 0.0 (ANSI mode would otherwise raise a
+    divide-by-zero instead of producing NaN).
+    """
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a single-row ``query`` frame.
+
+    ``query`` must have columns ``(id_col, vec_col)`` and exactly one
+    row; it is broadcast, so the corpus side is a narrow scan and the
+    top-k compiles to TakeOrderedAndProject (per-partition heaps, no
+    global sort) — this survives any corpus size.
+    """
+    q = query.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        embeddings.join(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), id_col).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact k-NN for every query row: broadcast queries × corpus.
+
+    Output: (query_id, vec_id, cos_sim, rank). Scale: cost is
+    |queries| × |corpus| dot products distributed over corpus
+    partitions — fine for small query batches; for large query sets
+    use :func:`lsh_ann_topk` per partition instead.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-Python LCG —
+    no RNG dependency, reproducible across processes/versions)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        vals: list[float] = []
+        acc = 0.0
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            u = state / float(1 << 31)
+            state = (1103515245 * state + 12345) % (1 << 31)
+            v = state / float(1 << 31)
+            # Box-Muller for roughly Gaussian directions.
+            g = math.sqrt(-2.0 * math.log(max(u, 1e-12))) * math.cos(2 * math.pi * v)
+            vals.append(g)
+            acc += g * g
+        nrm = math.sqrt(acc) or 1.0
+        planes.append([v / nrm for v in vals])
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec_col, plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket prefilter + exact re-rank.
+
+    Candidates = rows whose bucket is within ``max_hamming`` sign-bit
+    flips of the query's bucket; exact cosine re-ranks them. At scale
+    the corpus would be written partitioned/bucketed by the LSH bucket,
+    making the prefilter a partition-pruned scan instead of a full pass.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    corpus = embeddings.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    q = query.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("__qbucket"),
+    )
+    return (
+        corpus.join(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .filter(
+            F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qbucket"))) <= max_hamming
+        )
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )

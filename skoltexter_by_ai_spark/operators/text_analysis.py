@@ -1,0 +1,124 @@
+"""Text-analysis operators: language id, quality scoring, token
+counting, document fingerprinting.
+
+All pure column expressions (split/regexp/array built-ins) — the whole
+module runs inside whole-stage codegen with zero Python boundary
+crossings; at 100 TB these are narrow map-only passes with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators.dedup import normalized_text, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Ordered dict ⇒ deterministic tie-breaking (first language wins ties).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "por", "para", "que", "no"),
+    "sv": ("och", "att", "det", "som", "en", "är", "på", "för", "med", "inte"),
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (bigint; empty text -> 0)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavoured token estimate: count word pieces + digits +
+    punctuation runs with a single regex pass (bigint).
+
+    A cheap proxy for LLM token budgeting: splits on word boundaries
+    like a byte-pair pre-tokenizer would (words, numbers, and each
+    punctuation run count separately).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]"), 0)
+    return F.size(pieces).cast("bigint")
+
+
+def stopword_ratio(col: Column | str, stops: tuple[str, ...] = STOPWORDS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (double; 0 for empty)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (double; 0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic (document-pipeline filter).
+
+    0.4·length-band + 0.3·stopword presence + 0.3·(1 − punctuation
+    excess): crude, deterministic, cheap — the shape of a Gopher/C4
+    style quality gate expressed as one column expression.
+    """
+    n_tok = token_count(col)
+    len_band = F.when((n_tok >= 10) & (n_tok <= 10_000), 1.0).otherwise(
+        F.when(n_tok > 0, 0.5).otherwise(0.0)
+    )
+    stop_band = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_band = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(0.4 * len_band + 0.3 * stop_band + 0.3 * punct_band, 6)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts over distinct lowercase tokens."""
+    toks = F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
+    out: dict[str, Column] = {}
+    for lang, stops in STOPWORDS.items():
+        stop_arr = F.array(*[F.lit(s) for s in stops])
+        out[lang] = F.size(F.array_intersect(toks, stop_arr))
+    return out
+
+
+def lang_id(col: Column | str, min_hits: int = 1) -> Column:
+    """Argmax language over stopword-hit scores; 'und' when no list
+    reaches ``min_hits``. Ties break in STOPWORDS declaration order
+    (deterministic)."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # Build the CASE from last to first so the FIRST language wins ties.
+    for lang in reversed(list(scores)):
+        result = F.when((scores[lang] == best) & (best >= min_hits), lang).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash64) so the same value is computable in any engine —
+    the DuckDB oracle reproduces it byte-for-byte.
+    """
+    return F.md5(normalized_text(col))
+
+
+def prefix_key(col: Column | str, n_tokens: int = 3) -> Column:
+    """Normalized first-``n_tokens`` key — cheap clustering/dedup key."""
+    return F.concat_ws(" ", F.slice(tokens(normalized_text(col)), 1, n_tokens))

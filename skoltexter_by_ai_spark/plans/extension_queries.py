@@ -1,0 +1,363 @@
+"""Extension declared queries (SURVEY.md §2.4): the LLM-training-data
+pipeline surface — dedup, similarity search, text analysis, JSON
+extraction, event-time aggregation — each wired to the DuckDB oracle
+where the semantics are exactly SQL-expressible, rows-only otherwise
+(MinHash/SimHash/LSH use Spark's xxhash64, which DuckDB cannot
+reproduce; they are seeded and deterministic, verified in unit tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators import dedup, similarity, text_analysis
+from skoltexter_by_ai_spark.plans.registry import register
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+# Shared DuckDB fragments so Spark/oracle definitions stay in lockstep.
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+# --- deduplication ------------------------------------------------------------
+
+
+@register(
+    "x01_exact_dedup_keepfirst",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   array_to_string(string_split_regex({_NORM}, '\\s+')[1:3], ' ') AS dedup_key
+            FROM documents
+        )
+        SELECT doc_id, dedup_key FROM (
+            SELECT doc_id, dedup_key,
+                   ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn
+            FROM keyed
+        ) WHERE rn = 1
+        ORDER BY doc_id
+    """,
+    covers="exact dedup: hash key + keep-first window (SURVEY §2.4; generalizes A3)",
+    tags=("dedup",),
+)
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "dedup_key", text_analysis.prefix_key("text", 3)
+    )
+    return (
+        dedup.exact_dedup(docs, "dedup_key", "doc_id")
+        .select("doc_id", "dedup_key")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x02_ngram_jaccard_top_pairs",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+               FROM toks WHERE len(t) >= 2),
+        rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20),
+        shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        szs AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+        FROM pairs
+        JOIN szs sa ON id_a = sa.doc_id
+        JOIN szs sb ON id_b = sb.doc_id
+        ORDER BY jaccard DESC, id_a, id_b
+        LIMIT 20
+    """,
+    covers="n-gram Jaccard near-dup pairs via df-pruned inverted index (SURVEY §2.4)",
+    tags=("dedup",),
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, max_df=20)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@register(
+    "x03_minhash_lsh_candidates",
+    oracle=None,  # xxhash64 hash family is Spark-specific; seeded+deterministic,
+    # verified against exact Jaccard in tests/test_dedup.py.
+    covers="MinHash+LSH banded candidate generation (SURVEY §2.4 scale path)",
+    tags=("dedup",),
+)
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=2, num_hashes=32, bands=16, seed=42
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x04_simhash_near_dups",
+    oracle=None,  # xxhash64-based; determinism covered in tests/test_dedup.py.
+    covers="SimHash fingerprint + banded Hamming near-dup pairs (SURVEY §2.4)",
+    tags=("dedup",),
+)
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --- similarity search --------------------------------------------------------
+
+
+@register(
+    "x05_cosine_topk",
+    # Oracle mirrors the exact double-precision formula: cast elements
+    # to DOUBLE, sequential-sum products, dot/(|a|*|b|), round 6.
+    oracle="""
+        WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+              FROM embeddings WHERE vec_id <> 0),
+        s AS (SELECT vec_id,
+                     list_aggregate(list_transform(generate_series(1, len(ev)), i -> ev[i] * qv[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum'))
+                        * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) AS c
+              FROM e, q)
+        SELECT vec_id, ROUND(c, 6) AS cos_sim
+        FROM s
+        ORDER BY c DESC, vec_id
+        LIMIT 10
+    """,
+    covers="brute-force exact cosine top-k (SURVEY §2.4 similarity baseline)",
+    tags=("similarity",),
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.cosine_topk(emb, query, k=10)
+
+
+@register(
+    "x06_lsh_ann_topk",
+    oracle=None,  # hyperplane constants are engine-side; recall vs exact
+    # top-k is asserted in tests/test_similarity.py.
+    covers="hyperplane-LSH ANN: bucket prefilter + exact re-rank (SURVEY §2.4 scale path)",
+    tags=("similarity",),
+)
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.lsh_ann_topk(emb, query, k=10, n_planes=12, max_hamming=4)
+
+
+@register(
+    "x13_knn_join",
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+        s AS (SELECT query_id, vec_id,
+                     list_aggregate(list_transform(generate_series(1, len(ev)), i -> ev[i] * qv[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum'))
+                        * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) AS c
+              FROM e, q),
+        r AS (SELECT query_id, vec_id, ROUND(c, 6) AS cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+              FROM s)
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    covers="batch k-NN join: broadcast queries x corpus + per-query window (SURVEY §2.4)",
+    tags=("similarity",),
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.knn_join(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+@register(
+    "x07_text_stats",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS tok_cnt,
+               CAST(length(text) AS BIGINT) AS char_cnt,
+               ROUND(CASE WHEN len(toks) > 0
+                          THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                               / len(toks)
+                          ELSE 0.0 END, 6) AS mean_tok_len
+        FROM t
+        ORDER BY doc_id
+    """,
+    covers="token counting + length stats (SURVEY §2.4 text analysis)",
+    tags=("text",),
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            text_analysis.token_count("text").alias("tok_cnt"),
+            text_analysis.char_count("text").alias("char_cnt"),
+            F.round(text_analysis.mean_token_length("text"), 6).alias("mean_tok_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x08_quality_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                   CASE WHEN len({_TOKS}) > 0 THEN
+                       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> list_contains(['the','a','and','of','to','is','in','it','that','for'], x)))
+                            AS DOUBLE) / len({_TOKS})
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                   ELSE 0.0 END AS p_ratio
+            FROM documents)
+        SELECT doc_id,
+               ROUND(0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0
+                                 WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+                     + 0.3 * least(stop_ratio * 5.0, 1.0)
+                     + 0.3 * (1.0 - least(p_ratio * 5.0, 1.0)), 6) AS quality
+        FROM t
+        ORDER BY doc_id
+    """,
+    covers="document quality heuristic: length/stopword/punct bands (SURVEY §2.4)",
+    tags=("text",),
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", text_analysis.quality_score("text").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+def _duckdb_lang_case() -> str:
+    """CASE expression mirroring text_analysis.lang_id tie-breaking."""
+    score = {
+        lang: (
+            f"len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')), "
+            f"[{', '.join(repr(s) for s in stops)}]))"
+        )
+        for lang, stops in text_analysis.STOPWORDS.items()
+    }
+    greatest = "greatest(" + ", ".join(score.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {score[lang]} = g AND g >= 1 THEN '{lang}'" for lang in text_analysis.STOPWORDS
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, text, {greatest} AS g FROM documents)
+        SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_pred
+        FROM t
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "x09_lang_id",
+    oracle=_duckdb_lang_case(),
+    covers="language id via stopword-list scoring (SURVEY §2.4 text analysis)",
+    tags=("text",),
+)
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", text_analysis.lang_id("text").alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x10_fingerprint",
+    oracle=f"""
+        SELECT doc_id, md5({_NORM}) AS fp
+        FROM documents
+        ORDER BY doc_id
+    """,
+    covers="document fingerprint: md5 of normalized text (SURVEY §2.4)",
+    tags=("text",),
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", text_analysis.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# --- JSON / events ------------------------------------------------------------
+
+
+@register(
+    "x11_json_extract",
+    oracle="""
+        SELECT event_id, json_extract_string(props, '$.k') AS k
+        FROM events
+        ORDER BY event_id
+    """,
+    covers="F8 JSON field extraction (program2_ai_processor.py:404-433)",
+    tags=("json",),
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "x12_events_hourly_rollup",
+    # Batch-equivalent of the streaming tumbling-window aggregation
+    # (streaming variant: skoltexter_by_ai_spark.streaming). Window
+    # start exported as epoch seconds so both engines agree on types.
+    oracle="""
+        SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS hour_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour_start, event_type
+    """,
+    covers="event-time tumbling rollup, batch view (SURVEY §2.4 / §7.6)",
+    tags=("events",),
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )

@@ -1,0 +1,94 @@
+"""Unit tests for dedup operators not covered by the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators import dedup
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, ""),  # empty doc must not crash or match
+        (6, "one"),  # fewer tokens than shingle width
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = _docs(spark).withColumn("key", dedup.normalized_text("text"))
+    kept = dedup.exact_dedup(df, "key", "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    # doc 4 (dup of 1) must be dropped; first occurrence (1) kept.
+    assert ids == [1, 2, 3, 5, 6]
+
+
+def test_word_shingles_guards_short_and_empty(spark):
+    out = (
+        _docs(spark)
+        .select("doc_id", dedup.word_shingles("text", 2).alias("sh"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_id = {r.doc_id: r.sh for r in out}
+    assert by_id[5] == []  # empty text
+    assert by_id[6] == []  # single token, no bigram
+    assert "the quick" in by_id[1]
+
+
+def test_minhash_candidates_find_near_dups(spark):
+    cands = dedup.minhash_lsh_candidates(
+        _docs(spark), "doc_id", "text", n=2, num_hashes=32, bands=16, seed=42
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in cands}
+    # Exact dup pair must always collide in every band.
+    assert (1, 4) in pairs
+    # Near-dup (8/10 shared bigrams) should collide in some band.
+    assert (1, 2) in pairs or (2, 4) in pairs
+    # Unrelated doc 3 must not pair with the empty doc 5.
+    assert (3, 5) not in pairs
+
+
+def test_minhash_verify_filters_false_positives(spark):
+    out = dedup.minhash_near_dups(
+        _docs(spark), "doc_id", "text", n=2, num_hashes=32, bands=16, seed=42, min_jaccard=0.5
+    ).collect()
+    verified = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert verified[(1, 4)] == 1.0
+    for (a, b), j in verified.items():
+        assert j >= 0.5
+
+
+def test_minhash_deterministic_across_runs(spark):
+    df = _docs(spark)
+    a = sorted(map(tuple, dedup.minhash_lsh_candidates(df, "doc_id", "text", seed=7).collect()))
+    b = sorted(map(tuple, dedup.minhash_lsh_candidates(df, "doc_id", "text", seed=7).collect()))
+    assert a == b
+
+
+def test_simhash_exact_dups_identical_fingerprint(spark):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash64(_docs(spark), "doc_id", "text").collect()}
+    assert sig[1] == sig[4]
+    assert sig[1] != sig[3]
+
+
+def test_simhash_near_dups_ranks_by_hamming(spark):
+    out = dedup.simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=10).collect()
+    ham = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert ham[(1, 4)] == 0  # exact dup
+    if (1, 2) in ham and (1, 3) in ham:
+        assert ham[(1, 2)] < ham[(1, 3)]
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", n=2, max_df=10, min_jaccard=0.3
+    ).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert j[(1, 4)] == 1.0
+    # docs 1 and 2 share 7 of 8 distinct bigrams each -> 7/9.
+    assert abs(j[(1, 2)] - 7 / 9) < 1e-12

@@ -1,0 +1,92 @@
+"""Unit tests for similarity search: exact cosine math + ANN recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators import similarity
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact_ordering(spark):
+    emb = _vecs(spark)
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    ids = [r.vec_id for r in out]
+    assert ids == [1, 4, 2, 3]
+    assert abs(out[0].cos_sim - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-5
+    assert out[2].cos_sim == 0.0
+    assert out[3].cos_sim == -1.0
+
+
+def test_knn_join_rank_per_query(spark):
+    emb = _vecs(spark)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.knn_join(emb, queries, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    # rank 1 is always the query itself (cos=1), rank 2 the nearest other.
+    assert sorted(by_q[0]) == [(1, 0), (2, 1)]
+    assert sorted(by_q[1]) == [(1, 1), (2, 0)]
+
+
+def test_lsh_ann_recall_on_clustered_data(spark):
+    # LSH prefiltering only has signal when neighbors are actually
+    # close (uniform-random corpora have no locality to exploit), so
+    # build a clustered corpus: 20 small perturbations of the query
+    # vector buried in 200 other random vectors.
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    query_vec = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, query_vec)]
+    for i in range(1, 21):  # near-dups of the query
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in query_vec]))
+    for i in range(21, 221):  # background noise
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = emb.filter(F.col("vec_id") == 0)
+
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.lsh_ann_topk(
+            emb, query, k=10, n_planes=12, max_hamming=2, dim=dim
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"recall {recall}: exact={exact} approx={approx}"
+
+
+def test_lsh_ann_runs_on_fixture(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = similarity.lsh_ann_topk(emb, query, k=10, n_planes=12, max_hamming=4).collect()
+    assert len(out) <= 10
+    assert all(r.cos_sim is not None for r in out)
+
+
+def test_hyperplanes_deterministic():
+    a = similarity.hyperplanes(8, 4, seed=1)
+    b = similarity.hyperplanes(8, 4, seed=1)
+    c = similarity.hyperplanes(8, 4, seed=2)
+    assert a == b
+    assert a != c
+    for plane in a:
+        assert abs(sum(x * x for x in plane) - 1.0) < 1e-9  # unit norm
