@@ -1,0 +1,169 @@
+"""LLM enrichment stage tests — the reference's async test matrix
+(tests/test_program2_all.py scenarios) run against our mapInPandas
+stage with a scripted fake transport. No network anywhere."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators import enrich
+from skoltexter_by_ai_spark.operators.enrich import (
+    EnrichConfig,
+    ScriptedTransport,
+    build_payload,
+    clean_ai_response,
+    incremental_inputs,
+    llm_enrich,
+    side_outputs,
+)
+
+TPL = "SYSTEM: You are a helpful writer.\nUSER: Describe this school:\n{school_data}"
+
+FAST = EnrichConfig(backoff_factor=0.001, retry_sleep_on_429=0.001, request_timeout=5.0)
+
+
+def _docs(spark, keys):
+    return spark.createDataFrame([(k, f"doc for {k}") for k in keys], ["school_code", "content"])
+
+
+def _run(spark, script, keys, cfg=FAST):
+    out = llm_enrich(_docs(spark, keys), TPL, ScriptedTransport(script), cfg, num_partitions=2)
+    return {r.school_code: r for r in out.collect()}
+
+
+# --- payload construction (F7/X10) -------------------------------------------
+
+
+def test_build_payload_splits_markers():
+    payload = build_payload(TPL, "DATA", EnrichConfig())
+    assert payload["messages"][0] == {"role": "system", "content": "You are a helpful writer."}
+    assert payload["messages"][1]["role"] == "user"
+    assert "DATA" in payload["messages"][1]["content"]
+    assert payload["max_tokens"] == 2048 and payload["temperature"] == 0.10
+
+
+def test_build_payload_missing_markers_raises():
+    with pytest.raises(ValueError, match="SYSTEM"):
+        build_payload("no markers here {school_data}", "x", EnrichConfig())
+
+
+# --- fence cleanup (F6), reference doctests ----------------------------------
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        ("hello", "hello"),
+        ("```code```", "code"),
+        ("```markdown\n# T\nbody\n```", "# T\nbody"),
+        ("```\nplain\n```", "plain"),
+    ],
+)
+def test_clean_ai_response(raw, expected):
+    assert clean_ai_response(raw) == expected
+
+
+# --- the retry matrix (X1/X4-X7) ---------------------------------------------
+
+
+def test_success_path_strips_fences(spark):
+    out = _run(spark, {"s1": [("ok", "```markdown\n# Hi\n```")]}, ["s1"])
+    assert out["s1"].success is True
+    assert out["s1"].content == "# Hi"
+    assert json.loads(out["s1"].raw_response)["choices"]
+
+
+def test_429_then_success(spark):
+    script = {"s1": [("status", 429, "slow down"), ("ok", "fine")]}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is True and out["s1"].content == "fine"
+
+
+def test_500_exhausts_retries(spark):
+    script = {"s1": [("status", 500, "boom")] * 4}
+    out = _run(spark, script, ["s1"])
+    r = out["s1"]
+    assert r.success is False
+    assert r.error_type == "HTTPError"
+    assert "500" in r.error_message and "boom" in r.error_message
+
+
+def test_invalid_json_fails_immediately_no_retry(spark):
+    script = {"s1": [("raw", "this is not json"), ("ok", "should never be reached")]}
+    transport = ScriptedTransport(script)
+    out = llm_enrich(_docs(spark, ["s1"]), TPL, transport, FAST, num_partitions=1)
+    r = out.collect()[0]
+    assert r.success is False
+    assert r.error_type == "InvalidJSON"
+    assert r.raw_response == "this is not json"
+
+
+def test_empty_choices_retries_then_succeeds(spark):
+    script = {"s1": [("raw", '{"choices": []}'), ("ok", "recovered")]}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is True and out["s1"].content == "recovered"
+
+
+def test_empty_choices_exhausts(spark):
+    script = {"s1": [("raw", '{"choices": []}')] * 4}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is False and out["s1"].error_type == "EmptyChoices"
+
+
+def test_empty_content_then_success(spark):
+    script = {"s1": [("ok", ""), ("ok", "second try")]}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is True and out["s1"].content == "second try"
+
+
+def test_network_error_then_success(spark):
+    script = {"s1": [("network", "conn reset"), ("ok", "after retry")]}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is True
+
+
+def test_network_error_exhausts(spark):
+    script = {"s1": [("network", "conn reset")] * 4}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is False and out["s1"].error_type == "ClientError"
+    assert "conn reset" in out["s1"].error_message
+
+
+def test_timeout_exhausts(spark):
+    script = {"s1": [("timeout",)] * 4}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is False and out["s1"].error_type == "TimeoutError"
+
+
+def test_mixed_batch_isolates_failures(spark):
+    script = {
+        "bad": [("status", 500, "x")] * 4,
+        "good": [("ok", "fine")],
+        "flaky": [("status", 503, "y"), ("ok", "eventually")],
+    }
+    out = _run(spark, script, ["bad", "good", "flaky"])
+    assert out["good"].success and out["flaky"].success and not out["bad"].success
+    results = llm_enrich(
+        _docs(spark, ["bad", "good", "flaky"]), TPL, ScriptedTransport(script), FAST, 2
+    )
+    ok, failed = side_outputs(results)
+    assert ok.count() == 2 and failed.count() == 1
+
+
+# --- incremental anti-join + limit (J2/X9/L1) --------------------------------
+
+
+def test_incremental_skips_done_and_limits(spark):
+    inputs = _docs(spark, [f"s{i}" for i in range(10)])
+    done = spark.createDataFrame([("s0",), ("s5",)], ["school_code"])
+    out = incremental_inputs(inputs, done, limit=3).collect()
+    assert [r.school_code for r in out] == ["s1", "s2", "s3"]
+
+
+def test_incremental_no_done_keeps_all(spark):
+    inputs = _docs(spark, ["b", "a"])
+    out = incremental_inputs(inputs, None).collect()
+    assert [r.school_code for r in out] == ["a", "b"]  # deterministic order (O2)
