@@ -42,16 +42,25 @@ def tokens(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 2) -> Column:
     """Distinct n-word shingles (space-joined) of a text column.
 
-    Guarded: fewer than ``n`` tokens -> empty array (Spark's
-    ``sequence(1, 0)`` would otherwise count *down*).
+    Built by ``zip_with``-ing the token array against shifted slices of
+    itself (one slice per extra gram word), then truncating the
+    null-padded tail. Deliberately NOT ``transform(sequence(...),
+    i -> element_at(toks, i+j))``: higher-order lambdas run interpreted
+    (no whole-stage codegen, no subexpression elimination), so a lambda
+    body referencing the tokenization tree re-splits the text once per
+    array element — ~1000x slower on real documents.
+
+    Guarded: fewer than ``n`` tokens -> empty array.
     """
     toks = tokens(col)
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), k)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array().cast("array<string>")))
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        # zip_with pads the shorter (shifted) side with NULL; concat_ws
+        # skips NULLs, leaving partial grams in the tail — truncated below.
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(F.slice(grams, F.lit(1), k))
 
 
 def normalized_text(col: Column | str) -> Column:
@@ -141,23 +150,36 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH ------------------------------------------------------------
 
 
-def minhash_signature(col: Column | str, n: int = 2, num_hashes: int = 32, seed: int = 42) -> Column:
-    """MinHash signature (array<bigint>, length ``num_hashes``).
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: ``(id, h0..h{num_hashes-1} bigint)``.
 
     Hash family: ``xxhash64(seed + j, shingle)`` — seeding through an
     extra hashed column avoids 64-bit multiply overflow (Spark 4 ANSI
     mode makes wrap-around arithmetic an error). Entirely JVM-side.
-    Docs with no shingles get Long.MAX mins (never match anything).
+
+    Shape: explode shingles once, then ``num_hashes`` ``min`` aggregates
+    over the exploded rows — partial aggregation runs map-side, so the
+    only shuffle carries one pre-minimized row per (doc, partition).
+    Deliberately NOT ``array_min(transform(...))`` per hash over a
+    repeated shingle expression: besides re-evaluating the shingling
+    per hash function, duplicated nested-lambda trees mis-resolve under
+    Catalyst and collapse every hash to the same value (regression
+    test: tests/test_dedup.py hash-independence case).
+
+    Docs with no shingles (empty/short text) are absent from the output.
     """
-    shingles = word_shingles(col, n)
-    mins = [
-        F.coalesce(
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(seed + j), s))),
-            F.lit(2**63 - 1),
-        )
-        for j in range(num_hashes)
+    sh = df.select(F.col(id_col).alias("__id"), F.explode(word_shingles(text_col, n)).alias("__s"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed + j), F.col("__s"))).alias(f"h{j}") for j in range(num_hashes)
     ]
-    return F.array(*mins)
+    return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
 
 
 def minhash_lsh_candidates(
@@ -186,18 +208,17 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     # Docs with no shingles (empty/short text) can never be near-dups;
-    # dropping them also prevents their sentinel signatures colliding.
-    sig = df.filter(F.size(word_shingles(text_col, n)) > 0).select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(text_col, n=n, num_hashes=num_hashes, seed=seed).alias("__sig"),
-    )
+    # minhash_signatures drops them (no exploded rows -> no group).
+    sig = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+    ).withColumnRenamed(id_col, "__id")
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at("__sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
-                    "bucket"
-                ),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
             )
             for b in range(bands)
         ]

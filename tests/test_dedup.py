@@ -63,6 +63,37 @@ def test_minhash_verify_filters_false_positives(spark):
         assert j >= 0.5
 
 
+def test_minhash_signature_matches_python_oracle(spark):
+    """Signatures must equal per-shingle xxhash64 mins computed independently.
+
+    Regression: a nested-transform formulation (array_min over a
+    repeated shingle expression, one transform per hash function)
+    mis-resolved under Catalyst and collapsed all hash functions to
+    one value, silently gutting LSH recall.
+    """
+    df = _docs(spark)
+    num_hashes, seed = 8, 42
+    sig_rows = dedup.minhash_signatures(df, "doc_id", "text", n=2, num_hashes=num_hashes, seed=seed).collect()
+    got = {r.doc_id: [r[f"h{j}"] for j in range(num_hashes)] for r in sig_rows}
+
+    # Independent path: flat (doc, shingle) rows -> hash each shingle
+    # per seed as a plain column -> min in Python.
+    flat = (
+        df.select("doc_id", F.explode(dedup.word_shingles("text", 2)).alias("s"))
+        .select("doc_id", *[F.xxhash64(F.lit(seed + j), "s").alias(f"x{j}") for j in range(num_hashes)])
+        .collect()
+    )
+    expected: dict[int, list[int]] = {}
+    for r in flat:
+        mins = expected.setdefault(r.doc_id, [2**63 - 1] * num_hashes)
+        for j in range(num_hashes):
+            mins[j] = min(mins[j], r[f"x{j}"])
+    assert got == expected
+    # The hash functions must actually be independent.
+    for mins in got.values():
+        assert len(set(mins)) > 1
+
+
 def test_minhash_deterministic_across_runs(spark):
     df = _docs(spark)
     a = sorted(map(tuple, dedup.minhash_lsh_candidates(df, "doc_id", "text", seed=7).collect()))

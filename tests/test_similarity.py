@@ -82,6 +82,40 @@ def test_lsh_ann_runs_on_fixture(spark, sf_dir):
     assert all(r.cos_sim is not None for r in out)
 
 
+def test_lsh_bucket_matches_python_oracle(spark):
+    """Bucket bits must equal sign(dot(vec, plane_j)) computed in Python.
+
+    Guards against Catalyst mis-resolving the per-plane dot-product
+    lambda trees (structurally identical, differing only in literals) —
+    the failure mode that silently collapsed the minhash hash family.
+    """
+    import random
+
+    rng = random.Random(3)
+    dim, n_planes = 8, 6
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.hyperplanes(dim, n_planes, seed=42)
+    got = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id", similarity.lsh_bucket(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    # float32 storage: replicate Spark's cast(float)->double on the vec side.
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    for vid, vec in rows:
+        expected = 0
+        for j, plane in enumerate(planes):
+            d = sum(f32(x) * p for x, p in zip(vec, plane))
+            if d >= 0:
+                expected |= 1 << j
+        assert got[vid] == expected, f"vec {vid}: got {got[vid]:b}, want {expected:b}"
+    assert len(set(got.values())) > 1
+
+
 def test_hyperplanes_deterministic():
     a = similarity.hyperplanes(8, 4, seed=1)
     b = similarity.hyperplanes(8, 4, seed=1)
