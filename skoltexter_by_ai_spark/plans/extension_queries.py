@@ -332,6 +332,44 @@ def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x14_sessionization",
+    # Gaps-and-islands oracle for Spark's session_window semantics:
+    # window end is exclusive, so a gap of exactly 30 minutes starts a
+    # new session (diff >= gap -> new island).
+    oracle="""
+        WITH marks AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks
+        )
+        SELECT user_id,
+               epoch_ns(MIN(ts)) // 1000000000 AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    covers="session_window sessionization, batch view of streaming.sessionize (SURVEY §7.6)",
+    tags=("events", "streaming"),
+)
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark import streaming
+
+    events = load_table(spark, sf_dir, "events")
+    return streaming.sessionize(events, gap="30 minutes").orderBy("user_id", "session_start")
+
+
+@register(
     "x12_events_hourly_rollup",
     # Batch-equivalent of the streaming tumbling-window aggregation
     # (streaming variant: skoltexter_by_ai_spark.streaming). Window

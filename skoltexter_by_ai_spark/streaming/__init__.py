@@ -1,0 +1,237 @@
+"""Structured Streaming surface over the ``events`` stream.
+
+The reference has no streaming code (SURVEY.md §1.1: "No streams ...
+exist in the reference"); this module is the §7.6 extension: the same
+event-time aggregations exposed batch-side (x12/x14 in the declared
+registry) re-expressed as incremental streaming plans, plus streaming
+dedup and a custom stateful operator.
+
+Design rules:
+- every transformation here takes a DataFrame and returns a DataFrame,
+  and works identically on a batch frame and a ``readStream`` frame —
+  tests assert streaming == batch on the same files;
+- watermarks bound state (100 TB posture: state store size is
+  watermark-window x key cardinality, independent of stream length);
+- shuffle keys are the aggregation keys (window/user_id), so state
+  locality matches data locality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+# Parquet-on-disk schema of events.parquet: ts is TIMESTAMP(NANOS),
+# surfaced as a long via spark.sql.legacy.parquet.nanosAsLong (file
+# streaming sources require an explicit schema anyway).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanoseconds since epoch
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events parquet files in ``source_dir``.
+
+    Emits the same columns as the batch loader
+    (:func:`skoltexter_by_ai_spark.sources.tables.load_table`):
+    ``ts`` TIMESTAMP (microsecond), ``ts_ns`` raw nanos.
+
+    Scale: the file source lists + checkpoints processed files;
+    ``max_files_per_trigger`` bounds per-batch work for backfills.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour rollup by event_type — streaming twin of the
+    batch query ``x12_events_hourly_rollup`` (same output schema).
+
+    Watermark bounds state: windows older than max(event time) -
+    ``watermark`` are finalized and evicted. Late rows beyond the
+    watermark are dropped (counted by the streaming UI metrics).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("__w.start")).alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user sessions with a ``gap`` inactivity timeout.
+
+    Built on ``session_window`` (merge events whose windows overlap;
+    window end is exclusive, so a gap of exactly 30 minutes starts a
+    new session). Works identically in batch and streaming — the batch
+    variant is declared as x14 with a gaps-and-islands DuckDB oracle.
+
+    Output: (user_id, session_start epoch-sec, n_events, total_value).
+    Scale: state per (user, open session) only; the shuffle key is
+    user_id so session merging is local to one task.
+    """
+    is_streaming = events.isStreaming
+    if is_streaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("__w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("__w.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop replayed events by ``event_id`` within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per id
+    and evicts ids once the watermark passes — bounded state, which
+    plain ``dropDuplicates`` on a stream does not give (it keeps every
+    id forever). Exactly the reference's idempotent re-run discipline
+    (X9, program2_ai_processor.py:543-550) moved into event time.
+    """
+    deduped = events.withWatermark("ts", watermark)
+    if events.isStreaming:
+        return deduped.dropDuplicatesWithinWatermark(["event_id"])
+    return deduped.dropDuplicates(["event_id"])
+
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def user_running_stats(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, max).
+
+    The ``applyInPandasWithState`` template for operators Spark lacks:
+    grouped Arrow batches + explicit per-key state + processing-time
+    timeout. Batch frames take the equivalent groupBy/agg path so the
+    operator is one function for both modes (tests assert parity).
+
+    Scale: state is 3 numbers per user; the shuffle key is user_id.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n, total, mx))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx if mx != float("-inf") else None],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow) into a
+    memory sink and return the result as a batch DataFrame.
+
+    Test/dev helper — production sinks are parquet/kafka via
+    ``writeStream`` directly.
+    """
+    query = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(query_name)

@@ -1,0 +1,92 @@
+"""Structured Streaming tests: every streaming plan must match its
+batch twin on the same files (the operators are mode-agnostic)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark import streaming
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """File-source streams read a directory; stage the fixture file."""
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = streaming.read_events_stream(spark, events_dir)
+    out = streaming.run_to_memory(
+        streaming.hourly_rollup(stream), "t_rollup", str(tmp_path / "ckpt"), "complete"
+    )
+    batch = streaming.hourly_rollup(load_table(spark, SF, "events").withWatermark("ts", "1 hour"))
+    assert _rows(out, "hour_start", "event_type") == _rows(batch, "hour_start", "event_type")
+
+
+def test_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = streaming.read_events_stream(spark, events_dir)
+    out = streaming.run_to_memory(
+        streaming.sessionize(stream), "t_sess", str(tmp_path / "ckpt"), "complete"
+    )
+    batch = streaming.sessionize(load_table(spark, SF, "events"))
+    assert _rows(out, "user_id", "session_start") == _rows(batch, "user_id", "session_start")
+
+
+def test_dedup_stream_drops_replayed_file(spark, events_dir, tmp_path):
+    # Replay: the same events land twice (two files) — exactly-once by
+    # event_id must collapse them to one copy.
+    shutil.copy(f"{SF}/events.parquet", f"{events_dir}/part-1-replay.parquet")
+    stream = streaming.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = streaming.run_to_memory(
+        streaming.dedup_stream(stream).select("event_id"),
+        "t_dedup",
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    n_distinct = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    assert out.distinct().count() == n_distinct
+
+
+def test_user_running_stats_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = streaming.read_events_stream(spark, events_dir)
+    out = streaming.run_to_memory(
+        streaming.user_running_stats(stream), "t_stats", str(tmp_path / "ckpt"), "update"
+    )
+    # Single input file -> single micro-batch -> one update row per user
+    # holding the final state.
+    batch = {r.user_id: r for r in streaming.user_running_stats(load_table(spark, SF, "events")).collect()}
+    got = {r.user_id: r for r in out.collect()}
+    assert set(got) == set(batch)
+    for uid, g in got.items():
+        b = batch[uid]
+        assert g.n_events == b.n_events
+        assert g.total_value == pytest.approx(b.total_value, rel=1e-9)
+        assert g.max_value == pytest.approx(b.max_value, rel=1e-12)
+
+
+def test_sessionize_batch_sessions_are_disjoint(spark):
+    events = load_table(spark, SF, "events")
+    sess = streaming.sessionize(events, gap="30 minutes")
+    # Session totals must partition the events exactly.
+    assert sess.agg(F.sum("n_events")).collect()[0][0] == events.count()
+    # No user may have two sessions closer than the gap.
+    w = sess.alias("a").join(sess.alias("b"), "user_id")
+    overlapping = w.filter(
+        (F.col("a.session_start") < F.col("b.session_start"))
+        & (F.col("b.session_start") - F.col("a.session_start") < 0)
+    )
+    assert overlapping.count() == 0
