@@ -1,0 +1,78 @@
+"""Multimodal plumbing tests: binaryFile ingest -> decode -> transform.
+
+The FAKM codec is deterministic, so every assertion is exact."""
+
+from __future__ import annotations
+
+import pytest
+
+from skoltexter_by_ai_spark.operators import multimodal as mm
+
+
+@pytest.fixture()
+def media_dir(tmp_path):
+    d = tmp_path / "media"
+    d.mkdir()
+    # 4x2 grayscale image with known pixels.
+    img = bytes([0, 32, 64, 96, 128, 160, 192, 255])
+    (d / "img_a.fakm").write_bytes(mm.fakm_encode("i", img, width=4, height=2))
+    # 3-frame 2x2 video; frame i filled with value 10*i.
+    frames = b"".join(bytes([10 * i] * 4) for i in range(3))
+    (d / "vid_b.fakm").write_bytes(mm.fakm_encode("v", frames, width=2, height=2, n_frames=3))
+    # 8-sample audio at 16 kHz.
+    (d / "aud_c.fakm").write_bytes(
+        mm.fakm_encode("a", bytes(range(8)), n_frames=8, sample_rate=16000)
+    )
+    (d / "README.txt").write_text("not media")
+    return str(d)
+
+
+def test_read_media_dir_globs_and_ids(spark, media_dir):
+    df = mm.read_media_dir(spark, media_dir, glob="*.fakm")
+    ids = sorted(r.media_id for r in df.select("media_id").collect())
+    assert ids == ["aud_c", "img_a", "vid_b"]
+
+
+def test_decode_meta_per_kind(spark, media_dir):
+    df = mm.decode_meta(mm.read_media_dir(spark, media_dir, glob="*.fakm"))
+    by_id = {r.media_id: r for r in df.collect()}
+    assert by_id["img_a"].kind == "image"
+    assert by_id["img_a"].meta.width == 4 and by_id["img_a"].meta.height == 2
+    assert by_id["vid_b"].kind == "video"
+    assert by_id["vid_b"].meta.n_frames == 3
+    assert by_id["aud_c"].kind == "audio"
+    assert by_id["aud_c"].meta.sample_rate == 16000
+
+
+def test_unknown_format_raises_stub_error(spark, media_dir):
+    df = mm.read_media_dir(spark, media_dir, glob="*.txt")
+    with pytest.raises(Exception, match="FAKM|NotImplemented"):
+        mm.decode_meta(df).collect()
+
+
+def test_resize_nearest_neighbor_exact(spark, media_dir):
+    df = mm.read_media_dir(spark, media_dir, glob="*.fakm")
+    out = {r.media_id: r for r in mm.resize_images(df, width=2, height=2).collect()}
+    assert set(out) == {"img_a"}  # non-images dropped
+    kind, w, h, n, sr, payload = mm.fakm_decode(bytes(out["img_a"].data))
+    assert (w, h) == (2, 2)
+    # nearest-neighbor from 4x2 -> 2x2 picks columns 0,2 of rows 0,1.
+    assert list(payload) == [0, 64, 128, 192]
+
+
+def test_sample_frames_every_other(spark, media_dir):
+    df = mm.read_media_dir(spark, media_dir, glob="*.fakm")
+    rows = mm.sample_frames(df, every_n=2).orderBy("frame_idx").collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [("vid_b", 0), ("vid_b", 2)]
+    assert list(bytes(rows[1].frame)) == [20, 20, 20, 20]
+
+
+def test_extract_features_exact(spark, media_dir):
+    df = mm.read_media_dir(spark, media_dir, glob="img_*.fakm")
+    feats = mm.extract_features(df, n_bins=4).collect()[0]
+    img = [0, 32, 64, 96, 128, 160, 192, 255]
+    assert feats.kind == "image"
+    assert feats.n_bytes == 8
+    assert feats.features[0] == pytest.approx(sum(img) / 8)
+    # histogram bins [0,64),[64,128),[128,192),[192,256]
+    assert feats.features[2:] == [2, 2, 2, 2]
