@@ -189,6 +189,26 @@ def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@register(
+    "x15_embedding_near_dups",
+    oracle=None,  # hyperplane constants are engine-side; recall + exact
+    # verification asserted in tests/test_similarity.py.
+    covers="embedding-cosine near-dup pairs: multi-table LSH + exact verify (SURVEY §2.4)",
+    tags=("dedup", "similarity"),
+)
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hyperplane LSH is a NEAR-dup detector: at threshold 0.9 the
+    # 12-bit/8-table parameters give >90% recall with small buckets.
+    # The synthetic embeddings fixture has no near-dup pairs (max
+    # pairwise cosine ~0.51 at sf0.01), so an empty result here is the
+    # CORRECT answer; recall on planted near-dups is proven in
+    # tests/test_similarity.py::test_embedding_near_dups_finds_planted_cluster.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(
+        emb, threshold=0.9, n_tables=8, n_planes=12
+    ).orderBy("id_a", "id_b")
+
+
 # --- text analysis ------------------------------------------------------------
 
 
@@ -307,6 +327,93 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", text_analysis.fingerprint("text").alias("fp"))
         .orderBy("doc_id")
+    )
+
+
+_BPE_RE = r"[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]"
+
+
+@register(
+    "x16_bpe_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    covers="BPE-ish regex token counting for LLM budgets (SURVEY §2.4 text analysis)",
+    tags=("text",),
+)
+def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            text_analysis.token_count("text").alias("ws_tokens"),
+            text_analysis.bpe_ish_token_count("text").alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TOKS_LOWER = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "x17_tfidf_top_terms",
+    # Rank by (tf DESC, term ASC) — integer-deterministic across
+    # engines; the tfidf score is informational output (round 6).
+    oracle=f"""
+        WITH docs_n AS (SELECT COUNT(*) AS n FROM documents),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents)
+            GROUP BY doc_id, term
+        ),
+        idf AS (
+            SELECT term, COUNT(*) AS df,
+                   ln((SELECT n FROM docs_n) + 1.0) - ln(COUNT(*) + 1.0) AS idf
+            FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term
+        ),
+        ranked AS (
+            SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+                   ROUND(tf.tf * idf.idf, 6) AS tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY tf.tf DESC, tf.term) AS rn
+            FROM tf JOIN idf USING (term)
+        )
+        SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+        FROM ranked WHERE rn <= 3 AND doc_id < 50
+        ORDER BY doc_id, rank
+    """,
+    covers="TF-IDF top terms per document (SURVEY §2.4 text analysis)",
+    tags=("text",),
+)
+def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(dedup.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.count("*").alias("__n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.log(F.col("__n") + 1.0) - F.log(F.col("df") + 1.0))
+        .drop("__n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    return (
+        tf.join(idf, "term")
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
     )
 
 

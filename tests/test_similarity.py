@@ -82,6 +82,44 @@ def test_lsh_ann_runs_on_fixture(spark, sf_dir):
     assert all(r.cos_sim is not None for r in out)
 
 
+def test_embedding_near_dups_finds_planted_cluster(spark):
+    """All planted near-dup pairs above threshold must be found
+    (multi-table LSH recall), and every returned pair must verify."""
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(i, [x + rng.gauss(0, 0.02) for x in base]) for i in range(8)]  # tight cluster
+    rows += [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(8, 108)]  # noise
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = similarity.embedding_near_dups(
+        emb, threshold=0.95, n_tables=12, n_planes=6, dim=dim
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in out}
+
+    # Exact ground truth for the cluster block.
+    cluster = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in cluster.alias("a")
+        .join(cluster.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.95)
+        .collect()
+    }
+    assert truth, "test fixture must contain genuine near-dups"
+    missing = truth - set(pairs)
+    assert not missing, f"LSH missed planted pairs: {missing}"
+    for (a, b), c in pairs.items():
+        assert c >= 0.95
+
+
 def test_lsh_bucket_matches_python_oracle(spark):
     """Bucket bits must equal sign(dot(vec, plane_j)) computed in Python.
 
