@@ -277,6 +277,50 @@ def minhash_near_dups(
     )
 
 
+# --- cluster assignment -------------------------------------------------------
+
+
+def dedup_clusters(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "id", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup ``pairs``: every node gets
+    ``cluster`` = min id reachable from it (the canonical survivor).
+
+    Min-label propagation with a driver-side convergence loop; each
+    iteration is one join + min-aggregate, lineage truncated via
+    localCheckpoint so plans stay flat. Iterations needed = cluster
+    diameter, which for near-dup graphs is tiny (dup groups are
+    near-cliques). For general billion-edge graphs swap in
+    large-star/small-star; this shape is the right one for dedup.
+
+    Deterministic: min over a total order, independent of partitioning.
+    """
+    nodes = ids.select(F.col(id_col).alias("id")).distinct()
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = nodes.select("id", F.col("id").alias("cluster")).localCheckpoint()
+    for _ in range(max_iter):
+        prop = labels.join(edges, labels["id"] == edges["a"]).select(
+            F.col("b").alias("id"), F.col("cluster")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("cluster").alias("cluster"))
+        ).localCheckpoint()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.cluster") != F.col("n.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("id", id_col)
+
+
 # --- SimHash ------------------------------------------------------------------
 
 

@@ -1,0 +1,140 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bounded range join.
+
+The reference has no temporal processing at all; these are SURVEY §2.4
+scale-path operators for event/feature pipelines (point-in-time
+feature lookup, attribution windows).
+
+Both are expressed as compositions of existing DataFrame ops — no
+UDFs, no per-row Python:
+
+- :func:`asof_join` uses the union + last-ignorenulls window trick:
+  one shuffle on the key, no row explosion, regardless of how many
+  right rows precede each left row.
+- :func:`range_join` buckets event time so the equi-join prunes to
+  adjacent buckets instead of a full theta-join — the difference
+  between O(n*m) nested-loop and an equi-shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same key (point-in-time join).
+
+    Implementation: tag both sides, union, and carry the most recent
+    right payload forward with ``last(..., ignorenulls=True)`` over a
+    (key, ts)-ordered window — right rows sort before left rows at
+    equal ts, so an exactly-simultaneous right row matches. One
+    shuffle on ``on``; state per window is one payload row.
+
+    ``tolerance_seconds`` drops matches older than the tolerance
+    (match columns become NULL, the row is kept — left-join shape).
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    l_tagged = left.withColumn("__tag", F.lit(1))
+    for c in right_cols + [f"__rts"]:
+        l_tagged = l_tagged.withColumn(f"{c}{suffix}" if c != "__rts" else "__rts", F.lit(None))
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias("__rts"),
+    )
+    l_cols = [on, ts_col, "__tag"] + [f"{c}{suffix}" for c in right_cols] + ["__rts"]
+    extra_left = [c for c in left.columns if c not in (on, ts_col)]
+    unioned = l_tagged.select(*l_cols, *extra_left).unionByName(
+        r_tagged, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias("__f_rts"),
+    )
+    out = filled.filter(F.col("__tag") == 1)
+    in_tol = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (
+            F.col("__f_rts").isNotNull()
+            & (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__f_rts"))
+                <= int(tolerance_seconds * 1_000_000)
+            )
+        )
+    )
+    keep = [on, ts_col, *extra_left]
+    return out.select(
+        *keep,
+        *[F.when(in_tol, F.col(f"__f_{c}")).alias(f"{c}{suffix}") for c in right_cols],
+        F.when(in_tol, F.col("__f_rts")).alias(f"{ts_col}{suffix}"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    window_seconds: float = 600.0,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Pairs (l, r) on the same key with
+    ``l.ts <= r.ts < l.ts + window_seconds`` (attribution window).
+
+    Implementation: bucket event time into ``window_seconds``-wide
+    bins; every qualifying pair lands in the left row's bucket b or
+    b+1, so an equi-join on (key, bucket) x 2 + an exact range filter
+    replaces the theta-join. Shuffle keys are (key, bucket) — skew in
+    hot time buckets is AQE-splittable.
+    """
+    win_us = int(window_seconds * 1_000_000)
+    l_b = left.withColumn("__us", F.unix_micros(F.col(ts_col))).withColumn(
+        "__bucket", (F.col("__us") / win_us).cast("long")
+    )
+    r_b = (
+        right.withColumn("__us_r", F.unix_micros(F.col(ts_col)))
+        .withColumn("__bucket_r", (F.col("__us_r") / win_us).cast("long"))
+        .select(
+            F.col(on).alias("__on_r"),
+            "__us_r",
+            "__bucket_r",
+            *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c != on],
+        )
+    )
+    # Each left bucket b joins right buckets {b, b+1}.
+    l_exploded = l_b.withColumn(
+        "__probe", F.explode(F.array(F.col("__bucket"), F.col("__bucket") + 1))
+    )
+    joined = l_exploded.join(
+        r_b,
+        (F.col(on) == F.col("__on_r")) & (F.col("__probe") == F.col("__bucket_r")),
+    )
+    return (
+        joined.filter(
+            (F.col("__us_r") >= F.col("__us")) & (F.col("__us_r") < F.col("__us") + win_us)
+        )
+        .drop("__us", "__bucket", "__probe", "__on_r", "__us_r", "__bucket_r")
+    )

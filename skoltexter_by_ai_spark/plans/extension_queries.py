@@ -113,6 +113,49 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x20_dedup_clusters",
+    # Connected components over exact-Jaccard >= 0.5 near-dup edges;
+    # oracle = recursive-CTE transitive closure + min over reachable.
+    oracle=f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+               FROM toks WHERE len(t) >= 2),
+        rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20),
+        shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        szs AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                 FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        edges0 AS (SELECT id_a, id_b FROM cand
+                   JOIN szs sa ON id_a = sa.doc_id
+                   JOIN szs sb ON id_b = sb.doc_id
+                   WHERE ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+                  UNION SELECT id_b, id_a FROM edges0),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster
+        FROM reach GROUP BY src
+        ORDER BY doc_id
+    """,
+    covers="near-dup cluster assignment: connected components by min-label propagation (SURVEY §2.4)",
+    tags=("dedup",),
+)
+def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, max_df=20).filter(
+        F.round("jaccard", 6) >= 0.5
+    )
+    return dedup.dedup_clusters(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 # --- similarity search --------------------------------------------------------
 
 
@@ -474,6 +517,68 @@ def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return streaming.sessionize(events, gap="30 minutes").orderBy("user_id", "session_start")
+
+
+@register(
+    "x18_asof_join",
+    # DuckDB has a native ASOF JOIN; ours is the union + last-ignorenulls
+    # window composition (operators/temporal.py). Semantics must agree:
+    # latest view with v.ts <= c.ts per user, left-join shape.
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id,
+               v.event_id AS view_id, v.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY click_id
+    """,
+    covers="as-of (point-in-time) join — custom operator Spark lacks (SURVEY §2.4)",
+    tags=("temporal",),
+)
+def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators import temporal
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = temporal.asof_join(clicks, views, on="user_id")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("event_id_right").alias("view_id"),
+        F.col("value_right").alias("view_value"),
+    ).orderBy("click_id")
+
+
+@register(
+    "x19_range_join",
+    oracle="""
+        SELECT c.event_id AS click_id, e.event_id AS error_id
+        FROM events c JOIN events e
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click' AND e.event_type = 'error'
+         AND e.ts >= c.ts AND e.ts < c.ts + INTERVAL 10 MINUTES
+        ORDER BY click_id, error_id
+    """,
+    covers="bounded range join via time-bucket equi-join (SURVEY §2.4 scale path)",
+    tags=("temporal",),
+)
+def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators import temporal
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    out = temporal.range_join(clicks, errors, on="user_id", window_seconds=600.0)
+    return out.select("click_id", F.col("error_id_right").alias("error_id")).orderBy(
+        "click_id", "error_id"
+    )
 
 
 @register(

@@ -101,6 +101,14 @@ def test_minhash_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_dedup_clusters_chain_and_isolated(spark):
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    # 1-2-3 form a chain (transitive closure), 4-5 a pair, 6 isolated.
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster for r in dedup.dedup_clusters(ids, pairs, "doc_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
 def test_simhash_exact_dups_identical_fingerprint(spark):
     sig = {r.doc_id: r.simhash for r in dedup.simhash64(_docs(spark), "doc_id", "text").collect()}
     assert sig[1] == sig[4]

@@ -1,0 +1,87 @@
+"""Unit tests for the temporal join operators (exact edge semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators import temporal
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def _frame(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = _frame(
+        spark,
+        [(1, _ts(10), "l1"), (1, _ts(30), "l2"), (2, _ts(5), "l3")],
+        ["k", "ts", "lid"],
+    )
+    right = _frame(
+        spark,
+        [(1, _ts(0), "r0"), (1, _ts(10), "r1"), (1, _ts(20), "r2"), (2, _ts(6), "r3")],
+        ["k", "ts", "rid"],
+    )
+    out = {r.lid: r for r in temporal.asof_join(left, right, on="k").collect()}
+    assert out["l1"].rid_right == "r1"  # simultaneous right row matches (<=)
+    assert out["l2"].rid_right == "r2"  # latest earlier, not the first
+    assert out["l3"].rid_right is None  # nothing at-or-before -> left-join NULL
+    assert out["l3"].ts_right is None
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = _frame(spark, [(1, _ts(30), "l")], ["k", "ts", "lid"])
+    right = _frame(spark, [(1, _ts(0), "r")], ["k", "ts", "rid"])
+    fresh = temporal.asof_join(left, right, on="k", tolerance_seconds=3600).collect()[0]
+    assert fresh.rid_right == "r"
+    stale = temporal.asof_join(left, right, on="k", tolerance_seconds=60).collect()[0]
+    assert stale.rid_right is None
+
+
+def test_range_join_boundaries_and_bucket_crossing(spark):
+    left = _frame(spark, [(1, _ts(10), "c")], ["k", "ts", "cid"])
+    right = _frame(
+        spark,
+        [
+            (1, _ts(10), "same"),        # inclusive lower bound
+            (1, _ts(19, 59), "inside"),  # just inside
+            (1, _ts(20), "at_end"),      # exclusive upper bound
+            (1, _ts(9, 59), "before"),   # before the window
+            (2, _ts(15), "other_key"),
+        ],
+        ["k", "ts", "rid"],
+    )
+    out = temporal.range_join(left, right, on="k", window_seconds=600.0)
+    got = sorted(r.rid_right for r in out.collect())
+    assert got == ["inside", "same"]
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    # Random-ish fixture: bucketed implementation == naive inequality join.
+    rows_l = [(i % 3, _ts(i % 60, (7 * i) % 60), f"l{i}") for i in range(40)]
+    rows_r = [(i % 3, _ts((i * 13) % 60, (11 * i) % 60), f"r{i}") for i in range(40)]
+    left = _frame(spark, rows_l, ["k", "ts", "lid"])
+    right = _frame(spark, rows_r, ["k", "ts", "rid"])
+    fast = {
+        (r.lid, r.rid_right)
+        for r in temporal.range_join(left, right, on="k", window_seconds=300.0).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 300 SECONDS")),
+        )
+        .select(F.col("a.lid").alias("lid"), F.col("b.rid").alias("rid"))
+        .collect()
+    }
+    assert fast == naive
