@@ -1,0 +1,63 @@
+"""Skew-handling helpers for hot aggregation/join keys.
+
+At 100 TB a handful of hot keys (boilerplate documents, bot users)
+can pin a shuffle partition. Two standard remedies live here:
+
+- :func:`salted_agg` — two-stage aggregation: pre-aggregate on
+  (key, salt) so a hot key's rows split across ``salt`` reducers, then
+  combine partials per key. Only valid for algebraic aggregates
+  (count/sum/min/max) — the decomposition is exact, proven by the x27
+  oracle (salted result == plain GROUP BY).
+- AQE's ``skewJoin`` (enabled in session.py) covers the join side;
+  salting a join by replicating the build side is left to AQE, which
+  does it adaptively from runtime statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# agg kinds: name -> (kind, source column or None)
+_KINDS = ("count", "sum", "sum_decimal", "min", "max")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation, exact for algebraic aggregates.
+
+    The salt only controls row routing — any assignment yields the
+    same result (associativity), so a cheap ``monotonically_increasing_id
+    % salt`` suffices and no determinism is lost.
+    """
+    partials, finals = [], []
+    for name, (kind, col) in aggs.items():
+        if kind not in _KINDS:
+            raise ValueError(f"unsupported aggregate kind {kind!r}; use one of {_KINDS}")
+        p = f"__p_{name}"
+        if kind == "count":
+            partials.append(F.count("*").alias(p))
+            finals.append(F.sum(p).alias(name))
+        elif kind == "sum":
+            partials.append(F.sum(col).alias(p))
+            finals.append(F.sum(p).alias(name))
+        elif kind == "sum_decimal":
+            partials.append(F.sum(F.col(col).cast("decimal(18,2)")).alias(p))
+            finals.append(F.sum(p).cast("decimal(18,2)").alias(name))
+        elif kind == "min":
+            partials.append(F.min(col).alias(p))
+            finals.append(F.min(p).alias(name))
+        elif kind == "max":
+            partials.append(F.max(col).alias(p))
+            finals.append(F.max(p).alias(name))
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
+    return (
+        salted.groupBy(*keys, "__salt")
+        .agg(*partials)
+        .groupBy(*keys)
+        .agg(*finals)
+    )

@@ -119,6 +119,27 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+def hash_split(
+    col: Column | str,
+    boundaries: tuple[tuple[str, str], ...] = (("train", "cc"), ("val", "e6")),
+    default: str = "test",
+) -> Column:
+    """Deterministic train/val/test assignment from md5 of the id.
+
+    Buckets on the first two hex chars of ``md5(cast(id as string))``
+    — a pure string comparison identical in any engine (the x26 oracle
+    reproduces it in DuckDB), stable under re-runs, repartitioning and
+    incremental appends. Defaults: 'cc' = 204/256 ~ 80% train,
+    'e6' = 230/256 ~ 10% val, rest test.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.substring(F.md5(c.cast("string")), 1, 2)
+    result = F.lit(default)
+    for name, bound in reversed(boundaries):
+        result = F.when(h < bound, name).otherwise(result)
+    return result
+
+
 def prefix_key(col: Column | str, n_tokens: int = 3) -> Column:
     """Normalized first-``n_tokens`` key — cheap clustering/dedup key."""
     return F.concat_ws(" ", F.slice(tokens(normalized_text(col)), 1, n_tokens))

@@ -1,0 +1,247 @@
+"""OLAP-completeness declared queries: multi-level aggregation
+(ROLLUP/CUBE), pivot, the window-function suite, percentiles, set
+operations, and training-data utilities (deterministic splits, salted
+aggregation).
+
+Beyond the reference's surface (it has no analytics SQL at all), these
+prove the engine covers what an analyst coming from any SQL warehouse
+expects — each with a DuckDB oracle.
+
+Cross-engine gotchas handled here: DuckDB sorts NULLS LAST by default
+while Spark sorts NULLS FIRST (pin NULLS FIRST in the oracle);
+DuckDB SUM(INTEGER) widens to HUGEINT (cast); GROUPING() returns
+BIGINT in Spark (cast to INT both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skoltexter_by_ai_spark.plans.registry import register
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+
+@register(
+    "x21_rollup",
+    oracle="""
+        SELECT r_name,
+               n_name,
+               CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY gid DESC, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    covers="multi-level aggregation: ROLLUP + GROUPING id (OLAP surface)",
+    tags=("olap",),
+)
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int").alias("gid"),
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_bal"),
+        )
+        .select("r_name", "n_name", "gid", "n_suppliers", "total_bal")
+        .orderBy(F.col("gid").desc(), F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@register(
+    "x22_pivot",
+    # Spark `pivot` with explicit values == portable conditional
+    # aggregation in the oracle; explicit value list keeps the output
+    # schema static (required at scale — no extra pass to discover keys).
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click')    AS click,
+               COUNT(*) FILTER (event_type = 'view')     AS view,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (event_type = 'error')    AS error
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    covers="pivot (long -> wide) with static column set",
+    tags=("olap",),
+)
+def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x23_window_suite",
+    oracle="""
+        SELECT o_custkey,
+               o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+               CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INT) AS pr_rank,
+               LAG(o_orderkey) OVER w AS prev_order,
+               LEAD(o_orderkey) OVER w AS next_order,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_total,
+               CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS 2 PRECEDING) AS DECIMAL(18,6)) AS moving_avg3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    covers="window suite: row_number/rank/lag/lead/running sum/moving average",
+    tags=("olap",),
+)
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(wp).cast("int").alias("pr_rank"),
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.sum(dec).over(run).cast("decimal(18,2)").alias("running_total"),
+            F.avg(dec).over(mov).cast("decimal(18,6)").alias("moving_avg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "x24_percentiles",
+    # Both engines: continuous (interpolated) quantiles over doubles,
+    # rounded to absorb last-ulp interpolation differences.
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+               ROUND(median(l_quantity), 6) AS med,
+               ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    covers="exact continuous percentiles / median per group",
+    tags=("olap",),
+)
+def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+            F.round(F.median("l_quantity"), 6).alias("med"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "x25_set_ops",
+    oracle="""
+        SELECT o_custkey, 'both' AS src FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        UNION ALL
+        SELECT o_custkey, 'only_f' AS src FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        ORDER BY src, o_custkey
+    """,
+    covers="set operations: INTERSECT / EXCEPT (distinct semantics)",
+    tags=("olap",),
+)
+def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_cust.intersect(o_cust).withColumn("src", F.lit("both"))
+    only_f = f_cust.subtract(o_cust).withColumn("src", F.lit("only_f"))
+    return both.unionByName(only_f).orderBy("src", "o_custkey")
+
+
+@register(
+    "x26_train_split",
+    # Deterministic, engine-portable split: bucket on the first two hex
+    # chars of md5(id) — pure string comparison, identical in any
+    # engine, stable under re-runs and repartitioning. ~80/10/10.
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+    covers="deterministic hash-based train/val/test split (training-data pipeline)",
+    tags=("training",),
+)
+def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", hash_split("doc_id").alias("split")).orderBy("doc_id")
+
+
+@register(
+    "x27_salted_agg",
+    # The salted two-stage aggregation must be indistinguishable from a
+    # plain GROUP BY — the oracle IS the plain GROUP BY.
+    oracle="""
+        SELECT l_suppkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+    """,
+    covers="skew-resistant salted aggregation == plain groupBy (scale technique, proven)",
+    tags=("training", "olap"),
+)
+def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.skew import salted_agg
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        lineitem,
+        keys=["l_suppkey"],
+        aggs={
+            "n": ("count", None),
+            "revenue": ("sum_decimal", "l_extendedprice"),
+        },
+        salt=8,
+    ).orderBy("l_suppkey")
