@@ -23,18 +23,25 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: Exactly the BMP characters Python's ``str.isspace()`` accepts —
+#: Java regex ``\s`` misses \x1c-\x1f, \x85, \xa0 and the Unicode Zs
+#: block, so a bare ``\s`` trim diverges from the reference's
+#: ``.strip()`` (found by tests/test_template_properties.py).
+PY_WS = "\\t\\n\\x0b\\f\\r\\x1c-\\x1f \\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000"
+
+
 def ws_trim(col: Column | str) -> Column:
     """Python-``str.strip()`` equivalent: trims ALL whitespace (Spark's
     ``trim`` removes spaces only, which diverges on newlines)."""
-    return F.regexp_replace(_c(col), r"^\s+|\s+$", "")
+    return F.regexp_replace(_c(col), f"^[{PY_WS}]+|[{PY_WS}]+$", "")
 
 
 def ws_ltrim(col: Column | str) -> Column:
-    return F.regexp_replace(_c(col), r"^\s+", "")
+    return F.regexp_replace(_c(col), f"^[{PY_WS}]+", "")
 
 
 def ws_rtrim(col: Column | str) -> Column:
-    return F.regexp_replace(_c(col), r"\s+$", "")
+    return F.regexp_replace(_c(col), f"[{PY_WS}]+$", "")
 
 
 def sanitize(col: Column | str) -> Column:
@@ -42,9 +49,11 @@ def sanitize(col: Column | str) -> Column:
 
     Reference ``get_value_from_row`` (program1_generate_markdowns.py:92-123)
     returns the sentinel for those; we keep NULL internally and apply
-    the sentinel only at render time (SURVEY §1.2).
+    the sentinel only at render time (SURVEY §1.2). Trim must match
+    Python ``str.strip()`` — ALL whitespace, not Spark ``trim``'s
+    spaces-only.
     """
-    trimmed = F.trim(_c(col))
+    trimmed = ws_trim(_c(col))
     return F.when((trimmed == "") | (F.upper(trimmed) == "N/A"), None).otherwise(trimmed)
 
 

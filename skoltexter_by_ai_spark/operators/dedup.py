@@ -31,9 +31,13 @@ from pyspark.sql.window import Window
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of trimmed text; empty text -> empty array."""
+    """Whitespace tokens of trimmed text; NULL or empty -> empty array.
+
+    Splits on regex ``\\s`` (identical to RE2's ``\\s``, so the DuckDB
+    oracles tokenize the same way).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )

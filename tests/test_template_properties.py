@@ -1,0 +1,111 @@
+"""Property-based tests: the compiled-to-Column template renderer must
+agree with a direct Python model of the reference semantics
+(program1_generate_markdowns.py:92-319) on arbitrary inputs."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from skoltexter_by_ai_spark.functions.template import PLACEHOLDER_RE, compile_template  # noqa: E402
+
+SENTINEL = "[Data Saknas]"
+
+COLS = ["ColA", "ColB", "Col_1", "Name2"]
+
+# Literal text: anything without braces (placeholder syntax) — keep to
+# printable-ish plus whitespace so collected strings compare cleanly.
+literal = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="{}", categories=("L", "N", "P", "Zs")
+    ),
+    max_size=12,
+)
+# Values exercise every sanitize/number-format branch: missing markers,
+# whitespace edges (incl. tabs/newlines - Python .strip() semantics),
+# integer-like floats, negatives, multi-dot, plain words.
+value = st.one_of(
+    st.none(),
+    st.sampled_from(
+        ["", " ", "\t", "\n  ", "N/A", "n/a", " N/A ", "10.0", "-3.0", "3.00",
+         "10.01", "0.0", "-0.0", "12", "7.5", "abc", " x y ", "1.0.0", "  42.0\n"]
+    ),
+    st.text(max_size=8),
+)
+
+
+def _sanitize_py(v: str | None) -> str | None:
+    if v is None:
+        return None
+    t = v.strip()
+    if t == "" or t.upper() == "N/A":
+        return None
+    return t
+
+
+def _render_py(template: str, row: dict[str, str | None]) -> str:
+    def repl(m: re.Match) -> str:
+        v = _sanitize_py(row.get(m.group(1)))
+        if v is None:
+            return SENTINEL
+        return re.sub(r"^(-?\d+)\.0$", r"\1", v)
+
+    return PLACEHOLDER_RE.sub(repl, template)
+
+
+@st.composite
+def template_and_rows(draw):
+    # Interleave literals and placeholders; some placeholders reference
+    # columns that do not exist (must render the sentinel).
+    n = draw(st.integers(1, 5))
+    parts = []
+    for _ in range(n):
+        parts.append(draw(literal))
+        parts.append("{" + draw(st.sampled_from(COLS + ["Missing1", "Nope"])) + "}")
+    parts.append(draw(literal))
+    template = "".join(parts)
+    rows = draw(
+        st.lists(st.tuples(*[value for _ in COLS]), min_size=1, max_size=8)
+    )
+    return template, rows
+
+
+@settings(max_examples=12, deadline=None)
+@given(template_and_rows())
+def test_compiled_template_matches_python_model(spark, tr):
+    template, rows = tr
+    df = spark.createDataFrame(rows, ", ".join(f"`{c}` string" for c in COLS))
+    got = [
+        r.doc
+        for r in df.select(compile_template(template, COLS).alias("doc")).collect()
+    ]
+    want = [
+        _render_py(template, dict(zip(COLS, vals)))
+        for vals in rows
+    ]
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.one_of(value, st.text(max_size=30)), min_size=1, max_size=12))
+def test_shingles_match_python_model(spark, texts):
+    from skoltexter_by_ai_spark.operators.dedup import word_shingles
+
+    rows = [(i, t if t is not None else None) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: list(r.sh)
+        for r in df.select("id", word_shingles("text", 2).alias("sh")).collect()
+    }
+    # Model the ENGINE tokenization exactly: spaces-only trim (F.trim /
+    # DuckDB trim), ASCII \s split keeping boundary empties (Java
+    # split(limit=-1) / RE2 string_split_regex).
+    for i, t in rows:
+        trimmed = (t or "").strip(" ")
+        toks = re.split(r"\s+", trimmed, flags=re.ASCII) if trimmed else []
+        grams = list(dict.fromkeys(" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)))
+        assert got[i] == grams, f"text={t!r}"
