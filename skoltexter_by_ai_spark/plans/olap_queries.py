@@ -195,6 +195,36 @@ def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x28_distinct_counts",
+    # DuckDB COUNT(DISTINCT) -> BIGINT matches Spark's; the HLL
+    # approx_count_distinct variant is unit-tested against these exact
+    # numbers with a 5% bound (approximations cannot hash-match).
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    covers="exact multi-column distinct counting per group (expand + partial agg)",
+    tags=("olap",),
+)
+def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "x26_train_split",
     # Deterministic, engine-portable split: bucket on the first two hex
     # chars of md5(id) — pure string comparison, identical in any

@@ -1,0 +1,51 @@
+"""Embedding encoder + approximate-aggregate tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators.embedding import hashed_embedding
+from skoltexter_by_ai_spark.operators import similarity
+
+
+def test_hashed_embedding_deterministic_and_unit_norm(spark):
+    rows = [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "something else"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.embedding for r in hashed_embedding(df, dim=32).collect()}
+    assert out[1] == out[2]  # identical text -> identical vector
+    assert out[1] != out[3]
+    assert math.isclose(sum(x * x for x in out[1]), 1.0, rel_tol=1e-5)
+    assert all(x == 0.0 for x in out[4])  # empty text -> zero vector
+    # Recomputation (different partitioning) gives the same vectors.
+    again = {r.doc_id: r.embedding for r in hashed_embedding(df.repartition(3), dim=32).collect()}
+    assert again == out
+
+
+def test_hashed_embedding_feeds_similarity_ops(spark):
+    texts = [(i, f"document number {i} about topic {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    emb = hashed_embedding(df, dim=32).withColumnRenamed("doc_id", "vec_id")
+    query = emb.filter(F.col("vec_id") == 0)
+    top = similarity.cosine_topk(emb, query, k=5).collect()
+    assert len(top) == 5
+    # Same-topic documents share more tokens -> rank above other topics.
+    assert top[0].vec_id % 3 == 0
+
+
+def test_approx_count_distinct_within_bound_of_exact(spark, sf_dir):
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("exact"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) / max(r.exact, 1) < 0.05
