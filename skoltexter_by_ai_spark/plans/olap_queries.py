@@ -248,6 +248,77 @@ def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x29_full_outer_join",
+    # Customers with no orders AND order-count buckets with no
+    # customers both survive; COALESCE resolves the outer nulls.
+    oracle="""
+        WITH cust_orders AS (
+            SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+        ),
+        hi AS (SELECT o_custkey, n FROM cust_orders WHERE n >= 20),
+        seg AS (SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_mktsegment IN ('BUILDING', 'MACHINERY'))
+        SELECT COALESCE(seg.c_custkey, hi.o_custkey) AS custkey,
+               seg.c_mktsegment AS segment,
+               hi.n AS big_order_cnt
+        FROM seg FULL OUTER JOIN hi ON seg.c_custkey = hi.o_custkey
+        ORDER BY custkey
+    """,
+    covers="full outer join with coalesced key (join-type completeness)",
+    tags=("olap",),
+)
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    hi = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+    seg = customer.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment")
+    return (
+        seg.join(hi, seg.c_custkey == hi.o_custkey, "full_outer")
+        .select(
+            F.coalesce(seg.c_custkey, hi.o_custkey).alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n").alias("big_order_cnt"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "x30_cross_join_small",
+    oracle="""
+        SELECT r.r_name, s.o_orderstatus, COUNT(o.o_orderkey) AS n
+        FROM region r
+        CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        LEFT JOIN (SELECT o_orderkey, o_orderstatus AS st FROM orders) o
+          ON o.st = s.o_orderstatus
+        GROUP BY r.r_name, s.o_orderstatus
+        ORDER BY r.r_name, s.o_orderstatus
+    """,
+    covers="cross join (small dimensional grid) + left join aggregation",
+    tags=("olap",),
+)
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = orders.select("o_orderstatus").distinct()
+    grid = region.crossJoin(F.broadcast(statuses))
+    per_status = orders.groupBy(F.col("o_orderstatus").alias("__st")).agg(
+        F.count("*").alias("__n")
+    )
+    return (
+        grid.join(F.broadcast(per_status), grid.o_orderstatus == per_status.__st, "left")
+        .select("r_name", "o_orderstatus", F.coalesce("__n", F.lit(0)).alias("n"))
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@register(
     "x27_salted_agg",
     # The salted two-stage aggregation must be indistinguishable from a
     # plain GROUP BY — the oracle IS the plain GROUP BY.

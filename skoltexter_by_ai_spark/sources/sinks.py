@@ -1,0 +1,54 @@
+"""Dataset sinks with explicit physical layout.
+
+The reference writes one file per row and one HTML artifact; at scale
+the layout IS the optimization, so the writers here make the two
+levers explicit:
+
+- :func:`write_partitioned` — directory partitioning: predicates on
+  the partition columns prune whole directories at plan time
+  (``PartitionFilters`` in the scan), the cheapest scan reduction
+  available.
+- :func:`write_bucketed` — hash bucketing + in-bucket sort: joins and
+  aggregations on the bucket keys skip their shuffle entirely
+  (no ``Exchange`` in the plan), the single biggest cost at 100 TB.
+  Both join sides must agree on bucket count and keys.
+
+Both are asserted at the PLAN level in tests/test_sinks.py — not just
+"results match" but "the shuffle is actually gone / the scan actually
+prunes".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Write parquet partitioned by ``partition_cols`` (low-cardinality
+    columns only — each distinct combination becomes a directory)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a bucketed (and optionally sorted) parquet table.
+
+    Registered in the session catalog (bucketing metadata lives in the
+    catalog, not the files); ``path`` makes it an external table so
+    the data outlives the catalog entry.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

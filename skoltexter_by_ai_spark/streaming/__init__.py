@@ -140,6 +140,47 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return deduped.dropDuplicates(["event_id"])
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    window_seconds: float = 600.0,
+    watermark: str = "1 hour",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Stream-stream (or batch) inner join: pairs on the same key with
+    ``left.ts <= right.ts < left.ts + window_seconds``.
+
+    In streaming mode both sides carry a watermark and the time-range
+    condition bounds the join state: rows age out once the watermark
+    passes their window (Spark derives the state retention from the
+    range predicate). Batch frames take the identical plan minus
+    watermarks — tests assert stream == batch on the same files.
+    """
+    l_side = left.withWatermark(ts_col, watermark) if left.isStreaming else left
+    r_named = right.select(
+        F.col(on).alias("__on_r"),
+        F.col(ts_col).alias("__ts_r"),
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in right.columns
+            if c not in (on, ts_col)
+        ],
+    )
+    r_side = r_named.withWatermark("__ts_r", watermark) if right.isStreaming else r_named
+    cond = (
+        (F.col(on) == F.col("__on_r"))
+        & (F.col("__ts_r") >= F.col(ts_col))
+        & (F.col("__ts_r") < F.col(ts_col) + F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
+    )
+    return (
+        l_side.join(r_side, cond)
+        .drop("__on_r")
+        .withColumnRenamed("__ts_r", f"{ts_col}{suffix}")
+    )
+
+
 USER_STATS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -1,0 +1,76 @@
+"""Plan-level tests for the layout-aware sinks: bucketing must remove
+the join shuffle; partitioning must prune the scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.sources.sinks import write_bucketed, write_partitioned
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    write_bucketed(orders, "t_orders_b", str(tmp_path / "ob"), ["o_custkey"], 8)
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "t_customer_b",
+        str(tmp_path / "cb"),
+        ["o_custkey"],
+        8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(spark.table("t_customer_b"), "o_custkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it still computes the right thing
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, tmp_path):
+    lineitem = load_table(spark, SF, "lineitem")
+    write_bucketed(lineitem, "t_li_b", str(tmp_path / "li"), ["l_suppkey"], 8)
+    try:
+        agg = spark.table("t_li_b").groupBy("l_suppkey").agg(F.count("*").alias("n"))
+        plan = _plan(agg)
+        assert "Exchange" not in plan, f"bucketed aggregation still shuffles:\n{plan}"
+        got = {r.l_suppkey: r.n for r in agg.collect()}
+        want = {
+            r.l_suppkey: r.n
+            for r in lineitem.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "event_type", "value")
+    path = str(tmp_path / "events_p")
+    write_partitioned(events, path, ["event_type"])
+    back = spark.read.parquet(path)
+    filtered = back.filter(F.col("event_type") == "click")
+    plan = _plan(filtered)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert filtered.count() == events.filter(F.col("event_type") == "click").count()
+    # Only the matching directory's files are listed by the scan.
+    import glob
+
+    dirs = {p.split("event_type=")[1].split("/")[0] for p in glob.glob(f"{path}/event_type=*")}
+    assert "click" in dirs and len(dirs) >= 2  # layout exists as expected

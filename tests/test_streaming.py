@@ -78,6 +78,31 @@ def test_user_running_stats_stream_matches_batch(spark, events_dir, tmp_path):
         assert g.max_value == pytest.approx(b.max_value, rel=1e-12)
 
 
+def test_interval_join_stream_matches_batch(spark, events_dir, tmp_path):
+    def clicks_views(df_source):
+        clicks = df_source.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        views = df_source.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id")
+        )
+        return streaming.interval_join(clicks, views, on="user_id", window_seconds=86400.0, watermark="2 days")
+
+    stream_out = streaming.run_to_memory(
+        clicks_views(streaming.read_events_stream(spark, events_dir)).select(
+            "click_id", "view_id_right"
+        ),
+        "t_ij",
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    batch = clicks_views(load_table(spark, SF, "events")).select("click_id", "view_id_right")
+    got = {(r.click_id, r.view_id_right) for r in stream_out.collect()}
+    want = {(r.click_id, r.view_id_right) for r in batch.collect()}
+    assert got == want
+    assert want, "fixture must produce at least one joined pair"
+
+
 def test_sessionize_batch_sessions_are_disjoint(spark):
     events = load_table(spark, SF, "events")
     sess = streaming.sessionize(events, gap="30 minutes")
