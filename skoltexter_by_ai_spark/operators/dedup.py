@@ -34,17 +34,20 @@ def tokens(col: Column | str) -> Column:
     """Whitespace tokens of trimmed text; NULL or empty -> empty array.
 
     Splits on regex ``\\s`` (identical to RE2's ``\\s``, so the DuckDB
-    oracles tokenize the same way).
+    oracles tokenize the same way). The empty-input guard is
+    ``array_remove(..., '')`` rather than a CASE WHEN: conditional
+    branches block codegen subexpression elimination, which would
+    re-evaluate the split tree at every reference in a consuming
+    expression (shingling references it several times).
     """
     c = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(F.coalesce(c, F.lit("")))
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    # After trim, split can only emit '' for the empty string itself.
+    return F.array_remove(F.split(trimmed, r"\s+"), "")
 
 
-def word_shingles(col: Column | str, n: int = 2) -> Column:
-    """Distinct n-word shingles (space-joined) of a text column.
+def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct n-word shingles (space-joined) of a token ARRAY column.
 
     Built by ``zip_with``-ing the token array against shifted slices of
     itself (one slice per extra gram word), then truncating the
@@ -54,9 +57,10 @@ def word_shingles(col: Column | str, n: int = 2) -> Column:
     body referencing the tokenization tree re-splits the text once per
     array element — ~1000x slower on real documents.
 
+    ``toks`` is referenced several times; pass an attribute (a column
+    materialized by a prior projection), not a large expression tree.
     Guarded: fewer than ``n`` tokens -> empty array.
     """
-    toks = tokens(col)
     grams = toks
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
@@ -65,6 +69,32 @@ def word_shingles(col: Column | str, n: int = 2) -> Column:
         grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws(" ", x, y))
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     return F.array_distinct(F.slice(grams, F.lit(1), k))
+
+
+def word_shingles(col: Column | str, n: int = 2) -> Column:
+    """Distinct n-word shingles of a text column (tokenize + shingle)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition by ``key_col`` iff the input parallelism is below the
+    session's — i.e. only when the scan produced too few splits (one
+    small/unsplittable file) to feed every core of the CPU-heavy
+    tokenize/shingle stages that follow.
+
+    At scale this is a no-op: a 100 TB corpus scans as thousands of
+    splits, and shuffling full document text would be the single most
+    expensive thing an operator could do. When it does fire, the
+    shuffle moves the small pre-explode rows, and because the key is
+    the downstream aggregation key the (much larger) exploded rows
+    never shuffle again.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    num = int(spark.conf.get("spark.sql.shuffle.partitions", str(target)))
+    return df.repartition(num, key_col)
 
 
 def normalized_text(col: Column | str) -> Column:
@@ -117,9 +147,10 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_candidates` instead; this operator is the exact
     oracle for moderate candidate sets.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, n)).alias("__s"),
+    sh = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+        .select("__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__s"))
     )
     # df-prune: drop ubiquitous shingles BEFORE the self-join.
     rare = sh.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
@@ -179,7 +210,11 @@ def minhash_signatures(
 
     Docs with no shingles (empty/short text) are absent from the output.
     """
-    sh = df.select(F.col(id_col).alias("__id"), F.explode(word_shingles(text_col, n)).alias("__s"))
+    sh = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+        .select("__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__s"))
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(seed + j), F.col("__s"))).alias(f"h{j}") for j in range(num_hashes)
     ]
@@ -336,7 +371,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     64 conditional-sum aggregations over the exploded token stream —
     one shuffle on the doc id, all JVM-side.
     """
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
     ).withColumn("__h", F.xxhash64("__t"))
     votes = [
