@@ -1,0 +1,118 @@
+"""Physical-plan quality gates: the properties that decide whether a
+query survives a 100 TB scale-up, asserted on the actual plans.
+
+"Results match" is necessary but not sufficient — a query that scans
+every column, skips pushdown, or shuffles a dimension join is correct
+and still wrong at scale. Each test pins one plan property:
+
+- predicates reach the parquet scan (``PushedFilters``),
+- projections prune the scan (``ReadSchema``),
+- dimension joins broadcast (no shuffle of the fact side),
+- aggregations combine map-side (partial before the exchange),
+- scalar pipelines stay inside whole-stage codegen,
+- minhash signatures cost at most the one intended shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators.dedup import minhash_signatures
+from skoltexter_by_ai_spark.plans.registry import all_queries
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _build(spark, name):
+    return all_queries()[name].builder(spark, SF)
+
+
+def test_filter_pushes_down_to_parquet_scan(spark):
+    plan = _plan(_build(spark, "q02_filter_predicates"))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PushedFilters in scan:\n{plan}"
+    pushed = m.group(1)
+    assert "l_quantity" in pushed, f"l_quantity predicate not pushed: {pushed}"
+    assert "IsNotNull" in pushed
+
+
+def test_projection_prunes_scan_columns(spark):
+    plan = _plan(_build(spark, "q01_scan_project"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, f"no ReadSchema in scan:\n{plan}"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"o_orderkey", "o_custkey", "o_totalprice"}, read_cols
+
+
+def test_dimension_join_broadcasts(spark):
+    # nation ⋈ region: the 5-row dimension must broadcast, never
+    # shuffle-partition the other side.
+    plan = _plan(_build(spark, "q11_inner_join_broadcast"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_joins_do_not_read_payload_columns(spark):
+    # The EXISTS/NOT EXISTS probe side must be pruned to its join key
+    # (q13 probes events.user_id, q19 probes orders.o_custkey).
+    for name, key in (("q13_anti_join", "user_id"), ("q19_semi_join", "o_custkey")):
+        plan = _plan(_build(spark, name))
+        m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        probe_side = [s for s in m if key in s]
+        assert probe_side and all(
+            s == f"{key}:bigint" for s in probe_side
+        ), f"{name} reads more than the key from the probe table: {probe_side}"
+
+
+def test_aggregation_is_partial_before_exchange(spark):
+    # groupBy must combine map-side: two HashAggregates around the
+    # exchange, with the partial one below it.
+    plan = _plan(_build(spark, "q15_conditional_counts"))
+    agg_ops = re.findall(r"(\w*HashAggregate)", plan)
+    assert len(agg_ops) >= 2, f"no partial aggregation:\n{plan}"
+    assert "Exchange" in plan
+
+
+def test_scalar_pipeline_is_single_codegen_stage(spark):
+    # Scan -> project (upper/lower/trim) must fuse into one
+    # whole-stage-codegen span; the only break is the ordering exchange.
+    # AQE defers codegen stage assignment until runtime; turn it off so
+    # the static plan carries the '*(n)' fusion markers.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_build(spark, "q04_string_casing"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert re.search(r"\*\(\d+\)", plan), f"no whole-stage codegen:\n{plan}"
+    assert plan.count("Exchange") <= 1, f"scalar query shuffles more than the sort:\n{plan}"
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    # The signature aggregation must reuse the spread partitioning:
+    # exactly one Exchange (the doc-id repartition), none after the
+    # explode — the exploded shingle rows are ~50x the input and must
+    # never shuffle.
+    docs = load_table(spark, SF, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    plan = _plan(sig)
+    assert plan.count("Exchange") == 1, f"minhash shuffles exploded rows:\n{plan}"
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    # ORDER BY ... LIMIT k must plan as TakeOrderedAndProject (per-
+    # partition heap + driver merge), not a full global sort.
+    plan = _plan(_build(spark, "q16_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_point_lookup_pushes_key_filter(spark):
+    plan = _plan(_build(spark, "q10_point_lookup"))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(c_custkey,42)" in m.group(1), plan
