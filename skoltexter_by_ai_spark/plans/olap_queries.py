@@ -346,3 +346,127 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt=8,
     ).orderBy("l_suppkey")
+
+
+@register(
+    "x31_cube",
+    # CUBE = all four grouping combinations, disambiguated by the
+    # grouping id; totals are decimal-stabilized like x21.
+    oracle="""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid DESC, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    covers="CUBE multi-level aggregation + GROUPING id (OLAP surface)",
+    tags=("olap",),
+)
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(
+            F.col("gid").desc(),
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+@register(
+    "x32_date_dimensions",
+    # Calendar rollup from a raw timestamp: the date functions are the
+    # cross-engine surface under test (EXTRACT == year()/month()).
+    oracle="""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM orders
+        WHERE o_orderdate IS NOT NULL
+        GROUP BY yr, mo
+        ORDER BY yr, mo
+    """,
+    covers="date/time dimension extraction + calendar aggregation",
+    tags=("olap",),
+)
+def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "x33_array_agg_ordered",
+    # Ordered array aggregation, serialized to a joined string so the
+    # value hash is engine-independent (array text forms differ).
+    oracle="""
+        SELECT n_regionkey,
+               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    covers="ordered collect_list/array aggregation (array surface)",
+    tags=("olap",),
+)
+def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "x34_scalar_subquery",
+    # Filter against a global aggregate. Spark side computes the scalar
+    # as a 1-row broadcast join — the declarative twin of a correlated
+    # scalar subquery, and the shape that scales (no driver collect).
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer)
+        ORDER BY c_custkey
+    """,
+    covers="scalar subquery (global aggregate as predicate operand)",
+    tags=("olap",),
+)
+def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    threshold = customer.agg((F.avg("c_acctbal") * 1.5).alias("__thr"))
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
