@@ -115,3 +115,26 @@ def test_sessionize_batch_sessions_are_disjoint(spark):
         & (F.col("b.session_start") - F.col("a.session_start") < 0)
     )
     assert overlapping.count() == 0
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, events_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_pq")
+
+    def run():
+        deduped = streaming.dedup_stream(
+            streaming.read_events_stream(spark, events_dir), watermark="1 day"
+        ).select("event_id", "user_id", "event_type")
+        streaming.run_to_parquet(deduped, out, ckpt)
+
+    run()
+    first = spark.read.parquet(out).count()
+    # Restart with the same checkpoint: the source has no new files, so
+    # the committed state must carry over and emit nothing new.
+    run()
+    again = spark.read.parquet(out)
+    assert again.count() == first
+    assert again.select("event_id").distinct().count() == first
+
+    batch_distinct = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert first == batch_distinct
