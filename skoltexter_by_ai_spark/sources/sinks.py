@@ -20,7 +20,7 @@ prunes".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
@@ -52,3 +52,33 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    order_col: str | None = None,
+) -> int:
+    """Rewrite a parquet dataset into files of ~``target_file_bytes``.
+
+    The small-files cure for ingest edges like
+    ``sources.documents.read_document_dir``: scans of many tiny files
+    pay one task + one open per file and hammer the listing service;
+    compaction restores scan throughput. Sizing uses the filesystem's
+    own content summary (works on local paths and HDFS-compatible
+    stores alike). ``order_col`` switches to a range partitioning so
+    the output is additionally clustered for min/max row-group
+    skipping on that column. Returns the number of output partitions.
+    """
+    import math
+
+    df = spark.read.parquet(src)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    out = df.repartitionByRange(n, order_col) if order_col else df.repartition(n)
+    out.write.mode("overwrite").parquet(dst)
+    return n

@@ -74,3 +74,44 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
 
     dirs = {p.split("event_type=")[1].split("/")[0] for p in glob.glob(f"{path}/event_type=*")}
     assert "click" in dirs and len(dirs) >= 2  # layout exists as expected
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from skoltexter_by_ai_spark.sources.sinks import compact_parquet
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    src = str(tmp_path / "fragmented")
+    events.repartition(64).write.parquet(src)
+    import glob as _glob
+
+    assert len(_glob.glob(f"{src}/part-*")) == 64
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(_glob.glob(f"{dst}/part-*")) == 1
+    assert spark.read.parquet(dst).count() == events.count()
+
+
+def test_compact_parquet_range_clusters_on_order_col(spark, tmp_path):
+    from skoltexter_by_ai_spark.sources.sinks import compact_parquet
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    src = str(tmp_path / "frag2")
+    events.repartition(16).write.parquet(src)
+    dst = str(tmp_path / "clustered")
+    # Tiny target -> several range-partitioned files, disjoint in event_id.
+    compact_parquet(spark, src, dst, target_file_bytes=8 * 1024, order_col="event_id")
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{dst}/part-*"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(F.min("event_id"), F.max("event_id")).collect()[0]
+        if r[0] is not None:
+            ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "range partitions overlap - no min/max skipping benefit"
+    assert spark.read.parquet(dst).count() == events.count()
