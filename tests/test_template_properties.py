@@ -101,11 +101,10 @@ def test_shingles_match_python_model(spark, texts):
         r.id: list(r.sh)
         for r in df.select("id", word_shingles("text", 2).alias("sh")).collect()
     }
-    # Model the ENGINE tokenization exactly: spaces-only trim (F.trim /
-    # DuckDB trim), ASCII \s split keeping boundary empties (Java
-    # split(limit=-1) / RE2 string_split_regex).
+    # Model the ENGINE tokenization exactly: tokens are the non-empty
+    # ASCII-\s-separated chunks (split + array_remove(''), so leading/
+    # trailing whitespace of any kind contributes no empty token).
     for i, t in rows:
-        trimmed = (t or "").strip(" ")
-        toks = re.split(r"\s+", trimmed, flags=re.ASCII) if trimmed else []
+        toks = [tok for tok in re.split(r"\s+", t or "", flags=re.ASCII) if tok]
         grams = list(dict.fromkeys(" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)))
         assert got[i] == grams, f"text={t!r}"
