@@ -363,31 +363,63 @@ def dedup_clusters(
 # --- SimHash ------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+# SWAR lane mask: bit j of every 16-bit lane of a long.
+_SIMHASH_LANE_MASK = 0x0001000100010001
+# A 16-bit lane can count at most 65535 token votes without overflowing
+# into the neighbouring lane.
+SIMHASH_MAX_TOKENS = 0xFFFF
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, max_tokens: int = SIMHASH_MAX_TOKENS
+) -> DataFrame:
     """64-bit SimHash per document -> ``(id_col, simhash bigint)``.
 
     Each token votes ±1 on each of 64 bit positions of its xxhash64;
-    the sign of the per-bit sum becomes the fingerprint bit. Built as
-    64 conditional-sum aggregations over the exploded token stream —
-    one shuffle on the doc id, all JVM-side.
+    the sign of the per-bit sum becomes the fingerprint bit. Computed
+    as a narrow, shuffle-free projection: a higher-order ``aggregate``
+    folds the per-token hash array into 16 SWAR accumulators (four
+    16-bit lanes per long, bit ``j`` of each lane counting set bits at
+    positions ``j``, ``j+16``, ``j+32``, ``j+48``), so a row never
+    leaves its input partition and the whole fingerprint stays inside
+    whole-stage codegen. With votes-for = ``cnt`` out of ``n`` tokens,
+    the signed vote sum is ``2*cnt - n``, so bit ``b`` is set iff
+    ``2*cnt > n`` (ties clear the bit, matching the classic
+    formulation).
+
+    ``max_tokens`` caps the fingerprint to the first N tokens — the
+    16-bit lanes count up to 65535 votes, so the default cap is the
+    exact overflow boundary (~400 KB of text). Documents with no
+    tokens produce no row (an all-zero fingerprint would make every
+    empty document a Hamming-0 pair of every other).
     """
-    tok = _spread(df, id_col).select(
-        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
-    ).withColumn("__h", F.xxhash64("__t"))
-    votes = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__v{b}")
-        for b in range(64)
+    if not 0 < max_tokens <= SIMHASH_MAX_TOKENS:
+        raise ValueError(f"max_tokens must be in [1, {SIMHASH_MAX_TOKENS}]")
+    toks = F.slice(tokens(text_col), 1, max_tokens)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    lane_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.shiftrightunsigned(h, j).bitwiseAND(F.lit(_SIMHASH_LANE_MASK)),
+        )
+        for j in range(16)
     ]
-    per_doc = tok.groupBy("__id").agg(*votes)
     fingerprint = None
     for b in range(64):
-        bit = F.when(F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+        j, k = b % 16, b // 16
+        cnt = F.shiftrightunsigned(lane_sums[j], 16 * k).bitwiseAND(F.lit(0xFFFF))
+        bit = F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return per_doc.select(F.col("__id").alias(id_col), fingerprint.alias("simhash"))
+    return (
+        _spread(df, id_col)
+        .filter(F.size(tokens(text_col)) > 0)
+        .select(F.col(id_col), fingerprint.alias("simhash"))
+    )
 
 
 def simhash_near_dups(
@@ -397,8 +429,12 @@ def simhash_near_dups(
 
     Banded lookup: split the 64-bit fingerprint into 4 16-bit bands;
     by pigeonhole any pair within Hamming distance 3 shares at least
-    one exact band -> candidates from a bucket join, then exact
-    popcount verification via ``bit_count(a XOR b)``.
+    one exact band -> candidate pairs generated inside each band
+    bucket, then exact popcount verification via ``bit_count(a XOR
+    b)``. Work per bucket is quadratic in bucket size, so a pathological
+    hot bucket (e.g. a corpus full of near-identical boilerplate)
+    concentrates on one task; dedup such corpora with ``exact_dedup``
+    first, which removes the identical-fingerprint mass.
     """
     sig = simhash64(df, id_col, text_col)
     bands = F.array(
@@ -413,12 +449,30 @@ def simhash_near_dups(
     buckets = sig.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(bands).alias("__b")).select(
         "__id", "simhash", F.col("__b.band").alias("__band"), F.col("__b.chunk").alias("__chunk")
     )
-    left = buckets.select("__band", "__chunk", F.col("__id").alias("id_a"), F.col("simhash").alias("__ha"))
-    right = buckets.select("__band", "__chunk", F.col("__id").alias("id_b"), F.col("simhash").alias("__hb"))
+    # One shuffle of (id, simhash) bucket rows — never the document text,
+    # and never a second run of the signature pipeline (a self-join would
+    # recompute `sig` on both branches). Intra-bucket pairs are generated
+    # with higher-order functions over the collected member list; members
+    # are sorted by id so each unordered pair emerges exactly once per
+    # bucket as (smaller, larger).
+    members = F.sort_array(
+        F.collect_list(F.struct(F.col("__id").alias("i"), F.col("simhash").alias("h")))
+    )
+    grouped = buckets.groupBy("__band", "__chunk").agg(members.alias("__m"))
+    pair_lists = F.transform(
+        F.col("__m"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__m"), i + F.lit(2), F.size(F.col("__m"))),
+            lambda y: F.struct(
+                x["i"].alias("id_a"),
+                y["i"].alias("id_b"),
+                F.bit_count(x["h"].bitwiseXOR(y["h"])).alias("hamming"),
+            ),
+        ),
+    )
     return (
-        left.join(right, ["__band", "__chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"))
-        .distinct()
+        grouped.select(F.explode(F.flatten(pair_lists)).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
