@@ -1,0 +1,249 @@
+"""Analytics-completeness declared queries, round 2 of the OLAP
+surface: wide-to-long melt (the Spark treatment SURVEY.md §1.2
+prescribes for the reference's year-suffixed wide columns),
+statistical aggregates, argmin/argmax, fuzzy string matching,
+higher-order array functions over the embeddings table, and GROUPING
+SETS.
+
+Cross-engine gotchas handled here: DuckDB ``arg_max`` has no
+struct-valued ordering key, so deterministic tie-breaks use a
+collision-free BIGINT composite; float aggregates are rounded then
+cast to DECIMAL so the value hash is bit-stable; higher-order sums
+cast elements to DOUBLE *before* folding so both engines accumulate
+in the same precision and order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.plans.registry import register
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "x35_unpivot_melt",
+    # Wide -> long melt of the lineitem measure columns. This is the
+    # exact shape SURVEY.md §1.2 calls for on the reference's
+    # year-suffixed wide columns (`stack()`/melt to long form); the
+    # oracle spells it as the equivalent UNION ALL.
+    oracle="""
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+        )
+        WHERE l_orderkey <= 5000
+        ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    covers="wide->long melt / unpivot (SURVEY §1.2 wide year columns)",
+    tags=("analytics",),
+)
+def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 5000)
+    wide = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(m).cast("decimal(18,2)").alias(m) for m in _MEASURES],
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"], list(_MEASURES), "measure", "value"
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+@register(
+    "x36_stats_aggregates",
+    # Pearson correlation, sample stddev/variance and sample
+    # covariance per group. Both engines compute in DOUBLE; rounding
+    # to 4 places then casting to DECIMAL absorbs summation-order
+    # noise while still failing on any real numeric bug.
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(ROUND(CORR(l_quantity, l_extendedprice), 4) AS DECIMAL(10,4)) AS qty_price_corr,
+               CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DECIMAL(14,4)) AS qty_stddev,
+               CAST(ROUND(VAR_SAMP(l_discount), 4) AS DECIMAL(14,4)) AS disc_var,
+               CAST(ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS DECIMAL(14,4)) AS qty_disc_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    covers="statistical aggregates: corr / stddev_samp / var_samp / covar_samp",
+    tags=("analytics",),
+)
+def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+            .cast("decimal(10,4)")
+            .alias("qty_price_corr"),
+            F.round(F.stddev_samp("l_quantity"), 4)
+            .cast("decimal(14,4)")
+            .alias("qty_stddev"),
+            F.round(F.var_samp("l_discount"), 4).cast("decimal(14,4)").alias("disc_var"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4)
+            .cast("decimal(14,4)")
+            .alias("qty_disc_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Collision-free BIGINT ordering key: cents * 1e10 + orderkey. Cents
+# stay < ~5.6e7 at any tested SF and orderkey < 1e10, so the composite
+# fits a BIGINT and orders exactly by (price, orderkey) — making
+# arg_max/arg_min deterministic even when two orders share a price.
+_ORD = "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey"
+
+
+@register(
+    "x37_arg_extremes",
+    oracle=f"""
+        SELECT o_orderstatus,
+               arg_max(o_orderkey, {_ORD}) AS priciest_order,
+               arg_min(o_orderkey, {_ORD}) AS cheapest_order,
+               arg_max(o_custkey, o_orderkey) AS latest_cust
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    covers="argmin/argmax aggregates (max_by / min_by) with deterministic tie-break",
+    tags=("analytics",),
+)
+def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ord_key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", ord_key).alias("priciest_order"),
+            F.min_by("o_orderkey", ord_key).alias("cheapest_order"),
+            F.max_by("o_custkey", "o_orderkey").alias("latest_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "x38_fuzzy_name_pairs",
+    # Fuzzy matching inside a blocking key: the grouped self-join keeps
+    # the comparison count at sum(group^2) instead of n^2 — at 100 TB
+    # the blocking column is the thing to get right, not the distance
+    # function. levenshtein has identical semantics in both engines.
+    oracle="""
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a
+        JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+        ORDER BY key_a, key_b
+    """,
+    covers="fuzzy string matching (levenshtein) with brand blocking",
+    tags=("analytics",),
+)
+def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist")
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "x39_embedding_array_ops",
+    # Higher-order array functions over the embeddings table: fold
+    # (sum of squares -> L2 norm), filter (positive-component count),
+    # and element max. Elements are cast to DOUBLE before the fold so
+    # both engines accumulate left-to-right in DOUBLE.
+    oracle="""
+        SELECT vec_id,
+               CAST(ROUND(SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(14,4)) AS l2_norm,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+               CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS DECIMAL(14,4)) AS max_comp
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    covers="higher-order array functions: aggregate/filter/array_max on embeddings",
+    tags=("analytics",),
+)
+def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 4).cast("decimal(14,4)").alias("l2_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 4)
+        .cast("decimal(14,4)")
+        .alias("max_comp"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "x40_grouping_sets",
+    # Arbitrary GROUPING SETS (not expressible as one rollup/cube):
+    # per-flag totals, per-status totals, and the grand total, with a
+    # GROUPING() id distinguishing real NULLs from subtotal rows.
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    covers="GROUPING SETS beyond rollup/cube + GROUPING() disambiguation",
+    tags=("analytics",),
+)
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("x40_lineitem")
+    return lineitem.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        FROM x40_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
