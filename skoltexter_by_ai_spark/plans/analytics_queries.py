@@ -160,19 +160,28 @@ def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    # Only ~25 distinct brands: a shuffle join would leave at most 25
+    # (AQE-coalesced, likely fewer) tasks carrying the quadratic
+    # comparison work. Broadcasting the build side and hash-spreading
+    # the probe side keeps every core busy regardless of blocking-key
+    # cardinality. The length prefilter is semantics-preserving
+    # (levenshtein >= |len_a - len_b|) and skips the O(m*n) DP for
+    # most candidate pairs.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
-    )
+    ).repartition(shuffle_n, "key_a")
     b = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
     )
     return (
-        a.join(b, "brand")
+        a.join(F.broadcast(b), "brand")
         .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 3)
         .select(
             "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist")
         )
