@@ -143,3 +143,35 @@ def hash_split(
 def prefix_key(col: Column | str, n_tokens: int = 3) -> Column:
     """Normalized first-``n_tokens`` key — cheap clustering/dedup key."""
     return F.concat_ws(" ", F.slice(tokens(normalized_text(col)), 1, n_tokens))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are distinct (1.0 = no repetition).
+
+    A Gopher-style repetition signal: heavily templated or
+    keyword-stuffed documents score low. Empty text -> 0.0.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_share(col: Column | str) -> Column:
+    """Share of the document occupied by its most frequent token.
+
+    The classic "top n-gram fraction" repetition filter at n=1:
+    ``max_t count(t) / n_tokens``. Computed with higher-order
+    functions (distinct tokens -> per-token occurrence count -> max),
+    so it stays a narrow codegen'd projection; per-document work is
+    O(distinct * total) on short-ish documents. Empty text -> 0.0.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda x: x == d))
+    )
+    return F.when(
+        n > 0, F.array_max(counts).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))

@@ -256,3 +256,84 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "x41_sequence_packing",
+    # Concatenate-and-chunk packing for LLM context windows: per
+    # source shard, documents laid end to end in doc_id order and cut
+    # every 512 tokens. The oracle is the same ordered running total.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS chunk_id,
+               CAST(cum_before % 512 AS BIGINT) AS chunk_offset
+        FROM c
+        ORDER BY doc_id
+    """,
+    covers="sequence packing: per-shard ordered running total -> context-window chunk assignment",
+    tags=("analytics", "training"),
+)
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", "text", context_len=512, shard_col="source"
+    ).orderBy("doc_id")
+
+
+@register(
+    "x42_repetition_stats",
+    # Gopher-style repetition filters: distinct-token ratio and the
+    # share of the most frequent token, both as narrow higher-order
+    # projections (no shuffle, no UDF).
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS DECIMAL(10,6)) AS distinct_ratio,
+               CAST(ROUND(list_max(list_transform(list_distinct(toks),
+                        d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks), 6)
+                    AS DECIMAL(10,6)) AS top_token_share
+        FROM t
+        WHERE len(toks) > 0
+        ORDER BY doc_id
+    """,
+    covers="repetition filters: distinct-token ratio + top-token share (Gopher-style)",
+    tags=("analytics", "training"),
+)
+def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        distinct_token_ratio,
+        token_count,
+        top_token_share,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(token_count("text") > 0)
+        .select(
+            "doc_id",
+            F.round(distinct_token_ratio("text"), 6)
+            .cast("decimal(10,6)")
+            .alias("distinct_ratio"),
+            F.round(top_token_share("text"), 6)
+            .cast("decimal(10,6)")
+            .alias("top_token_share"),
+        )
+        .orderBy("doc_id")
+    )

@@ -130,3 +130,79 @@ def test_compile_template_no_survey_data_sentinel(spark):
     tpl = "{SurveySchoolYear}"
     out = df.select(compile_template(tpl, df.columns).alias("doc")).collect()[0].doc
     assert out == "[Data Saknas]"
+
+
+# --- sequence packing ---------------------------------------------------------
+
+
+def test_pack_sequences_chunks_and_offsets(spark):
+    from skoltexter_by_ai_spark.operators.packing import pack_sequences
+
+    # Tokens per doc: 3, 4, 2, 5 -> cumulative-before 0, 3, 7, 9.
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b"), (4, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(df, "doc_id", "text", context_len=4).collect()
+    }
+    assert (rows[1].chunk_id, rows[1].chunk_offset) == (0, 0)
+    assert (rows[2].chunk_id, rows[2].chunk_offset) == (0, 3)
+    assert (rows[3].chunk_id, rows[3].chunk_offset) == (1, 3)
+    assert (rows[4].chunk_id, rows[4].chunk_offset) == (2, 1)
+    assert [rows[i].n_tokens for i in (1, 2, 3, 4)] == [3, 4, 2, 5]
+
+
+def test_pack_sequences_shards_pack_independently(spark):
+    from skoltexter_by_ai_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s2"), (3, "f g", "s1"), (4, "h", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df, "doc_id", "text", context_len=3, shard_col="source"
+        ).collect()
+    }
+    # s1: doc1 (3 tokens) fills chunk 0; doc3 starts chunk 1 at offset 0.
+    assert (rows[1].chunk_id, rows[1].chunk_offset) == (0, 0)
+    assert (rows[3].chunk_id, rows[3].chunk_offset) == (1, 0)
+    # s2 packs from zero independently of s1.
+    assert (rows[2].chunk_id, rows[2].chunk_offset) == (0, 0)
+    assert (rows[4].chunk_id, rows[4].chunk_offset) == (0, 2)
+
+
+def test_pack_sequences_empty_doc_consumes_nothing(spark):
+    from skoltexter_by_ai_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "   "), (3, "c d")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(df, "doc_id", "text", context_len=8).collect()
+    }
+    assert rows[2].n_tokens == 0
+    assert (rows[2].chunk_id, rows[2].chunk_offset) == (0, 2)
+    assert (rows[3].chunk_id, rows[3].chunk_offset) == (0, 2)
+
+
+# --- repetition stats ---------------------------------------------------------
+
+
+def test_repetition_stats_values(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        distinct_token_ratio,
+        top_token_share,
+    )
+
+    df = spark.createDataFrame([("a a a b",), ("",), ("x y z",)], ["text"])
+    rows = df.select(
+        distinct_token_ratio("text").alias("dr"), top_token_share("text").alias("ts")
+    ).collect()
+    assert (rows[0].dr, rows[0].ts) == (0.5, 0.75)
+    assert (rows[1].dr, rows[1].ts) == (0.0, 0.0)
+    assert (rows[2].dr, rows[2].ts) == (1.0, 1.0 / 3)
