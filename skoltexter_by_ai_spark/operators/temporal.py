@@ -138,3 +138,84 @@ def range_join(
         )
         .drop("__us", "__bucket", "__probe", "__on_r", "__us_r", "__bucket_r")
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins keyed merge (CDC upsert) of two same-schema frames.
+
+    For each key, keep the row with the highest ``version_col``; a
+    base row survives only when no update outranks it, and an exact
+    version tie resolves to the update side (deterministic). One
+    shuffle on the key — the declarative MERGE INTO that a mutable
+    warehouse table would do, rerun-safe because the whole output is
+    recomputed from inputs (same posture as the reference's
+    idempotent re-run, SURVEY §2.2 X9).
+    """
+    if set(base.columns) != set(updates.columns):
+        raise ValueError("base and updates must share a schema")
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_cols: list[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize a sparse per-key time series and forward-fill values.
+
+    Builds each key's complete grid from its min to max observed
+    ``time_col`` at ``step`` spacing (``sequence`` + ``explode`` — the
+    grid is generated distributed, never on the driver), left-joins
+    the observations back, and carries ``value_cols`` forward with
+    ``last(ignorenulls=True)`` over an ordered per-key window.
+    Emitted rows carry ``__observed = false`` where the grid point had
+    no source row.
+
+    Scale: one aggregation for the bounds, one equi-shuffle for the
+    join, one per-key window — all on the (small) per-bucket series,
+    not raw events. Grid density is bounded per key by its own span,
+    so a short-lived key never pays for the corpus' full time range.
+    """
+    kc, tc = F.col(key_col), F.col(time_col)
+    bounds = df.groupBy(kc.alias(key_col)).agg(
+        F.min(tc).alias("__mn"), F.max(tc).alias("__mx")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr(f"interval {step}"))
+        ).alias(time_col),
+    )
+    marked = df.withColumn("__obs", F.lit(True))
+    joined = grid.join(marked, [key_col, time_col], "left").withColumn(
+        "__observed", F.coalesce(F.col("__obs"), F.lit(False))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.select(
+        key_col,
+        time_col,
+        "__observed",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled

@@ -337,3 +337,100 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x43_merge_upsert",
+    # CDC-style latest-wins merge: customer balances upserted with the
+    # price of each customer's latest order (version = orderkey; base
+    # rows carry version 0). The oracle is the same union + window.
+    oracle="""
+        WITH unioned AS (
+            SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS balance,
+                   CAST(0 AS BIGINT) AS version, 0 AS src
+            FROM customer
+            UNION ALL
+            SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey, 1
+            FROM orders
+        ), ranked AS (
+            SELECT key, balance, version,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                                      ORDER BY version DESC, src DESC) AS rn
+            FROM unioned
+        )
+        SELECT key, balance, version FROM ranked WHERE rn = 1 ORDER BY key
+    """,
+    covers="keyed upsert / MERGE latest-wins (CDC merge as recomputed view)",
+    tags=("analytics", "temporal"),
+)
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.temporal import merge_upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = customer.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("balance"),
+        F.lit(0).cast("bigint").alias("version"),
+    )
+    updates = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("balance"),
+        F.col("o_orderkey").alias("version"),
+    )
+    return merge_upsert(base, updates, ["key"], "version").orderBy("key")
+
+
+@register(
+    "x44_gap_fill_forward",
+    # Sparse hourly per-user series regularized to a dense grid with
+    # forward fill — resampling for feature/training pipelines. The
+    # per-key grid is generated distributed (sequence + explode), so
+    # no driver-side calendar materialization at scale.
+    oracle="""
+        WITH s AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS hourly_value
+            FROM events WHERE user_id < 20
+            GROUP BY 1, 2
+        ), b AS (
+            SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM s GROUP BY 1
+        ), g AS (
+            SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+            FROM b
+        )
+        SELECT g.user_id,
+               epoch_ns(g.h) // 1000000000 AS hour_start,
+               s.h IS NOT NULL AS observed,
+               last_value(s.hourly_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM g LEFT JOIN s ON g.user_id = s.user_id AND g.h = s.h
+        ORDER BY g.user_id, hour_start
+    """,
+    covers="time-series gap fill + forward fill (resampling to a dense grid)",
+    tags=("analytics", "temporal"),
+)
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.temporal import gap_fill_forward
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("user_id") < 20)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("hourly_value")
+        )
+    )
+    filled = gap_fill_forward(
+        hourly, "user_id", "h", ["hourly_value"], step="1 hour"
+    )
+    return filled.select(
+        "user_id",
+        F.unix_timestamp("h").alias("hour_start"),
+        F.col("__observed").alias("observed"),
+        F.col("hourly_value").alias("filled_value"),
+    ).orderBy("user_id", "hour_start")

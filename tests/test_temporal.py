@@ -85,3 +85,69 @@ def test_range_join_matches_naive_theta_join(spark):
         .collect()
     }
     assert fast == naive
+
+
+# --- merge upsert -------------------------------------------------------------
+
+
+def test_merge_upsert_latest_wins(spark):
+    from skoltexter_by_ai_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "old", 0), (2, "keep", 0)], ["key", "val", "version"]
+    )
+    updates = spark.createDataFrame(
+        [(1, "v1", 5), (1, "v2", 9), (3, "new", 2)], ["key", "val", "version"]
+    )
+    rows = {
+        r.key: r for r in merge_upsert(base, updates, ["key"], "version").collect()
+    }
+    assert rows[1].val == "v2" and rows[1].version == 9
+    assert rows[2].val == "keep"
+    assert rows[3].val == "new"
+
+
+def test_merge_upsert_version_tie_prefers_update(spark):
+    from skoltexter_by_ai_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame([(1, "base", 7)], ["key", "val", "version"])
+    updates = spark.createDataFrame([(1, "update", 7)], ["key", "val", "version"])
+    [row] = merge_upsert(base, updates, ["key"], "version").collect()
+    assert row.val == "update"
+
+
+def test_merge_upsert_schema_mismatch_raises(spark):
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.temporal import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], ["key", "val"])
+    updates = spark.createDataFrame([(1, 2)], ["key", "other"])
+    with pytest.raises(ValueError):
+        merge_upsert(base, updates, ["key"], "val")
+
+
+# --- gap fill -----------------------------------------------------------------
+
+
+def test_gap_fill_forward_fills_holes(spark):
+    import datetime as dt
+
+    from skoltexter_by_ai_spark.operators.temporal import gap_fill_forward
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    df = spark.createDataFrame(
+        [
+            ("u1", t0, 10.0),
+            ("u1", dt.datetime(2024, 1, 1, 3), 40.0),
+            ("u2", t0, 7.0),
+        ],
+        ["key", "h", "v"],
+    )
+    out = gap_fill_forward(df, "key", "h", ["v"], step="1 hour").collect()
+    u1 = sorted([r for r in out if r.key == "u1"], key=lambda r: r.h)
+    assert [r.h.hour for r in u1] == [0, 1, 2, 3]
+    assert [r.v for r in u1] == [10.0, 10.0, 10.0, 40.0]
+    assert [r["__observed"] for r in u1] == [True, False, False, True]
+    # u2 has a single point -> single-row grid, no invented hours.
+    assert len([r for r in out if r.key == "u2"]) == 1
