@@ -323,7 +323,12 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_token_share,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from skoltexter_by_ai_spark.operators.dedup import _spread
+
+    # documents.parquet arrives as one split at test SFs; the
+    # top-token-share fold is the CPU-heavy stage, so spread it across
+    # cores first (no-op when the scan already has enough splits).
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.filter(token_count("text") > 0)
         .select(

@@ -313,8 +313,10 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality_score is a regex-heavy narrow projection; spread the
+    # single-split test-SF scan so it runs on every core.
     return (
-        load_table(spark, sf_dir, "documents")
+        dedup._spread(load_table(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", text_analysis.quality_score("text").alias("quality"))
         .orderBy("doc_id")
     )
@@ -474,8 +476,9 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("json",),
 )
 def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Parallelize the JSON parse, not just the final sort.
     return (
-        load_table(spark, sf_dir, "events")
+        dedup._spread(load_table(spark, sf_dir, "events"), "event_id")
         .select("event_id", F.get_json_object("props", "$.k").alias("k"))
         .orderBy("event_id")
     )
