@@ -306,3 +306,24 @@ def run_to_parquet(
         writer = writer.partitionBy(*partition_by)
     query = writer.start()
     query.awaitTermination()
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension.
+
+    The static side is planned per micro-batch, so the join is
+    stateless — no watermark, no state store, and a ``left`` join
+    never drops stream rows. With ``broadcast_dim`` (default) the
+    dimension ships to executors once per batch instead of shuffling
+    the stream: the right shape for the classic fact-stream ×
+    dimension-table enrichment. Works identically on batch frames, so
+    tests can assert stream == batch on the same inputs.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

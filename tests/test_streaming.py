@@ -138,3 +138,40 @@ def test_parquet_sink_exactly_once_across_restart(spark, events_dir, tmp_path):
 
     batch_distinct = load_table(spark, SF, "events").select("event_id").distinct().count()
     assert first == batch_distinct
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path):
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(200)], ["user_id", "tier"]
+    )
+    stream = streaming.read_events_stream(spark, events_dir)
+    out = streaming.run_to_memory(
+        streaming.enrich_with_dimension(stream, dim, "user_id").select(
+            "event_id", "user_id", "tier"
+        ),
+        "t_enrich",
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    batch = streaming.enrich_with_dimension(
+        load_table(spark, SF, "events"), dim, "user_id"
+    ).select("event_id", "user_id", "tier")
+    assert _rows(out, "event_id") == _rows(batch, "event_id")
+
+
+def test_stream_static_left_join_keeps_unmatched(spark, events_dir, tmp_path):
+    # A dimension that misses most users: left semantics must keep
+    # every stream row with NULL enrichment, never drop it.
+    dim = spark.createDataFrame([(0, "only-user-0")], ["user_id", "tag"])
+    stream = streaming.read_events_stream(spark, events_dir)
+    out = streaming.run_to_memory(
+        streaming.enrich_with_dimension(stream, dim, "user_id").select(
+            "event_id", "tag"
+        ),
+        "t_enrich_left",
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    total = load_table(spark, SF, "events").count()
+    assert out.count() == total
+    assert out.filter(F.col("tag").isNull()).count() > 0
