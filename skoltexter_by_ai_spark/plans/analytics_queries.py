@@ -439,3 +439,77 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__observed").alias("observed"),
         F.col("hourly_value").alias("filled_value"),
     ).orderBy("user_id", "hour_start")
+
+
+@register(
+    "x45_posexplode_tokens",
+    # Lateral explode with ordinality: one output row per (doc, token
+    # position). DuckDB zips parallel unnests; Spark uses posexplode.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+               unnest(toks) AS token
+        FROM t
+        ORDER BY doc_id, pos
+    """,
+    covers="lateral explode with ordinality (posexplode)",
+    tags=("analytics", "text"),
+)
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "x46_range_frame_window",
+    # Time-based RANGE frame: per user, events and value inside the
+    # trailing hour. RANGE (unlike ROWS) includes tied peers, so the
+    # result is deterministic even with duplicate timestamps; both
+    # engines order by epoch seconds with a numeric 3600 bound.
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   epoch_ns(ts) // 1000000000 AS sec,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM events WHERE user_id < 20
+        )
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(SUM(v) OVER w AS DECIMAL(18,2)) AS value_last_hour
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    covers="RANGE-frame sliding window (trailing-hour aggregates per key)",
+    tags=("analytics", "temporal"),
+)
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.sum("v").over(w).cast("decimal(18,2)").alias("value_last_hour"),
+    ).orderBy("event_id")
