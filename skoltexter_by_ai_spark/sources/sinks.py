@@ -82,3 +82,63 @@ def compact_parquet(
     out = df.repartitionByRange(n, order_col) if order_col else df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
     return n
+
+
+# Formats Spark ships without extra packages. Avro needs the external
+# spark-avro package, so it is deliberately absent.
+DATASET_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Format-agnostic dataset writer over Spark's built-in sources.
+
+    One code path for parquet/ORC (columnar, splittable — the scale
+    formats) and JSON/CSV (interchange). CSV defaults to a header row;
+    both text formats stay gzip-free by default so files remain
+    splittable — compression is an explicit option because a gzipped
+    CSV caps scan parallelism at one task per file.
+    """
+    if fmt not in DATASET_FORMATS:
+        raise ValueError(f"fmt must be one of {DATASET_FORMATS}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def read_dataset(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-agnostic reader matching :func:`write_dataset`.
+
+    For JSON/CSV pass an explicit ``schema`` (DDL string) in
+    production: schema inference reads the data twice and can drift
+    between runs — acceptable only in exploration.
+    """
+    if fmt not in DATASET_FORMATS:
+        raise ValueError(f"fmt must be one of {DATASET_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

@@ -115,3 +115,44 @@ def test_compact_parquet_range_clusters_on_order_col(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "range partitions overlap - no min/max skipping benefit"
     assert spark.read.parquet(dst).count() == events.count()
+
+
+def test_dataset_roundtrip_all_formats(spark, tmp_path):
+    from skoltexter_by_ai_spark.sources.sinks import (
+        DATASET_FORMATS,
+        read_dataset,
+        write_dataset,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.25)], ["id", "s", "v"]
+    )
+    expected = sorted([tuple(r) for r in df.collect()])
+    for fmt in DATASET_FORMATS:
+        path = str(tmp_path / f"ds_{fmt}")
+        write_dataset(df, path, fmt=fmt)
+        back = read_dataset(
+            spark, path, fmt=fmt, schema="id BIGINT, s STRING, v DOUBLE"
+        )
+        assert sorted([tuple(r) for r in back.select("id", "s", "v").collect()]) == expected
+
+
+def test_dataset_partitioned_orc_prunes(spark, tmp_path):
+    from skoltexter_by_ai_spark.sources.sinks import read_dataset, write_dataset
+
+    df = spark.range(100).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    path = str(tmp_path / "orc_part")
+    write_dataset(df, path, fmt="orc", partition_cols=["bucket"])
+    back = read_dataset(spark, path, fmt="orc").filter(F.col("bucket") == 2)
+    assert back.count() == 25
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_dataset_rejects_unknown_format(spark, tmp_path):
+    import pytest
+
+    from skoltexter_by_ai_spark.sources.sinks import write_dataset
+
+    with pytest.raises(ValueError):
+        write_dataset(spark.range(1), str(tmp_path / "x"), fmt="avro")
