@@ -513,3 +513,75 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
         F.sum("v").over(w).cast("decimal(18,2)").alias("value_last_hour"),
     ).orderBy("event_id")
+
+
+@register(
+    "x47_ranking_suite",
+    # The ranking window functions x23 leaves out. Ordering includes
+    # the unique key so ranks are deterministic under value ties.
+    oracle="""
+        SELECT s_suppkey,
+               s_nationkey,
+               CAST(DENSE_RANK() OVER w AS INT) AS drank,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(10,6)) AS prank,
+               CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(10,6)) AS cdist
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        ORDER BY s_suppkey
+    """,
+    covers="ranking windows: dense_rank / ntile / percent_rank / cume_dist",
+    tags=("analytics", "olap"),
+)
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("decimal(10,6)").alias("prank"),
+        F.round(F.cume_dist().over(w), 6).cast("decimal(10,6)").alias("cdist"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "x48_string_suite",
+    # The scalar string functions not already exercised by q04/q05/
+    # q21/q22: translate, split_part, lpad/rpad, left/right, reverse,
+    # repeat, strpos, replace. (initcap is absent from DuckDB, so it
+    # stays unit-test-only.)
+    oracle="""
+        SELECT c_custkey,
+               translate(c_name, 'Cust', 'Kund') AS t,
+               split_part(c_name, '#', 2) AS num_part,
+               lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS padded,
+               left(c_mktsegment, 3) AS seg3,
+               right(c_name, 4) AS name_tail,
+               reverse(c_mktsegment) AS rev,
+               repeat('*', CAST(c_nationkey % 4 AS INT)) AS stars,
+               CAST(strpos(c_mktsegment, 'a') AS BIGINT) AS first_a,
+               replace(c_name, '#', '.') AS dotted
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    covers="scalar string suite: translate/split_part/pad/left/right/reverse/repeat/strpos/replace",
+    tags=("analytics", "text"),
+)
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.translate("c_name", "Cust", "Kund").alias("t"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("num_part"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("padded"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.substring(F.col("c_name"), -4, 4).alias("name_tail"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
+        F.locate("a", F.col("c_mktsegment")).cast("bigint").alias("first_a"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit(".")).alias("dotted"),
+    ).orderBy("c_custkey")

@@ -116,3 +116,41 @@ def test_point_lookup_pushes_key_filter(spark):
     plan = _plan(_build(spark, "q10_point_lookup"))
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "EqualTo(c_custkey,42)" in m.group(1), plan
+
+
+def test_fuzzy_pairs_broadcasts_build_side(spark):
+    # x38: low-cardinality blocking key — the quadratic comparison
+    # must ride a broadcast join (every core busy), not a 25-key
+    # shuffle join.
+    plan = _plan(_build(spark, "x38_fuzzy_name_pairs"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_fingerprint_is_shuffle_free(spark):
+    from skoltexter_by_ai_spark.operators.dedup import simhash64
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(simhash64(docs, "doc_id", "text"))
+    # _spread may fire on the single-split test file; beyond that the
+    # fingerprint itself must add no exchange (scan -> project only).
+    assert plan.count("Exchange") <= 1, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_sequence_packing_single_shuffle_per_shard_window(spark):
+    from skoltexter_by_ai_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(pack_sequences(docs, "doc_id", "text", 512, shard_col="source"))
+    # One hash-partitioning exchange for the per-shard window; a
+    # global-sort plan (RangePartitioning) would serialize at scale.
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_gap_fill_grid_is_distributed(spark):
+    # The time grid must come from sequence/explode (Generate in the
+    # plan), never a driver-side calendar union.
+    plan = _plan(_build(spark, "x44_gap_fill_forward"))
+    assert "Generate" in plan and "explode" in plan, plan
