@@ -585,3 +585,164 @@ def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.locate("a", F.col("c_mktsegment")).cast("bigint").alias("first_a"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit(".")).alias("dotted"),
     ).orderBy("c_custkey")
+
+
+# Decimal-exact revenue term: DECIMAL*(1-DECIMAL) multiplies exactly,
+# so both engines sum identical values in any order.
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _floor_div(num: F.Column, den: F.Column) -> F.Column:
+    """Exact BIGINT floor division for non-negative operands."""
+    return ((num - num % den) / den).cast("bigint")
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+@register(
+    "x49_pricing_summary",
+    # TPC-H Q1 shape on the fixture schema: the canonical scan-heavy
+    # multi-aggregate rollup. Partial aggregation collapses 60k rows
+    # to 6 groups map-side; the exchange moves 6 rows per partition.
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(SUM({_REV}) AS DECIMAL(24,4)) AS sum_disc_price,
+               CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(30,6)) AS sum_charge,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_qty_cents,
+               CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_disc_cents,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    covers="TPC-H Q1 pricing summary: multi-aggregate rollup with decimal-exact terms",
+    tags=("analytics", "tpch"),
+)
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    rev = _rev_col()
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_base_price"),
+            F.sum(rev).cast("decimal(24,4)").alias("sum_disc_price"),
+            F.sum(rev * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)")))
+            .cast("decimal(30,6)")
+            .alias("sum_charge"),
+            # Floor-divided integer cents: exact and engine-neutral,
+            # where decimal AVG would hit halfway-rounding drift.
+            # (sum - sum % n) / n keeps every step in exact integer
+            # arithmetic; a bare sum/n would round through a double.
+            _floor_div(
+                F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")), F.count("*")
+            ).alias("avg_qty_cents"),
+            _floor_div(
+                F.sum(F.round(F.col("l_discount") * 100).cast("bigint")), F.count("*")
+            ).alias("avg_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "x50_shipping_priority",
+    # TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    # revenue per order, top 10. The customer side broadcasts; the
+    # orders⋈lineitem join shuffles on orderkey — the natural
+    # co-partitioning key both tables should be bucketed on at scale.
+    oracle=f"""
+        SELECT l_orderkey,
+               CAST(SUM({_REV}) AS DECIMAL(24,4)) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    covers="TPC-H Q3 shipping priority: selective 3-way join + top-k by aggregate",
+    tags=("analytics", "tpch"),
+)
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "x51_local_supplier_volume",
+    # TPC-H Q5 shape: region → nation → supplier dimensions broadcast
+    # down onto the lineitem ⋈ orders fact join; revenue rolled up per
+    # nation.
+    oracle=f"""
+        SELECT n_name,
+               CAST(SUM({_REV}) AS DECIMAL(24,4)) AS revenue
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN supplier ON s_nationkey = n_nationkey
+        JOIN lineitem ON l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    covers="TPC-H Q5 local supplier volume: dimension-broadcast star join + rollup",
+    tags=("analytics", "tpch"),
+)
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
