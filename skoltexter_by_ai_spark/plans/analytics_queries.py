@@ -746,3 +746,37 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "x52_correlated_scalar_subquery",
+    # Customers above their own nation's average balance. Catalyst
+    # decorrelates the per-row subquery into an aggregate + join
+    # (RewriteCorrelatedScalarSubquery) — the Spark builder writes
+    # that target plan directly: per-nation averages as a broadcast
+    # side, which is the shape that scales.
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT AVG(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        ORDER BY c_custkey
+    """,
+    covers="correlated scalar subquery (per-group aggregate predicate, decorrelated)",
+    tags=("analytics", "olap"),
+)
+def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation_avg = customer.groupBy(F.col("c_nationkey").alias("__nk")).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        customer.join(
+            F.broadcast(nation_avg), customer.c_nationkey == F.col("__nk")
+        )
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )

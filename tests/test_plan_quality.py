@@ -154,3 +154,17 @@ def test_gap_fill_grid_is_distributed(spark):
     # plan), never a driver-side calendar union.
     plan = _plan(_build(spark, "x44_gap_fill_forward"))
     assert "Generate" in plan and "explode" in plan, plan
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    # x51: region/nation/supplier must ride broadcast joins; only the
+    # lineitem ⋈ orders fact join may shuffle.
+    plan = _plan(_build(spark, "x51_local_supplier_volume"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_correlated_scalar_subquery_broadcasts_aggregate(spark):
+    plan = _plan(_build(spark, "x52_correlated_scalar_subquery"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
