@@ -206,3 +206,59 @@ def test_repetition_stats_values(spark):
     assert (rows[0].dr, rows[0].ts) == (0.5, 0.75)
     assert (rows[1].dr, rows[1].ts) == (0.0, 0.0)
     assert (rows[2].dr, rows[2].ts) == (1.0, 1.0 / 3)
+
+
+def test_pack_sequences_invariants_random(spark):
+    """Property sweep: offsets stay inside the window, chunk ids match
+    the running total, and packing is dense (no skipped space)."""
+    import random
+
+    rng = random.Random(7)
+    words = ["tok"] * 1  # content irrelevant; only counts matter
+    rows = [
+        (i, " ".join(words * rng.randint(0, 9)) if rng.random() > 0.1 else "",
+         f"s{rng.randint(0, 2)}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    from skoltexter_by_ai_spark.operators.packing import pack_sequences
+
+    ctx = 7
+    out = sorted(
+        pack_sequences(df, "doc_id", "text", ctx, shard_col="source").collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    by_shard: dict[str, int] = {}
+    for r in out:
+        assert 0 <= r.chunk_offset < ctx
+        cum = by_shard.get(r.source, 0)
+        assert r.chunk_id == cum // ctx
+        assert r.chunk_offset == cum % ctx
+        by_shard[r.source] = cum + r.n_tokens
+
+
+def test_simhash_max_tokens_cap(spark):
+    from skoltexter_by_ai_spark.operators.dedup import simhash64
+
+    long_text = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, " ".join(long_text.split()[:100]))],
+        ["doc_id", "text"],
+    )
+    capped = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "text", max_tokens=100).collect()}
+    # Doc 1 capped to its first 100 tokens == doc 2's full text.
+    assert capped[1] == capped[2]
+    full = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    assert full[1] != capped[1]  # the cap actually changed the input set
+
+
+def test_simhash_max_tokens_validation(spark):
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.dedup import SIMHASH_MAX_TOKENS, simhash64
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        simhash64(df, "doc_id", "text", max_tokens=0)
+    with pytest.raises(ValueError):
+        simhash64(df, "doc_id", "text", max_tokens=SIMHASH_MAX_TOKENS + 1)
