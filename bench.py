@@ -26,13 +26,30 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
+    """Size shuffle partitions to the data, the way a production job
+    would (≈4 MB of input per partition), clamped to [8, 3×cores].
+    At bench scale a fixed cores-wide setting leaves every shuffle
+    task with a few thousand rows — pure scheduling overhead; at real
+    scale the same formula grows the count instead."""
+    total = 0
+    for name in os.listdir(sf_dir):
+        p = os.path.join(sf_dir, name)
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+    return max(8, min(3 * cpus, total // (4 * 1024 * 1024) or 8))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from skoltexter_by_ai_spark.plans.registry import all_queries
-    from skoltexter_by_ai_spark.session import get_spark
+    from skoltexter_by_ai_spark.session import default_parallelism, get_spark
 
-    spark = get_spark(app_name="skoltexter-bench")
+    spark = get_spark(
+        app_name="skoltexter-bench",
+        shuffle_partitions=_shuffle_partitions_for(sf_dir, default_parallelism()),
+    )
 
     # Warm up JVM + parquet footer caches with a trivial job.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
