@@ -1,0 +1,393 @@
+"""TPC-H-shaped declared queries, round 2: the remaining canonical
+plan shapes the analytics suite (x49–x52) did not cover —
+correlated EXISTS with a non-equi condition (Q4), a fact⋈fact⋈dim
+revenue report (Q10), a two-level aggregation over a left join
+(Q13), an exact-integer ratio metric (Q14), a HAVING-subquery
+semi-join (Q18), a scalar-max filter over a grouped aggregate
+(Q15), and a disjunctive multi-column predicate join (Q19) — plus a
+PII-redaction pass over synthesized contact strings (the text-
+pipeline operator, expressed as pure regexp so it is oracle-
+checkable).
+
+All ratio/average metrics use exact integer or decimal arithmetic
+(see ``_floor_div``): cross-engine double summation is order-
+dependent and would break the value hash.
+
+Reference parity: the reference has no analytics surface (SURVEY.md
+§2.2 — its joins are key lookups, `src/program3_generate_website.py:262-287`);
+these queries are the §2.4 "100 TB posture" extension exercising the
+join/agg strategies Catalyst must pick well at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.plans.analytics_queries import _REV, _floor_div, _rev_col
+from skoltexter_by_ai_spark.plans.registry import register
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+
+@register(
+    "x53_exists_inequality_join",
+    # TPC-H Q4 shape: EXISTS with an extra non-equi condition
+    # (l_shipdate > o_orderdate). Catalyst rewrites the subquery to a
+    # left-semi join with a composite condition; the semi join
+    # short-circuits per probe row, so the lineitem side is never
+    # materialized per match — the shape that matters at 100 TB where
+    # lineitem is the biggest fact.
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    covers="TPC-H Q4: EXISTS with non-equi correlation -> semi join + agg",
+    tags=("analytics", "tpch"),
+)
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "x54_returned_item_report",
+    # TPC-H Q10 shape: revenue lost to returned items per customer.
+    # lineitem⋈orders shuffles on orderkey; the result re-shuffles on
+    # custkey to meet customer (fact⋈fact at scale — NOT broadcast);
+    # nation broadcasts onto the output. Top-20 by revenue.
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               CAST(SUM({_REV}) AS DECIMAL(24,4)) AS revenue,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    covers="TPC-H Q10: returned-item revenue, fact-fact join + dim broadcast + top-k",
+    tags=("analytics", "tpch"),
+)
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "x55_customer_order_distribution",
+    # TPC-H Q13 shape: histogram of customers by order count. The
+    # left join keeps zero-order customers (c_count = 0 bucket); the
+    # join condition carries an extra filter on the RIGHT side only —
+    # a left-join pushdown case Catalyst must NOT push to the left.
+    # Two aggregations: per-customer (shuffle on custkey), then the
+    # tiny histogram rollup.
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    covers="TPC-H Q13: left join w/ right-side-only predicate + double aggregation",
+    tags=("analytics", "tpch"),
+)
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "x56_promo_revenue_share",
+    # TPC-H Q14 shape: promo revenue share per month, in exact basis
+    # points. Revenue terms are exact DECIMALs scaled to BIGINT
+    # ten-thousandths before the ratio, so both engines compute the
+    # identical integer — a double ratio would hash-drift. part is a
+    # dimension: broadcast.
+    oracle=f"""
+        SELECT ym,
+               CAST((10000 * promo_scaled) // total_scaled AS BIGINT) AS promo_bps,
+               total_scaled
+        FROM (
+            SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 100
+                        + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ym,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN {_REV} * 10000 ELSE 0 END) AS BIGINT) AS promo_scaled,
+                   CAST(SUM({_REV} * 10000) AS BIGINT) AS total_scaled
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+            GROUP BY 1
+        )
+        ORDER BY ym
+    """,
+    covers="TPC-H Q14: conditional-ratio metric in exact integer arithmetic",
+    tags=("analytics", "tpch"),
+)
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev4 = _rev_col() * 10000  # integer-valued: scale(rev) == 4
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("ym")
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_scaled"),
+            F.sum(rev4).cast("bigint").alias("total_scaled"),
+        )
+    )
+    return monthly.select(
+        "ym",
+        _floor_div(F.lit(10000) * F.col("promo_scaled"), F.col("total_scaled")).alias(
+            "promo_bps"
+        ),
+        "total_scaled",
+    ).orderBy("ym")
+
+
+@register(
+    "x57_large_volume_orders",
+    # TPC-H Q18 shape: orders whose total quantity exceeds a
+    # threshold. The HAVING subquery becomes a semi join against the
+    # grouped aggregate — aggregate first (map-side partial combine
+    # collapses lineitem), THEN join; never join-then-filter. The
+    # threshold compare is on exact DECIMAL, not double.
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_orderkey
+    """,
+    covers="TPC-H Q18: HAVING-subquery semi join against grouped aggregate",
+    tags=("analytics", "tpch"),
+)
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select(F.col("l_orderkey").alias("__big_ok"))
+    )
+    return (
+        li.join(big, li.l_orderkey == F.col("__big_ok"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty_cents")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            "sum_qty_cents",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "x58_top_supplier",
+    # TPC-H Q15 shape: suppliers achieving the maximum revenue. The
+    # scalar MAX over the grouped aggregate is a 1-row broadcast
+    # cross join — never a global window (which would funnel every
+    # group through one partition).
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey, CAST(SUM({_REV}) AS DECIMAL(24,4)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    covers="TPC-H Q15: scalar-max filter over grouped aggregate (broadcast scalar)",
+    tags=("analytics", "tpch"),
+)
+def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("__max_rev"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "x59_disjunctive_predicate_join",
+    # TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    # extracts the common join key and pushes the per-side conjuncts
+    # below the join (p_brand/p_size prune part; l_quantity prunes
+    # lineitem) — the whole disjunction must NOT block pushdown.
+    oracle=f"""
+        SELECT p_brand, CAST(SUM({_REV}) AS DECIMAL(24,4)) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity < 25)
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    covers="TPC-H Q19: disjunctive multi-column predicate join",
+    tags=("analytics", "tpch"),
+)
+def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") < 25)
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "x60_pii_redaction",
+    # Text-pipeline PII scrub: emails and phone-shaped tokens ->
+    # placeholder tags. The contact string is synthesized from
+    # customer fields (the fixtures carry no real PII) so the regexes
+    # genuinely match; the whole pass is regexp_replace — JVM-side,
+    # codegen-friendly, no UDF. Patterns stick to syntax RE2 (DuckDB)
+    # and java.util.regex execute identically (no backrefs, no
+    # lookaround).
+    oracle="""
+        SELECT c_custkey,
+               REGEXP_REPLACE(
+                   REGEXP_REPLACE(
+                       'contact ' || REPLACE(LOWER(c_name), ' ', '.')
+                           || '@example.com or 555-' || CAST(1000 + c_custkey % 9000 AS VARCHAR),
+                       '[a-z0-9._#-]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+                   '\\d{3}-\\d{4}', '[PHONE]', 'g') AS redacted
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    covers="PII redaction: chained regexp_replace scrub (text pipeline)",
+    tags=("analytics", "text"),
+)
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("contact "),
+        F.regexp_replace(F.lower("c_name"), " ", "."),
+        F.lit("@example.com or 555-"),
+        (F.lit(1000) + F.col("c_custkey") % 9000).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, r"[a-z0-9._#-]+@[a-z0-9.-]+", "[EMAIL]"),
+        r"\d{3}-\d{4}",
+        "[PHONE]",
+    )
+    return customer.select("c_custkey", redacted.alias("redacted")).orderBy(
+        "c_custkey"
+    )
