@@ -172,20 +172,29 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
+        F.length("p_name").alias("len_a"),
     ).repartition(shuffle_n, "key_a")
     b = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("len_b"),
     )
+    # Lengths are computed once per input row (not once per joined
+    # pair), and the distance uses the banded threshold form —
+    # levenshtein(a, b, k) walks a (2k+1)-wide diagonal band and
+    # returns -1 when the distance exceeds k, instead of filling the
+    # full O(m*n) matrix only to discard the row.
     return (
         a.join(F.broadcast(b), "brand")
         .filter(F.col("key_a") < F.col("key_b"))
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 3)
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 3)
         .select(
-            "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("dist")
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b", 3).alias("dist"),
         )
-        .filter(F.col("dist") <= 3)
+        .filter(F.col("dist") >= 0)
         .orderBy("key_a", "key_b")
     )
 

@@ -219,10 +219,14 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x57_large_volume_orders",
     # TPC-H Q18 shape: orders whose total quantity exceeds a
-    # threshold. The HAVING subquery becomes a semi join against the
-    # grouped aggregate — aggregate first (map-side partial combine
-    # collapses lineitem), THEN join; never join-then-filter. The
-    # threshold compare is on exact DECIMAL, not double.
+    # threshold. The oracle spells the textbook IN-subquery; the
+    # Spark builder goes one step past the semi-join rewrite: since
+    # an order has exactly one customer, the outer per-order SUM
+    # equals the subquery's SUM, so ONE lineitem aggregation produces
+    # both the threshold and the output measure — one scan of the
+    # biggest fact instead of two, and the joins run on the filtered
+    # aggregate (few rows), never on raw lineitem. The threshold
+    # compare is on exact DECIMAL, not double.
     oracle="""
         SELECT c_custkey, c_name, o_orderkey, o_orderdate,
                CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
@@ -247,20 +251,17 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
-        .filter(F.col("__q") > 150)
-        .select(F.col("l_orderkey").alias("__big_ok"))
-    )
-    return (
-        li.join(big, li.l_orderkey == F.col("__big_ok"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"),
             F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
             .cast("bigint")
-            .alias("sum_qty_cents")
+            .alias("sum_qty_cents"),
         )
+        .filter(F.col("__q") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",

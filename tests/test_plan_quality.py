@@ -168,3 +168,65 @@ def test_correlated_scalar_subquery_broadcasts_aggregate(spark):
     plan = _plan(_build(spark, "x52_correlated_scalar_subquery"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_exists_inequality_plans_as_semi_join_with_pruned_probe(spark):
+    # x53 (TPC-H Q4 shape): the EXISTS must be a LeftSemi join, and
+    # the lineitem probe side must be pruned to exactly the join key
+    # + correlation column — at 100 TB reading any payload column on
+    # the biggest fact for an existence check is the bug.
+    plan = _plan(_build(spark, "x53_exists_inequality_join"))
+    assert "LeftSemi" in plan, plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_side = [s for s in m if "l_orderkey" in s]
+    assert li_side and all(
+        set(c.split(":")[0] for c in s.split(",")) == {"l_orderkey", "l_shipdate"}
+        for s in li_side
+    ), m
+
+
+def test_promo_share_broadcasts_part_and_combines_map_side(spark):
+    # x56 (Q14 shape): part is a dimension (broadcast, no shuffle of
+    # lineitem for the join); the monthly rollup must partial-agg.
+    plan = _plan(_build(spark, "x56_promo_revenue_share"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"(\w*HashAggregate)", plan)) >= 2, plan
+
+
+def test_large_volume_orders_scans_lineitem_once(spark):
+    # x57 (Q18 shape): the IN-subquery threshold and the output
+    # measure must come out of ONE lineitem aggregation — the naive
+    # semi-join rewrite scans and aggregates the biggest fact twice.
+    # The joins must run above that aggregate (few rows), with the
+    # partial combine below the exchange.
+    plan = _plan(_build(spark, "x57_large_volume_orders"))
+    assert plan.count("lineitem.parquet") == 1, plan
+    join_pos = plan.find("Join")
+    agg_positions = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    assert join_pos >= 0 and any(p > join_pos for p in agg_positions), (
+        f"no aggregate below the joins (plans print top-down):\n{plan}"
+    )
+    assert "partial_sum" in plan, plan
+
+
+def test_disjunctive_predicate_still_pushes_to_part_scan(spark):
+    # x59 (Q19 shape): the OR-of-ANDs must not block pushdown — the
+    # part-side conjuncts (brand/size) have to reach the part scan as
+    # an Or filter, and the dimension join must broadcast.
+    plan = _plan(_build(spark, "x59_disjunctive_predicate_join"))
+    assert "BroadcastHashJoin" in plan, plan
+    # The plan printer truncates long PushedFilters strings, so match
+    # the filter text itself rather than a bracketed capture.
+    assert "Or(And(EqualTo(p_brand,Brand#11)" in plan, plan
+    # Catalyst must also derive the quantity-only disjunction for the
+    # lineitem side (it can't evaluate p_brand there).
+    assert re.search(r"Or\(GreaterThanOrEqual\(l_quantity,10.0\),LessThan\(l_quantity,25.0\)\)", plan), plan
+
+
+def test_top_supplier_scalar_max_broadcasts(spark):
+    # x58 (Q15 shape): the 1-row MAX side must broadcast; a global
+    # window over all suppliers would funnel one partition.
+    plan = _plan(_build(spark, "x58_top_supplier"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
