@@ -7,8 +7,8 @@ SETS.
 
 Cross-engine gotchas handled here: DuckDB ``arg_max`` has no
 struct-valued ordering key, so deterministic tie-breaks use a
-collision-free BIGINT composite; float aggregates are rounded then
-cast to DECIMAL so the value hash is bit-stable; higher-order sums
+collision-free BIGINT composite; float aggregates are rounded (and exact decimal sums cast to DOUBLE
+at the output boundary) so the value hash is bit-stable; higher-order sums
 cast elements to DOUBLE *before* folding so both engines accumulate
 in the same precision and order.
 """
@@ -33,16 +33,16 @@ _MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     oracle="""
         SELECT l_orderkey, l_linenumber, measure, value FROM (
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
-                   CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_extendedprice',
-                   CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+                   CAST(l_extendedprice AS DOUBLE) FROM lineitem
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount',
-                   CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+                   CAST(l_discount AS DOUBLE) FROM lineitem
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_tax',
-                   CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+                   CAST(l_tax AS DOUBLE) FROM lineitem
         )
         WHERE l_orderkey <= 5000
         ORDER BY l_orderkey, l_linenumber, measure
@@ -55,7 +55,7 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = lineitem.select(
         "l_orderkey",
         "l_linenumber",
-        *[F.col(m).cast("decimal(18,2)").alias(m) for m in _MEASURES],
+        *[F.col(m).cast("double").alias(m) for m in _MEASURES],
     )
     return wide.unpivot(
         ["l_orderkey", "l_linenumber"], list(_MEASURES), "measure", "value"
@@ -71,10 +71,10 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(ROUND(CORR(l_quantity, l_extendedprice), 4) AS DECIMAL(10,4)) AS qty_price_corr,
-               CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DECIMAL(14,4)) AS qty_stddev,
-               CAST(ROUND(VAR_SAMP(l_discount), 4) AS DECIMAL(14,4)) AS disc_var,
-               CAST(ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS DECIMAL(14,4)) AS qty_disc_covar
+               ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stddev,
+               ROUND(VAR_SAMP(l_discount), 4) AS disc_var,
+               ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS qty_disc_covar
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -88,16 +88,10 @@ def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4)
-            .cast("decimal(10,4)")
-            .alias("qty_price_corr"),
-            F.round(F.stddev_samp("l_quantity"), 4)
-            .cast("decimal(14,4)")
-            .alias("qty_stddev"),
-            F.round(F.var_samp("l_discount"), 4).cast("decimal(14,4)").alias("disc_var"),
-            F.round(F.covar_samp("l_quantity", "l_discount"), 4)
-            .cast("decimal(14,4)")
-            .alias("qty_disc_covar"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(F.var_samp("l_discount"), 4).alias("disc_var"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
         )
         .orderBy("l_returnflag")
     )
@@ -160,33 +154,38 @@ def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    # Only ~25 distinct brands: a shuffle join would leave at most 25
-    # (AQE-coalesced, likely fewer) tasks carrying the quadratic
-    # comparison work. Broadcasting the build side and hash-spreading
-    # the probe side keeps every core busy regardless of blocking-key
-    # cardinality. The length prefilter is semantics-preserving
-    # (levenshtein >= |len_a - len_b|) and skips the O(m*n) DP for
-    # most candidate pairs.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Only ~25 distinct brands: a plain shuffle join on the blocking
+    # key leaves <=25 tasks carrying the quadratic comparison work,
+    # and an unconditional full-table broadcast (round 1) ships the
+    # whole table to every executor — a multi-GB broadcast at 100x
+    # scale. Salted replication fixes both: side A carries one
+    # deterministic salt per row, side B replicates across all salt
+    # values, and the join key becomes (brand, salt) — salt_n x 25
+    # independent tasks with bounded memory and no broadcast. Each
+    # (a, b) pair still meets exactly once (A has exactly one salt).
+    # AQE may still *choose* a broadcast at small scale — that is the
+    # threshold-guarded degradation, not a hard-coded hint.
+    salt_n = 16
     a = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.length("p_name").alias("len_a"),
-    ).repartition(shuffle_n, "key_a")
+        F.pmod(F.hash("p_partkey"), F.lit(salt_n)).cast("int").alias("salt"),
+    )
     b = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
         F.length("p_name").alias("len_b"),
-    )
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
     # Lengths are computed once per input row (not once per joined
     # pair), and the distance uses the banded threshold form —
     # levenshtein(a, b, k) walks a (2k+1)-wide diagonal band and
     # returns -1 when the distance exceeds k, instead of filling the
     # full O(m*n) matrix only to discard the row.
     return (
-        a.join(F.broadcast(b), "brand")
+        a.join(b, ["brand", "salt"])
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 3)
         .select(
@@ -207,10 +206,10 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines accumulate left-to-right in DOUBLE.
     oracle="""
         SELECT vec_id,
-               CAST(ROUND(SQRT(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(14,4)) AS l2_norm,
+               ROUND(SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-               CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS DECIMAL(14,4)) AS max_comp
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_comp
         FROM embeddings
         ORDER BY vec_id
     """,
@@ -226,11 +225,9 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.round(F.sqrt(sq_sum), 4).cast("decimal(14,4)").alias("l2_norm"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.round(F.array_max("embedding").cast("double"), 4)
-        .cast("decimal(14,4)")
-        .alias("max_comp"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_comp"),
     ).orderBy("vec_id")
 
 
@@ -243,7 +240,7 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -259,7 +256,7 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM x40_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -314,10 +311,9 @@ def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
         SELECT doc_id,
-               CAST(ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS DECIMAL(10,6)) AS distinct_ratio,
-               CAST(ROUND(list_max(list_transform(list_distinct(toks),
-                        d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks), 6)
-                    AS DECIMAL(10,6)) AS top_token_share
+               ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,
+               ROUND(list_max(list_transform(list_distinct(toks),
+                        d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks), 6) AS top_token_share
         FROM t
         WHERE len(toks) > 0
         ORDER BY doc_id
@@ -342,12 +338,8 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(token_count("text") > 0)
         .select(
             "doc_id",
-            F.round(distinct_token_ratio("text"), 6)
-            .cast("decimal(10,6)")
-            .alias("distinct_ratio"),
-            F.round(top_token_share("text"), 6)
-            .cast("decimal(10,6)")
-            .alias("top_token_share"),
+            F.round(distinct_token_ratio("text"), 6).alias("distinct_ratio"),
+            F.round(top_token_share("text"), 6).alias("top_token_share"),
         )
         .orderBy("doc_id")
     )
@@ -360,11 +352,11 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows carry version 0). The oracle is the same union + window.
     oracle="""
         WITH unioned AS (
-            SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS balance,
+            SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS balance,
                    CAST(0 AS BIGINT) AS version, 0 AS src
             FROM customer
             UNION ALL
-            SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey, 1
+            SELECT o_custkey, CAST(o_totalprice AS DOUBLE), o_orderkey, 1
             FROM orders
         ), ranked AS (
             SELECT key, balance, version,
@@ -384,12 +376,12 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = customer.select(
         F.col("c_custkey").alias("key"),
-        F.col("c_acctbal").cast("decimal(18,2)").alias("balance"),
+        F.col("c_acctbal").cast("double").alias("balance"),
         F.lit(0).cast("bigint").alias("version"),
     )
     updates = orders.select(
         F.col("o_custkey").alias("key"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("balance"),
+        F.col("o_totalprice").cast("double").alias("balance"),
         F.col("o_orderkey").alias("version"),
     )
     return merge_upsert(base, updates, ["key"], "version").orderBy("key")
@@ -404,7 +396,7 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH s AS (
             SELECT user_id, date_trunc('hour', ts) AS h,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS hourly_value
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hourly_value
             FROM events WHERE user_id < 20
             GROUP BY 1, 2
         ), b AS (
@@ -435,7 +427,7 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("hourly_value")
         )
     )
@@ -492,7 +484,7 @@ def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_id, user_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
-               CAST(SUM(v) OVER w AS DECIMAL(18,2)) AS value_last_hour
+               CAST(SUM(v) OVER w AS DOUBLE) AS value_last_hour
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY sec
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -520,7 +512,7 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
-        F.sum("v").over(w).cast("decimal(18,2)").alias("value_last_hour"),
+        F.sum("v").over(w).cast("double").alias("value_last_hour"),
     ).orderBy("event_id")
 
 
@@ -533,8 +525,8 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
                s_nationkey,
                CAST(DENSE_RANK() OVER w AS INT) AS drank,
                CAST(NTILE(4) OVER w AS INT) AS quartile,
-               CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(10,6)) AS prank,
-               CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(10,6)) AS cdist
+               ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
         ORDER BY s_suppkey
@@ -552,8 +544,8 @@ def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.dense_rank().over(w).cast("int").alias("drank"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).cast("decimal(10,6)").alias("prank"),
-        F.round(F.cume_dist().over(w), 6).cast("decimal(10,6)").alias("cdist"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
     ).orderBy("s_suppkey")
 
 
@@ -619,10 +611,10 @@ def _rev_col() -> F.Column:
     # to 6 groups map-side; the exchange moves 6 rows per partition.
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(SUM({_REV}) AS DECIMAL(24,4)) AS sum_disc_price,
-               CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(30,6)) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_qty_cents,
                CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_disc_cents,
                COUNT(*) AS count_order
@@ -644,13 +636,13 @@ def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_base_price"),
-            F.sum(rev).cast("decimal(24,4)").alias("sum_disc_price"),
+            F.sum(rev).cast("double").alias("sum_disc_price"),
             F.sum(rev * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)")))
-            .cast("decimal(30,6)")
+            .cast("double")
             .alias("sum_charge"),
             # Floor-divided integer cents: exact and engine-neutral,
             # where decimal AVG would hit halfway-rounding drift.
@@ -676,7 +668,7 @@ def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
     # co-partitioning key both tables should be bucketed on at scale.
     oracle=f"""
         SELECT l_orderkey,
-               CAST(SUM({_REV}) AS DECIMAL(24,4)) AS revenue,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -705,7 +697,7 @@ def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -719,7 +711,7 @@ def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nation.
     oracle=f"""
         SELECT n_name,
-               CAST(SUM({_REV}) AS DECIMAL(24,4)) AS revenue
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue
         FROM region
         JOIN nation ON n_regionkey = r_regionkey
         JOIN supplier ON s_nationkey = n_nationkey
@@ -752,7 +744,7 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 

@@ -420,7 +420,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_decimal_sum",
     oracle="""
         SELECT n_regionkey,
-               CAST(SUM(CAST(n_nationkey AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+               CAST(SUM(CAST(n_nationkey AS DECIMAL(18,2))) AS DOUBLE) AS s
         FROM nation
         GROUP BY n_regionkey
         ORDER BY n_regionkey
@@ -431,7 +431,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sum(F.col("n_nationkey").cast("decimal(18,2)")).cast("decimal(18,2)").alias("s"))
+        .agg(F.sum(F.col("n_nationkey").cast("decimal(18,2)")).cast("double").alias("s"))
         .orderBy("n_regionkey")
     )
 

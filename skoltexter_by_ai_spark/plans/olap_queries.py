@@ -30,7 +30,7 @@ from skoltexter_by_ai_spark.sources.tables import load_table
                n_name,
                CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
                COUNT(*) AS n_suppliers,
-               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -53,7 +53,7 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int").alias("gid"),
             F.count("*").alias("n_suppliers"),
             F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_bal"),
         )
         .select("r_name", "n_name", "gid", "n_suppliers", "total_bal")
@@ -102,10 +102,13 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEAD(o_orderkey) OVER w AS next_order,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                     (PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_total,
-               CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                     (PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS 2 PRECEDING) AS DECIMAL(18,6)) AS moving_avg3
+                     ROWS 2 PRECEDING) AS DOUBLE)
+                   / COUNT(*) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS 2 PRECEDING) AS moving_avg3
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         ORDER BY o_custkey, o_orderkey
@@ -128,8 +131,13 @@ def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(wp).cast("int").alias("pr_rank"),
             F.lag("o_orderkey").over(w).alias("prev_order"),
             F.lead("o_orderkey").over(w).alias("next_order"),
-            F.sum(dec).over(run).cast("decimal(18,2)").alias("running_total"),
-            F.avg(dec).over(mov).cast("decimal(18,6)").alias("moving_avg3"),
+            F.sum(dec).over(run).cast("double").alias("running_total"),
+            # Exact decimal window sum cast to double, divided by the
+            # window count: decimal AVG rounds differently per engine,
+            # but sum/count over identical doubles is bit-stable.
+            (F.sum(dec).over(mov).cast("double") / F.count("*").over(mov)).alias(
+                "moving_avg3"
+            ),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -325,7 +333,7 @@ def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_suppkey,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM lineitem
         GROUP BY l_suppkey
         ORDER BY l_suppkey
@@ -337,15 +345,21 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skoltexter_by_ai_spark.operators.skew import salted_agg
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return salted_agg(
-        lineitem,
-        keys=["l_suppkey"],
-        aggs={
-            "n": ("count", None),
-            "revenue": ("sum_decimal", "l_extendedprice"),
-        },
-        salt=8,
-    ).orderBy("l_suppkey")
+    return (
+        salted_agg(
+            lineitem,
+            keys=["l_suppkey"],
+            aggs={
+                "n": ("count", None),
+                "revenue": ("sum_decimal", "l_extendedprice"),
+            },
+            salt=8,
+        )
+        # Exact decimal accumulation inside the operator; double at the
+        # output boundary so the cross-engine value hash is stable.
+        .withColumn("revenue", F.col("revenue").cast("double"))
+        .orderBy("l_suppkey")
+    )
 
 
 @register(
@@ -357,7 +371,7 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderpriority,
                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY gid DESC, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -375,7 +389,7 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gid"),
             F.count("*").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
@@ -395,7 +409,7 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
                CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         WHERE o_orderdate IS NOT NULL
         GROUP BY yr, mo
@@ -415,7 +429,7 @@ def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
         .orderBy("yr", "mo")

@@ -80,7 +80,7 @@ def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nation broadcasts onto the output. Top-20 by revenue.
     oracle=f"""
         SELECT c_custkey, c_name,
-               CAST(SUM({_REV}) AS DECIMAL(24,4)) AS revenue,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue,
                n_name
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -109,7 +109,7 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -229,7 +229,7 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compare is on exact DECIMAL, not double.
     oracle="""
         SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+               CAST(o_totalprice AS DOUBLE) AS totalprice,
                CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -267,7 +267,7 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             "o_orderdate",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
             "sum_qty_cents",
         )
         .orderBy("o_orderkey")
@@ -282,7 +282,7 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group through one partition).
     oracle=f"""
         WITH rev AS (
-            SELECT l_suppkey, CAST(SUM({_REV}) AS DECIMAL(24,4)) AS total_revenue
+            SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -304,7 +304,7 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("total_revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (
@@ -322,7 +322,7 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the join (p_brand/p_size prune part; l_quantity prunes
     # lineitem) — the whole disjunction must NOT block pushdown.
     oracle=f"""
-        SELECT p_brand, CAST(SUM({_REV}) AS DECIMAL(24,4)) AS revenue
+        SELECT p_brand, CAST(SUM({_REV}) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
            OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity < 25)
@@ -348,7 +348,7 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.filter(cond)
         .groupBy("p_brand")
-        .agg(F.sum(_rev_col()).cast("decimal(24,4)").alias("revenue"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
         .orderBy("p_brand")
     )
 

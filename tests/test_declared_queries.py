@@ -27,6 +27,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert report.ok, f"{name}: {report.detail} (rows {report.spark_rows}/{report.oracle_rows})"
 
 
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_decimal_output_columns(spark, sf_dir, name):
+    """DECIMAL result columns hash-drift at the driver's gate: Spark
+    collects ``Decimal`` objects while DuckDB's pandas conversion
+    renders float64, so identical values serialize differently
+    (VERDICT r1: q18/x12/x14/x21/x23). Internal decimal arithmetic is
+    fine — the *output boundary* must be engine-neutral (double,
+    bigint, string)."""
+    from pyspark.sql.types import DecimalType
+
+    schema = _QUERIES[name].builder(spark, sf_dir).schema
+    offenders = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not offenders, f"{name} emits decimal-typed columns: {offenders}"
+
+
 def test_all_oracle_queries_return_rows(spark, sf_dir):
     """Guard against vacuous passes: the suite overall must exercise data."""
     total = 0

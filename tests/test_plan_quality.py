@@ -118,13 +118,21 @@ def test_point_lookup_pushes_key_filter(spark):
     assert m and "EqualTo(c_custkey,42)" in m.group(1), plan
 
 
-def test_fuzzy_pairs_broadcasts_build_side(spark):
-    # x38: low-cardinality blocking key — the quadratic comparison
-    # must ride a broadcast join (every core busy), not a 25-key
-    # shuffle join.
-    plan = _plan(_build(spark, "x38_fuzzy_name_pairs"))
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan
+def test_fuzzy_pairs_salted_shuffle_no_full_broadcast(spark):
+    # x38: the build side must NOT be an unconditional full-table
+    # broadcast (multi-GB at 100x scale). With auto-broadcast disabled
+    # the plan must degrade to a shuffle join spread over the salted
+    # (brand, salt) key — any surviving BroadcastExchange would prove
+    # a hard-coded broadcast hint.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_build(spark, "x38_fuzzy_name_pairs"))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastExchange" not in plan, plan
+    assert "salt" in plan and "explode" in plan, plan
 
 
 def test_simhash_fingerprint_is_shuffle_free(spark):
