@@ -41,6 +41,17 @@ def _shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
 
 
 def main() -> None:
+    # The driver parses bench stdout as JSON; anything else on fd 1 —
+    # including JVM banner lines like "WARNING: Using incubator
+    # modules", which bypass sys.stdout entirely — breaks the parse
+    # (BENCH_r01 recorded parsed=null). Point fd 1 at stderr for the
+    # whole process BEFORE the JVM launches (it inherits the fd), keep
+    # a dup of the real stdout, and write exactly one JSON line to it
+    # at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from skoltexter_by_ai_spark.plans.registry import all_queries
@@ -67,20 +78,22 @@ def main() -> None:
             df = spec.builder(spark, sf_dir)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
+            timings[name] = round(time.perf_counter() - start, 3)
         except Exception as exc:  # keep the bench alive; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"
 
     result = {
         "metric": "declared_queries_total_wall",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
     if failures:
         result["failures"] = failures
-    print(json.dumps(result))
+    # Compact separators keep the one line as short as possible in
+    # case the driver caps its captured tail.
+    os.write(real_stdout, (json.dumps(result, separators=(",", ":")) + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -83,10 +83,19 @@ def stage2_enrich(
             )
         transport = enrich.AiohttpTransport(cfg["endpoint"], cfg["api_key"])
     results = enrich.llm_enrich(todo, prompt_template, transport=transport)
-    ok, failed = enrich.side_outputs(results)
+    # Materialize the LLM stage exactly once before splitting into the
+    # two side outputs: writing ok and failed straight off the
+    # mapInPandas result would execute the whole stage twice (every
+    # document re-called), and with a nondeterministic transport a
+    # document could succeed in one pass and fail in the other,
+    # landing in both side outputs or neither.
+    staging = os.path.join(out_dir, "_enrich_staging")
+    results.write.mode("overwrite").parquet(staging)
+    materialized = spark.read.parquet(staging)
+    ok, failed = enrich.side_outputs(materialized)
     ok.write.mode("append").parquet(enriched_path)
     failed.write.mode("append").parquet(os.path.join(out_dir, FAILED_DIR))
-    return results
+    return materialized
 
 
 def stage3_publish(spark: SparkSession, csv_path: str, out_dir: str) -> str:
@@ -109,7 +118,7 @@ def stage3_publish(spark: SparkSession, csv_path: str, out_dir: str) -> str:
 
 def reset(out_dir: str) -> None:
     """Drop all generated data (D2, setup_project.py:1145-1202)."""
-    for sub in (DOCS_DIR, ENRICHED_DIR, FAILED_DIR, SITE_FILE):
+    for sub in (DOCS_DIR, ENRICHED_DIR, FAILED_DIR, SITE_FILE, "_enrich_staging"):
         path = os.path.join(out_dir, sub)
         if os.path.isdir(path):
             shutil.rmtree(path)

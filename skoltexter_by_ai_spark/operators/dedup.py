@@ -427,23 +427,42 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= ``max_hamming``.
 
-    Banded lookup: split the 64-bit fingerprint into 4 16-bit bands;
-    by pigeonhole any pair within Hamming distance 3 shares at least
-    one exact band -> candidate pairs generated inside each band
-    bucket, then exact popcount verification via ``bit_count(a XOR
-    b)``. Work per bucket is quadratic in bucket size, so a pathological
-    hot bucket (e.g. a corpus full of near-identical boilerplate)
-    concentrates on one task; dedup such corpora with ``exact_dedup``
-    first, which removes the identical-fingerprint mass.
+    Banded lookup: split the 64-bit fingerprint into ``max_hamming+1``
+    bands — by pigeonhole, any pair within the radius shares at least
+    one exact band — then candidate pairs are generated inside each
+    band bucket and exact-verified via ``bit_count(a XOR b)``. The
+    band count is DERIVED from the radius so the recall guarantee
+    tracks the parameter (a fixed 4-band split silently drops pairs
+    beyond distance 3). Work per bucket is quadratic in bucket size,
+    so a pathological hot bucket (e.g. a corpus full of near-identical
+    boilerplate) concentrates on one task; dedup such corpora with
+    ``exact_dedup`` first, which removes the identical-fingerprint
+    mass.
+
+    Radii above 15 are rejected: 16+ bands leave <= 4 bits per band,
+    where buckets stop discriminating and the candidate set degrades
+    toward all-pairs.
     """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, 15]: the pigeonhole "
+            "banding needs max_hamming+1 bands and bands below ~4 bits "
+            "stop pruning"
+        )
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1 if b < rem else base for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     sig = simhash64(df, id_col, text_col)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), offsets[b])
+                .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                .alias("chunk"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
     buckets = sig.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(bands).alias("__b")).select(

@@ -106,6 +106,27 @@ class ScriptedTransport:
         raise ValueError(f"unknown scripted step {step!r}")
 
 
+class CallLogTransport(ScriptedTransport):
+    """Scripted transport that appends one line per LLM call to a file.
+
+    Call auditing must go through the filesystem: the enrich stage runs
+    inside mapInPandas Python workers, so in-memory counters on the
+    driver-side transport object never see executor increments. Used to
+    prove the pipeline calls the transport exactly once per document
+    (a lazily re-evaluated plan would re-call every document per
+    downstream action).
+    """
+
+    def __init__(self, log_path: str, script: dict[str, list[tuple]] | None = None, default: tuple = ("ok", "stub")):
+        super().__init__(script or {}, default=default)
+        self.log_path = log_path
+
+    async def post(self, key: str, payload: dict[str, Any]) -> TransportResult:
+        with open(self.log_path, "a", encoding="utf-8") as fh:
+            fh.write(key + "\n")
+        return await super().post(key, payload)
+
+
 class AiohttpTransport:  # pragma: no cover - aiohttp absent in this image
     """Real Azure-OpenAI chat-completions transport.
 

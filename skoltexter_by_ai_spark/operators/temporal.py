@@ -43,44 +43,48 @@ def asof_join(
 
     ``tolerance_seconds`` drops matches older than the tolerance
     (match columns become NULL, the row is kept — left-join shape).
+
+    The right payload rides the window as ONE struct column so every
+    output field comes from the same matched right row. Filling each
+    payload column independently would backfill a NULL field of the
+    newest right row from an older right row, emitting a frankenrow
+    mixing fields of different matches.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
-    l_tagged = left.withColumn("__tag", F.lit(1))
-    for c in right_cols + [f"__rts"]:
-        l_tagged = l_tagged.withColumn(f"{c}{suffix}" if c != "__rts" else "__rts", F.lit(None))
     r_tagged = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(ts_col).alias("__rts"),
+        F.struct(
+            F.col(ts_col).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__rpay"),
     )
-    l_cols = [on, ts_col, "__tag"] + [f"{c}{suffix}" for c in right_cols] + ["__rts"]
+    pay_type = r_tagged.schema["__rpay"].dataType
     extra_left = [c for c in left.columns if c not in (on, ts_col)]
-    unioned = l_tagged.select(*l_cols, *extra_left).unionByName(
-        r_tagged, allowMissingColumns=True
+    l_tagged = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(pay_type).alias("__rpay"),
+        *extra_left,
     )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
         .orderBy(ts_col, "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias("__f_rts"),
-    )
+    # last(ignorenulls) skips only NULL *structs* (i.e. left rows); a
+    # right row with NULL fields is still a real, complete match.
+    filled = unioned.withColumn("__f", F.last("__rpay", ignorenulls=True).over(w))
     out = filled.filter(F.col("__tag") == 1)
     in_tol = (
         F.lit(True)
         if tolerance_seconds is None
         else (
-            F.col("__f_rts").isNotNull()
+            F.col("__f.__rts").isNotNull()
             & (
-                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__f_rts"))
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__f.__rts"))
                 <= int(tolerance_seconds * 1_000_000)
             )
         )
@@ -88,8 +92,8 @@ def asof_join(
     keep = [on, ts_col, *extra_left]
     return out.select(
         *keep,
-        *[F.when(in_tol, F.col(f"__f_{c}")).alias(f"{c}{suffix}") for c in right_cols],
-        F.when(in_tol, F.col("__f_rts")).alias(f"{ts_col}{suffix}"),
+        *[F.when(in_tol, F.col(f"__f.{c}")).alias(f"{c}{suffix}") for c in right_cols],
+        F.when(in_tol, F.col("__f.__rts")).alias(f"{ts_col}{suffix}"),
     )
 
 

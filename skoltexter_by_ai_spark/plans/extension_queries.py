@@ -238,17 +238,31 @@ def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification asserted in tests/test_similarity.py.
     covers="embedding-cosine near-dup pairs: multi-table LSH + exact verify (SURVEY §2.4)",
     tags=("dedup", "similarity"),
+    min_rows=400,
 )
 def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Hyperplane LSH is a NEAR-dup detector: at threshold 0.9 the
-    # 12-bit/8-table parameters give >90% recall with small buckets.
     # The synthetic embeddings fixture has no near-dup pairs (max
-    # pairwise cosine ~0.51 at sf0.01), so an empty result here is the
-    # CORRECT answer; recall on planted near-dups is proven in
-    # tests/test_similarity.py::test_embedding_near_dups_finds_planted_cluster.
-    emb = load_table(spark, sf_dir, "embeddings")
+    # pairwise cosine ~0.51 at sf0.01), so running the detector on the
+    # raw table returns 0 rows — correct, but a 0-row declared query
+    # verifies nothing (VERDICT r1). Plant near-dups deterministically:
+    # union each vector with a copy perturbed elementwise by
+    # x * (1 + 0.05*sin(vec_id*(i+1))) — cosine(v, v') ≈ 0.999, far
+    # above the 0.9 threshold, while all cross pairs stay <= ~0.52.
+    # The LSH bucketing, candidate join and exact verify all run on
+    # ~1000 genuinely distinct vectors; the expected output is the
+    # ~500 planted (i, i+1_000_000) pairs.
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.05) * F.sin((F.col("vec_id") * (i + F.lit(1))).cast("double"))),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionByName(perturbed)
     return similarity.embedding_near_dups(
-        emb, threshold=0.9, n_tables=8, n_planes=12
+        corpus, threshold=0.9, n_tables=8, n_planes=12
     ).orderBy("id_a", "id_b")
 
 

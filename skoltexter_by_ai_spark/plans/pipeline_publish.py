@@ -27,6 +27,7 @@ from skoltexter_by_ai_spark.functions.text import (
     FALLBACK_DESCRIPTION_HTML,
     FALLBACK_SCHOOL_NAME_FORMAT,
     clean_html,
+    ws_trim,
 )
 
 _TEMPLATE_PATH = pathlib.Path(__file__).resolve().parent.parent / "templates" / "website_template.html"
@@ -48,8 +49,13 @@ def dedup_schools(schools: DataFrame) -> DataFrame:
     (deterministic via ``__row_idx``, never ``dropDuplicates``); blank
     names get 'School (Code: {code})'. Output: (id, name, __row_idx).
     """
-    code = F.trim(F.coalesce(F.col("SchoolCode"), F.lit("")))
-    name = F.trim(F.coalesce(F.col("SchoolName"), F.lit("")))
+    # Python str.strip() semantics (ALL whitespace — tabs, newlines,
+    # NBSP), not F.trim's ASCII-space-only: codes that differ by exotic
+    # whitespace must dedup identically to the reference, and the id
+    # must keep matching render_documents' sanitize()-derived
+    # school_code join key.
+    code = ws_trim(F.coalesce(F.col("SchoolCode"), F.lit("")))
+    name = ws_trim(F.coalesce(F.col("SchoolName"), F.lit("")))
     order = F.col("__row_idx") if "__row_idx" in schools.columns else F.monotonically_increasing_id()
     base = (
         schools.select(

@@ -24,6 +24,9 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
     covers: str  # reference operators exercised (SURVEY.md §2.2 ids)
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Vacuity guard: a declared query that returns fewer rows than this
+    # at the test scale factors verifies nothing (VERDICT r1 on x15).
+    min_rows: int = 1
 
 
 QUERY_REGISTRY: dict[str, QuerySpec] = {}
@@ -34,13 +37,16 @@ def register(
     oracle: str | None,
     covers: str,
     tags: tuple[str, ...] = (),
+    min_rows: int = 1,
 ) -> Callable[[SparkBuilder], SparkBuilder]:
     """Decorator: register a Spark builder under ``name``."""
 
     def wrap(fn: SparkBuilder) -> SparkBuilder:
         if name in QUERY_REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERY_REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, covers=covers, tags=tags)
+        QUERY_REGISTRY[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, covers=covers, tags=tags, min_rows=min_rows
+        )
         return fn
 
     return wrap

@@ -78,3 +78,20 @@ def test_reset_drops_outputs(spark, tmp_path):
     cli.reset(str(tmp_path))
     assert not (tmp_path / cli.SITE_FILE).exists()
     assert not (tmp_path / cli.DOCS_DIR).exists()
+
+
+def test_stage2_calls_llm_exactly_once_per_document(spark, tmp_path):
+    """Writing ok and failed straight off the uncached mapInPandas
+    result executes the whole LLM stage twice (every document
+    re-called) — stage2 must materialize results once before the two
+    side-output writes."""
+    log = tmp_path / "calls.log"
+    from skoltexter_by_ai_spark.operators.enrich import CallLogTransport
+
+    transport = CallLogTransport(str(log), default=("ok", "enriched-once"))
+    cli.run_pipeline(
+        spark, str(REF_CSV), str(REF_TPL), str(tmp_path), transport=transport, limit=6
+    )
+    calls = log.read_text(encoding="utf-8").split()
+    assert len(calls) == 6, f"expected 6 LLM calls, saw {len(calls)}: {sorted(calls)}"
+    assert len(set(calls)) == 6

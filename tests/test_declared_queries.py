@@ -20,11 +20,13 @@ def test_query_matches_oracle(spark, sf_dir, name):
     spec = _QUERIES[name]
     df = spec.builder(spark, sf_dir)
     if spec.oracle is None:
-        # Weaker rows-only check, mirroring the driver's fallback.
-        assert df.count() >= 0
+        # Weaker rows-only check, mirroring the driver's fallback — but
+        # never vacuous: the declared min_rows must be met.
+        assert df.count() >= spec.min_rows, f"{name} below min_rows={spec.min_rows}"
         return
     report = compare_with_oracle(name, df, spec.oracle, sf_dir)
     assert report.ok, f"{name}: {report.detail} (rows {report.spark_rows}/{report.oracle_rows})"
+    assert report.spark_rows >= spec.min_rows, f"{name} below min_rows={spec.min_rows}"
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

@@ -131,3 +131,21 @@ def test_ngram_jaccard_exact_values(spark):
     assert j[(1, 4)] == 1.0
     # docs 1 and 2 share 7 of 8 distinct bigrams each -> 7/9.
     assert abs(j[(1, 2)] - 7 / 9) < 1e-12
+
+
+def test_simhash_near_dups_band_count_tracks_radius(spark):
+    """Banding must derive from the radius (max_hamming+1 bands by
+    pigeonhole); degenerate radii whose bands stop pruning raise."""
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    # Radius 6 (x04's setting) is now within the derived guarantee.
+    out = simhash_near_dups(df, "doc_id", "text", max_hamming=6).collect()
+    assert all(r.hamming <= 6 for r in out)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dups(df, "doc_id", "text", max_hamming=16)

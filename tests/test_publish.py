@@ -89,3 +89,23 @@ def test_docs_to_html_bad_row_never_fails_job(spark):
     docs = spark.createDataFrame([("A", None)], "school_code string, content string")
     rows = pub.docs_to_html(docs).collect()
     assert rows[0].html == pub.ERROR_DESCRIPTION_HTML
+
+
+def test_dedup_trims_all_whitespace_like_python_strip(spark):
+    """Reference uses str.strip() (ALL whitespace): codes differing by
+    tab/newline/NBSP must dedup together and join the sanitize()-based
+    school_code key; F.trim (ASCII space only) would not."""
+    from skoltexter_by_ai_spark.plans.pipeline_publish import dedup_schools
+
+    schools = spark.createDataFrame(
+        [
+            ("\tA1\n", "First", 0),
+            ("A1 ", "Second", 1),
+            (" B2", " ", 2),
+        ],
+        ["SchoolCode", "SchoolName", "__row_idx"],
+    )
+    rows = {r.id: r for r in dedup_schools(schools).collect()}
+    assert set(rows) == {"A1", "B2"}
+    assert rows["A1"].name == "First"  # keep-first across whitespace variants
+    assert rows["B2"].name == "School (Code: B2)"  # blank name fallback

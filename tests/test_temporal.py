@@ -151,3 +151,18 @@ def test_gap_fill_forward_fills_holes(spark):
     assert [r["__observed"] for r in u1] == [True, False, False, True]
     # u2 has a single point -> single-row grid, no invented hours.
     assert len([r for r in out if r.key == "u2"]) == 1
+
+
+def test_asof_join_null_field_in_latest_match_stays_null(spark):
+    """The matched right row's fields must all come from that one row:
+    a NULL field in the latest match must NOT be backfilled from an
+    older right row (per-column fill would build a frankenrow)."""
+    left = _frame(spark, [(1, _ts(30), "l")], ["k", "ts", "lid"])
+    right = spark.createDataFrame(
+        [(1, _ts(0), "old", 7.0), (1, _ts(20), None, None)],
+        ["k", "ts", "rid", "val"],
+    )
+    row = temporal.asof_join(left, right, on="k").collect()[0]
+    # Latest match is the ts(20) row whose rid/val are NULL.
+    assert row.ts_right == _ts(20)
+    assert row.rid_right is None and row.val_right is None
