@@ -127,12 +127,25 @@ class CallLogTransport(ScriptedTransport):
         return await super().post(key, payload)
 
 
-class AiohttpTransport:  # pragma: no cover - aiohttp absent in this image
+def azure_chat_endpoint(endpoint_base: str, deployment_name: str, api_version: str) -> str:
+    """Chat-completions URL, byte-matching the reference's construction
+    (program2_ai_processor.py:153-168): trailing slashes on the base
+    are stripped, path is ``/openai/deployments/{name}/chat/completions``
+    and the api version rides the query string."""
+    return (
+        f"{endpoint_base.rstrip('/')}/openai/deployments/{deployment_name}/"
+        f"chat/completions?api-version={api_version}"
+    )
+
+
+class AiohttpTransport:
     """Real Azure-OpenAI chat-completions transport.
 
     Endpoint shape per the reference (program2_ai_processor.py:153-168):
-    ``{base}/openai/deployments/{name}/chat/completions?api-version=...``
-    with the key in the ``api-key`` header.
+    :func:`azure_chat_endpoint`, with the key in the ``api-key`` header.
+    aiohttp is absent in the CI image; the request construction is
+    covered by a stub-module test (tests/test_enrich.py) so the
+    header/timeout/payload contract is verified without the network.
     """
 
     def __init__(self, endpoint: str, api_key: str, timeout: float = 300.0):

@@ -167,3 +167,110 @@ def test_incremental_no_done_keeps_all(spark):
     inputs = _docs(spark, ["b", "a"])
     out = incremental_inputs(inputs, None).collect()
     assert [r.school_code for r in out] == ["a", "b"]  # deterministic order (O2)
+
+
+# --- AiohttpTransport request construction (no network, no aiohttp) ----------
+
+
+def _stub_aiohttp(calls: list):
+    """Minimal aiohttp stand-in recording session.post(...) kwargs."""
+    import types
+
+    mod = types.ModuleType("aiohttp")
+
+    class ClientError(Exception):
+        pass
+
+    class ClientTimeout:
+        def __init__(self, total=None):
+            self.total = total
+
+        def __eq__(self, other):
+            return isinstance(other, ClientTimeout) and other.total == self.total
+
+    class _Response:
+        status = 200
+
+        async def text(self):
+            return '{"choices": [{"message": {"content": "hi"}}]}'
+
+    class _PostCM:
+        async def __aenter__(self):
+            return _Response()
+
+        async def __aexit__(self, *exc):
+            return False
+
+    class ClientSession:
+        async def __aenter__(self):
+            return self
+
+        async def __aexit__(self, *exc):
+            return False
+
+        def post(self, url, json=None, headers=None, timeout=None):
+            calls.append({"url": url, "json": json, "headers": headers, "timeout": timeout})
+            return _PostCM()
+
+    mod.ClientError = ClientError
+    mod.ClientTimeout = ClientTimeout
+    mod.ClientSession = ClientSession
+    return mod
+
+
+def test_azure_endpoint_matches_reference_contract():
+    """program2_ai_processor.py:153-168: base with trailing slash is
+    stripped; deployment and api-version are spliced verbatim."""
+    from skoltexter_by_ai_spark.operators.enrich import azure_chat_endpoint
+
+    url = azure_chat_endpoint("https://acme.example.net/", "gpt-4o", "2024-02-01")
+    assert url == (
+        "https://acme.example.net/openai/deployments/gpt-4o/"
+        "chat/completions?api-version=2024-02-01"
+    )
+
+
+def test_aiohttp_transport_request_shape(monkeypatch):
+    """The transport must POST the payload to the configured endpoint
+    with the api-key header and a total timeout — asserted against a
+    stub aiohttp module, per the reference contract
+    (program2_ai_processor.py:343-399)."""
+    import asyncio
+    import sys
+
+    from skoltexter_by_ai_spark.operators import enrich
+
+    calls: list = []
+    monkeypatch.setitem(sys.modules, "aiohttp", _stub_aiohttp(calls))
+    url = enrich.azure_chat_endpoint("https://acme.example.net", "gpt-4o", "2024-02-01")
+    transport = enrich.AiohttpTransport(url, api_key="sekrit", timeout=123.0)
+    payload = {"messages": [{"role": "user", "content": "x"}], "max_tokens": 5}
+    result = asyncio.run(transport.post("doc-1", payload))
+
+    assert result.status == 200 and "choices" in result.text
+    (call,) = calls
+    assert call["url"] == url
+    assert call["json"] is payload
+    assert call["headers"]["api-key"] == "sekrit"
+    assert call["headers"]["Content-Type"] == "application/json"
+    assert call["timeout"].total == 123.0
+
+
+def test_aiohttp_transport_network_error_maps_to_transport_error(monkeypatch):
+    import asyncio
+    import sys
+    import types
+
+    from skoltexter_by_ai_spark.operators import enrich
+
+    mod = _stub_aiohttp([])
+
+    class _BoomSession(mod.ClientSession):
+        def post(self, *a, **kw):
+            raise mod.ClientError("boom")
+
+    mod.ClientSession = _BoomSession
+    monkeypatch.setitem(sys.modules, "aiohttp", mod)
+    transport = enrich.AiohttpTransport("https://x/chat", api_key="k")
+    with pytest.raises(enrich.TransportNetworkError):
+        asyncio.run(transport.post("doc-1", {}))

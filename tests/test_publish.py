@@ -109,3 +109,37 @@ def test_dedup_trims_all_whitespace_like_python_strip(spark):
     assert set(rows) == {"A1", "B2"}
     assert rows["A1"].name == "First"  # keep-first across whitespace variants
     assert rows["B2"].name == "School (Code: B2)"  # blank name fallback
+
+
+def test_md_to_html_prefers_markdown2_with_reference_extras(monkeypatch):
+    """When markdown2 is importable the converter must delegate to it
+    with exactly the reference's extras (program3_generate_website.py:
+    198-204) — byte parity with the reference then follows from using
+    the same library. Verified by reloading the module with a stub
+    markdown2 injected."""
+    import importlib
+    import sys
+    import types
+
+    from skoltexter_by_ai_spark.functions import markdown_lite
+
+    seen = {}
+    stub = types.ModuleType("markdown2")
+
+    def fake_markdown(text, extras=None):
+        seen["text"] = text
+        seen["extras"] = extras
+        return "<p>FROM-MARKDOWN2</p>\n"
+
+    stub.markdown = fake_markdown
+    monkeypatch.setitem(sys.modules, "markdown2", stub)
+    importlib.reload(markdown_lite)
+    try:
+        out = markdown_lite.md_to_html("# Title")
+        assert out == "<p>FROM-MARKDOWN2</p>\n"
+        assert seen["extras"] == ["tables", "fenced-code-blocks"]
+        assert seen["text"] == "# Title"
+    finally:
+        monkeypatch.delitem(sys.modules, "markdown2")
+        importlib.reload(markdown_lite)
+    assert not markdown_lite._HAVE_MARKDOWN2  # restored to subset path
