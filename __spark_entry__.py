@@ -24,13 +24,16 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     lineitem = spark.read.parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # Exact decimal accumulation internally; DOUBLE at the output
+    # boundary (decimal-typed result columns serialize differently
+    # across engines — see tests/test_declared_queries.py).
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )

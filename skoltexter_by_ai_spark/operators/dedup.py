@@ -427,42 +427,51 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= ``max_hamming``.
 
-    Banded lookup: split the 64-bit fingerprint into ``max_hamming+1``
-    bands — by pigeonhole, any pair within the radius shares at least
-    one exact band — then candidate pairs are generated inside each
-    band bucket and exact-verified via ``bit_count(a XOR b)``. The
-    band count is DERIVED from the radius so the recall guarantee
-    tracks the parameter (a fixed 4-band split silently drops pairs
-    beyond distance 3). Work per bucket is quadratic in bucket size,
-    so a pathological hot bucket (e.g. a corpus full of near-identical
-    boilerplate) concentrates on one task; dedup such corpora with
-    ``exact_dedup`` first, which removes the identical-fingerprint
-    mass.
+    Banded lookup with a recall guarantee that tracks the radius while
+    KEEPING 16-bit bucket keys (narrow keys are the scale trap: a
+    9-bit band over 50k docs puts ~100 docs in every bucket and the
+    quadratic pair expansion explodes):
 
-    Radii above 15 are rejected: 16+ bands leave <= 4 bits per band,
-    where buckets stop discriminating and the candidate set degrades
-    toward all-pairs.
+    - radius <= 3: 4 blocks x 16 bits, key = one block. Pigeonhole: at
+      most 3 flipped bits leave >= 1 block untouched.
+    - radius 4-6: 8 blocks x 8 bits, key = an ORDERED PAIR of blocks
+      (C(8,2) = 28 combined 16-bit keys). At most 6 flipped bits touch
+      at most 6 blocks, leaving >= 2 clean blocks — some clean pair
+      matches exactly.
+
+    Candidates are exact-verified via ``bit_count(a XOR b)``. Work per
+    bucket is quadratic in bucket size, so a corpus of near-identical
+    boilerplate concentrates on hot buckets; run ``exact_dedup`` first
+    to remove the identical-fingerprint mass. Radii above 6 are
+    rejected: the next pigeonhole tier needs combination counts that
+    replicate each row hundreds of times — at that point SimHash is
+    the wrong tool (use MinHash-LSH with more bands).
     """
-    if not 0 <= max_hamming <= 15:
+    if not 0 <= max_hamming <= 6:
         raise ValueError(
-            f"max_hamming={max_hamming} outside [0, 15]: the pigeonhole "
-            "banding needs max_hamming+1 bands and bands below ~4 bits "
-            "stop pruning"
+            f"max_hamming={max_hamming} outside [0, 6]: wider radii need "
+            "combination-banding blowup; use minhash_lsh_candidates for "
+            "looser similarity"
         )
-    n_bands = max_hamming + 1
-    base, rem = divmod(64, n_bands)
-    widths = [base + 1 if b < rem else base for b in range(n_bands)]
-    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    import itertools
+
+    h = F.col("simhash")
+
+    def _block(off: int, width: int) -> Column:
+        return F.shiftrightunsigned(h, off).bitwiseAND(F.lit((1 << width) - 1))
+
+    if max_hamming <= 3:
+        key_exprs = [_block(16 * b, 16) for b in range(4)]
+    else:
+        key_exprs = [
+            F.shiftleft(_block(8 * i, 8), 8).bitwiseOR(_block(8 * j, 8))
+            for i, j in itertools.combinations(range(8), 2)
+        ]
     sig = simhash64(df, id_col, text_col)
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), offsets[b])
-                .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                .alias("chunk"),
-            )
-            for b in range(n_bands)
+            F.struct(F.lit(b).alias("band"), expr.alias("chunk"))
+            for b, expr in enumerate(key_exprs)
         ]
     )
     buckets = sig.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(bands).alias("__b")).select(

@@ -166,19 +166,30 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE may still *choose* a broadcast at small scale — that is the
     # threshold-guarded degradation, not a hard-coded hint.
     salt_n = 16
+    # Pin the join parallelism with user-specified repartition counts:
+    # the (id, name) shuffle rows are tiny, so AQE would coalesce the
+    # join down to one partition by size — and then the quadratic
+    # intra-bucket pair expansion (which AQE cannot see) runs serially.
+    # Explicit numPartitions repartitions are exempt from AQE
+    # coalescing, keeping all salt_n x 25 buckets spread over cores.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a = part.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.length("p_name").alias("len_a"),
         F.pmod(F.hash("p_partkey"), F.lit(salt_n)).cast("int").alias("salt"),
+    ).repartition(shuffle_n, "brand", "salt")
+    b = (
+        part.select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("key_b"),
+            F.col("p_name").alias("name_b"),
+            F.length("p_name").alias("len_b"),
+        )
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
+        .repartition(shuffle_n, "brand", "salt")
     )
-    b = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.length("p_name").alias("len_b"),
-    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
     # Lengths are computed once per input row (not once per joined
     # pair), and the distance uses the banded threshold form —
     # levenshtein(a, b, k) walks a (2k+1)-wide diagonal band and

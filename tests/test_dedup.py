@@ -116,7 +116,7 @@ def test_simhash_exact_dups_identical_fingerprint(spark):
 
 
 def test_simhash_near_dups_ranks_by_hamming(spark):
-    out = dedup.simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=10).collect()
+    out = dedup.simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=6).collect()
     ham = {(r.id_a, r.id_b): r.hamming for r in out}
     assert ham[(1, 4)] == 0  # exact dup
     if (1, 2) in ham and (1, 3) in ham:
@@ -133,9 +133,11 @@ def test_ngram_jaccard_exact_values(spark):
     assert abs(j[(1, 2)] - 7 / 9) < 1e-12
 
 
-def test_simhash_near_dups_band_count_tracks_radius(spark):
-    """Banding must derive from the radius (max_hamming+1 bands by
-    pigeonhole); degenerate radii whose bands stop pruning raise."""
+def test_simhash_near_dups_band_scheme_tracks_radius(spark):
+    """The banding tier must guarantee recall for the requested radius
+    (4x16 single blocks for <=3, C(8,2) block pairs for 4-6); radii
+    beyond the pigeonhole tiers raise instead of silently dropping
+    pairs."""
     import pytest
 
     from skoltexter_by_ai_spark.operators.dedup import simhash_near_dups
@@ -144,8 +146,35 @@ def test_simhash_near_dups_band_count_tracks_radius(spark):
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon")],
         ["doc_id", "text"],
     )
-    # Radius 6 (x04's setting) is now within the derived guarantee.
+    # Radius 6 (x04's setting) rides the 28-key block-pair tier.
     out = simhash_near_dups(df, "doc_id", "text", max_hamming=6).collect()
     assert all(r.hamming <= 6 for r in out)
     with pytest.raises(ValueError, match="max_hamming"):
-        simhash_near_dups(df, "doc_id", "text", max_hamming=16)
+        simhash_near_dups(df, "doc_id", "text", max_hamming=7)
+
+
+def test_simhash_block_pair_banding_full_recall_vs_bruteforce(spark):
+    """The 28-key pair banding must find EVERY pair within radius 6 —
+    verified against a brute-force popcount over all fingerprints."""
+    from itertools import combinations
+
+    from skoltexter_by_ai_spark.operators.dedup import simhash64, simhash_near_dups
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(24):
+        # Overlapping word windows give a spread of hamming distances.
+        rows.append((i, " ".join(words[(i + j) % len(words)] for j in range(5))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    mask = (1 << 64) - 1  # fingerprints are signed longs; popcount on 64 bits
+    expected = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin((fps[a] ^ fps[b]) & mask).count("1") <= 6
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups(df, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert got == expected
