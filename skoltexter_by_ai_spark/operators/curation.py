@@ -1,0 +1,184 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+stratified sampling, benchmark-contamination detection, and per-source
+token-budget selection.
+
+The reference has no corpus tooling (its dataset is 44 school rows);
+these are SURVEY §2.4 "100 TB posture" extensions — the selection jobs
+that run in front of every large pretraining mix. All three are pure
+DataFrame compositions (no UDFs):
+
+- :func:`stratified_sample` — per-stratum keep fractions via an
+  md5-derived uniform draw. Narrow filter, ZERO shuffle, reproducible
+  across engines, re-runs and repartitioning (the same property x26's
+  ``hash_split`` relies on).
+- :func:`ngram_contamination` — which training documents contain a
+  benchmark document's n-grams (train/test leakage scan). Shingle
+  inverted-index join, eval side broadcast.
+- :func:`token_budget_sample` — deterministic-random document
+  selection per source until a token budget fills: the corpus-mixing
+  primitive (each source contributes a capped token mass, chosen
+  stably).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skoltexter_by_ai_spark.operators.dedup import tokens, word_shingles
+
+HEX_SPACE = 16**8  # the md5-prefix draw resolves to 32 bits
+
+
+def sample_key(*cols: Column | str) -> Column:
+    """First 8 hex chars of ``md5(col1:col2:...)`` — a uniform [0, 1)
+    draw keyed on content. Lowercase-hex string comparison is
+    order-preserving, and md5 is identical in every engine, so the
+    same row draws the same value in Spark, DuckDB, or a re-run on a
+    different cluster. Never uses ``rand()``: nondeterministic sampling
+    is unreproducible AND recomputes differently on task retry.
+    """
+    parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    return F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8)
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold t such that P[sample_key < t] == fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return format(min(int(fraction * HEX_SPACE), HEX_SPACE - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    id_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``fractions`` is a per-stratum dict (unlisted strata fall back to
+    ``default_fraction``) or a single float for uniform sampling. The
+    draw is keyed on (stratum, id) so membership is a pure function of
+    the row — stable under re-runs, repartitioning and incremental
+    appends (a re-ingested row keeps its fate).
+
+    Scale: a narrow filter over the scan — no shuffle, no state, no
+    driver participation; Catalyst pushes surrounding predicates as
+    usual. This is THE way to cut a 100 TB corpus to a mix recipe.
+    """
+    key = sample_key(strata_col, id_col)
+    if isinstance(fractions, dict):
+        thr: Column | None = None
+        for stratum, frac in fractions.items():
+            cond = F.col(strata_col) == stratum
+            t = F.lit(fraction_threshold(frac))
+            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        thr_col = (
+            thr.otherwise(F.lit(fraction_threshold(default_fraction)))
+            if thr is not None
+            else F.lit(fraction_threshold(default_fraction))
+        )
+    else:
+        thr_col = F.lit(fraction_threshold(fractions))
+    return df.filter(key < thr_col)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 3,
+    min_overlap: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/benchmark leakage scan: for every (train doc, eval doc)
+    pair, the fraction of the eval doc's distinct word n-grams that
+    also appear in the train doc. Pairs at or above ``min_overlap``
+    are reported — the docs to drop (or the evals to disqualify)
+    before training.
+
+    Output: (train_id, eval_id, shared_ngrams, eval_ngrams,
+    overlap_frac), overlap_frac rounded to 6 places.
+
+    Scale posture: benchmark sets are small (thousands of docs), so
+    the exploded eval shingles BROADCAST; the 100 TB train side
+    streams through scan → shingle → explode → broadcast-join with a
+    map-side partial count — the only shuffle is the final per-pair
+    aggregation, keyed on (train_id, eval_id), whose cardinality is
+    bounded by actual contamination, not corpus size.
+    """
+    t_sh = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(text_col, n)).alias("__sh"),
+    )
+    e_base = evals.select(
+        F.col(id_col).alias("eval_id"), word_shingles(text_col, n).alias("__shs")
+    )
+    e_tot = e_base.select(
+        "eval_id", F.size("__shs").cast("bigint").alias("eval_ngrams")
+    ).filter(F.col("eval_ngrams") > 0)
+    e_sh = e_base.select("eval_id", F.explode("__shs").alias("__sh"))
+    shared = (
+        t_sh.join(F.broadcast(e_sh), "__sh")
+        # word_shingles is distinct per doc on BOTH sides, so each
+        # (train, eval, shingle) triple occurs exactly once — a plain
+        # count is the distinct-shingle count, with map-side partials
+        # (countDistinct would re-shuffle per-shingle rows to dedup).
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+    return (
+        shared.join(F.broadcast(e_tot), "eval_id")
+        .withColumn(
+            "overlap_frac",
+            F.round(F.col("shared_ngrams") / F.col("eval_ngrams"), 6),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap)
+        .select("train_id", "eval_id", "shared_ngrams", "eval_ngrams", "overlap_frac")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Per-source deterministic-random selection until the token budget
+    fills: order each source's documents by their md5 draw (a stable
+    shuffle), take documents while the running token total BEFORE the
+    document is under ``budget_tokens``. Every source therefore
+    contributes ≤ budget + one document of tokens, and the selection
+    is a pure function of the corpus — the mixing step of a
+    pretraining data recipe.
+
+    Output: (id, source, n_tokens, cum_before), natural-join ready.
+
+    Scale: one shuffle on the source key + a per-source ordered window
+    over (id, n_tokens) pairs — document text never moves. Heavily
+    skewed sources (one giant crawl) are the window's partition; cap
+    parallelism by splitting such sources upstream into sub-shards if
+    a single reducer's row stream becomes the straggler.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+        sample_key(source_col, id_col).alias("__draw"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__draw", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+        )
+        .filter(F.col("cum_before") < budget_tokens)
+        .drop("__draw")
+    )

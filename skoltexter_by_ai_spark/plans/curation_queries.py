@@ -1,0 +1,132 @@
+"""Corpus-curation declared queries (operators/curation.py): the
+selection jobs in front of a pretraining mix — stratified sampling,
+benchmark-contamination scan, token-budget mixing. Each has an exact
+DuckDB oracle: the operators are deliberately built from
+engine-portable primitives (md5 draws, word shingles, ordered window
+sums) so the driver's hash gate can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from skoltexter_by_ai_spark.plans.registry import register
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB expression mirroring operators.dedup.word_shingles."""
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')))"
+    )
+
+
+# Per-stratum keep fractions for x61 (hex thresholds in the oracle are
+# fraction_threshold() of these values).
+_X61_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_X61_DEFAULT = 0.1
+
+
+@register(
+    "x61_stratified_sample",
+    oracle="""
+        SELECT doc_id, source
+        FROM documents
+        WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE source WHEN 'src0' THEN 'cccccccc'
+                          WHEN 'src1' THEN '80000000'
+                          WHEN 'src2' THEN '40000000'
+                          ELSE '19999999' END
+        ORDER BY doc_id
+    """,
+    covers="deterministic stratified sampling (md5 draw, per-stratum fractions)",
+    tags=("training", "curation"),
+)
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs, "source", _X61_FRACTIONS, "doc_id", default_fraction=_X61_DEFAULT
+    ).orderBy("doc_id")
+
+
+@register(
+    "x62_ngram_contamination",
+    # Train side = the whole documents table; eval side = every 20th
+    # document standing in for a benchmark set. Self-pairs (a document
+    # against itself) are the strongest signal and stay in.
+    oracle=f"""
+        WITH tr AS (
+            SELECT doc_id AS train_id, {_duck_shingles(3).replace("toks", _TOKS)} AS shs
+            FROM documents
+        ),
+        trs AS (SELECT train_id, unnest(shs) AS sh FROM tr),
+        ev AS (
+            SELECT doc_id AS eval_id, {_duck_shingles(3).replace("toks", _TOKS)} AS shs
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        evt AS (SELECT eval_id, CAST(len(shs) AS BIGINT) AS eval_ngrams
+                FROM ev WHERE len(shs) > 0),
+        evs AS (SELECT eval_id, unnest(shs) AS sh FROM ev),
+        shared AS (
+            SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
+            FROM trs JOIN evs USING (sh)
+            GROUP BY 1, 2
+        )
+        SELECT train_id, eval_id, shared_ngrams, eval_ngrams,
+               ROUND(shared_ngrams * 1.0 / eval_ngrams, 6) AS overlap_frac
+        FROM shared JOIN evt USING (eval_id)
+        WHERE shared_ngrams * 1.0 / eval_ngrams >= 0.5
+        ORDER BY train_id, eval_id
+    """,
+    covers="benchmark-contamination scan: n-gram overlap train x eval (leakage)",
+    tags=("training", "curation", "text"),
+)
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(docs, evals, n=3, min_overlap=0.5).orderBy(
+        "train_id", "eval_id"
+    )
+
+
+@register(
+    "x63_token_budget_sample",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY draw, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_before
+        FROM c WHERE cum_before < 500
+        ORDER BY doc_id
+    """,
+    covers="token-budget corpus mixing: stable-random per-source selection",
+    tags=("training", "curation"),
+)
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.curation import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, "source", "doc_id", "text", budget_tokens=500
+    ).orderBy("doc_id")

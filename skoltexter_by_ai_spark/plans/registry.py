@@ -89,6 +89,10 @@ def _ensure_loaded() -> None:
         from skoltexter_by_ai_spark.plans import tpch_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from skoltexter_by_ai_spark.plans import curation_queries  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True
 
 

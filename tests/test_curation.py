@@ -1,0 +1,111 @@
+"""Unit tests for the corpus-curation operators (exact semantics,
+determinism, budget invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators import curation
+
+
+def test_fraction_threshold_bounds():
+    assert curation.fraction_threshold(0.0) == "00000000"
+    assert curation.fraction_threshold(1.0) == "ffffffff"
+    assert curation.fraction_threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        curation.fraction_threshold(1.5)
+
+
+def test_stratified_sample_deterministic_and_stratum_aware(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    out1 = curation.stratified_sample(df, "stratum", {"a": 1.0, "b": 0.0}, "id")
+    got = [r.stratum for r in out1.collect()]
+    assert len(got) == 200 and set(got) == {"a"}  # fractions are exact at 0/1
+    # Mid fractions: deterministic across runs and ballpark-accurate.
+    half = curation.stratified_sample(df, "stratum", 0.5, "id")
+    n1, n2 = half.count(), half.count()
+    assert n1 == n2
+    assert 120 <= n1 <= 280  # ~200 expected, generous bound
+    # Unlisted strata use the default fraction.
+    dflt = curation.stratified_sample(df, "stratum", {"a": 0.0}, "id", default_fraction=1.0)
+    assert set(r.stratum for r in dflt.collect()) == {"b"}
+
+
+def test_stratified_sample_membership_stable_under_repartition(spark):
+    df = spark.createDataFrame([(i, "s") for i in range(300)], ["id", "stratum"])
+    a = sorted(r.id for r in curation.stratified_sample(df, "stratum", 0.3, "id").collect())
+    b = sorted(
+        r.id
+        for r in curation.stratified_sample(
+            df.repartition(7), "stratum", 0.3, "id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_ngram_contamination_exact_fractions(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),  # shares eval's grams
+            (2, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, "the cat sat on the mat")],  # 4 distinct trigrams
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.train_id, r.eval_id): r
+        for r in curation.ngram_contamination(train, evals, n=3, min_overlap=0.5).collect()
+    }
+    assert set(out) == {(1, 100)}  # doc 2 shares nothing
+    row = out[(1, 100)]
+    assert row.eval_ngrams == 4
+    assert row.shared_ngrams == 4  # all eval trigrams appear in doc 1
+    assert row.overlap_frac == 1.0
+
+
+def test_ngram_contamination_threshold_filters(spark):
+    train = spark.createDataFrame([(1, "a b c x y z")], ["doc_id", "text"])
+    evals = spark.createDataFrame([(9, "a b c q r s")], ["doc_id", "text"])
+    # Shared trigrams: only "a b c" of eval's 4 -> 0.25 < 0.5 threshold.
+    assert curation.ngram_contamination(train, evals, n=3, min_overlap=0.5).count() == 0
+    low = curation.ngram_contamination(train, evals, n=3, min_overlap=0.2).collect()
+    assert len(low) == 1 and low[0].overlap_frac == 0.25
+
+
+def test_token_budget_sample_invariants(spark):
+    rows = [(i, f"src{i % 3}", "tok " * (5 + i % 7)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    budget = 50
+    out = curation.token_budget_sample(df, "source", "doc_id", "text", budget).collect()
+    assert out, "budget selection must keep at least one doc per source"
+    by_src: dict[str, list] = {}
+    for r in out:
+        assert r.cum_before < budget  # the defining keep condition
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r.cum_before)
+        # cum_before is exactly the running sum of the kept prefix.
+        run = 0
+        for r in docs:
+            assert r.cum_before == run
+            run += r.n_tokens
+        # Total never exceeds budget + the last doc's tokens.
+        assert run < budget + max(r.n_tokens for r in docs) + 1
+
+
+def test_token_budget_sample_deterministic(spark):
+    rows = [(i, "s", "w " * 10) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    a = sorted(r.doc_id for r in curation.token_budget_sample(df, "source", "doc_id", "text", 100).collect())
+    b = sorted(
+        r.doc_id
+        for r in curation.token_budget_sample(
+            df.repartition(5), "source", "doc_id", "text", 100
+        ).collect()
+    )
+    assert a == b and len(a) == 10  # 100 tokens / 10 per doc
