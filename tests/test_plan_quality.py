@@ -238,3 +238,21 @@ def test_top_supplier_scalar_max_broadcasts(spark):
     plan = _plan(_build(spark, "x58_top_supplier"))
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_contamination_broadcasts_eval_and_combines_map_side(spark):
+    # x62: the (small) benchmark side must broadcast — shuffling the
+    # exploded 100 TB train shingles to meet it would be the bug — and
+    # the per-pair count must partial-aggregate before its exchange.
+    plan = _plan(_build(spark, "x62_ngram_contamination"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"(\w*HashAggregate)", plan)) >= 2, plan
+
+
+def test_stratified_sample_is_pure_narrow_filter(spark):
+    # x61: sampling must add NO exchange — membership is computed
+    # row-local from the md5 draw (the orderBy sort is the only
+    # allowed exchange in the declared query).
+    plan = _plan(_build(spark, "x61_stratified_sample"))
+    assert plan.count("Exchange") <= 1, plan
+    assert "rangepartitioning" in plan.lower() or plan.count("Exchange") == 0, plan
