@@ -53,7 +53,18 @@ _SEP_ROW = re.compile(r"^\s*\|?[\s:|-]+\|[\s:|-]*$")
 
 
 def md_to_html(text: str) -> str:
-    """Convert a markdown document to HTML (subset; see module doc)."""
+    """Convert a markdown document to HTML (subset; see module doc).
+
+    Subset-path examples (with ``markdown2`` installed, output comes
+    from the library instead):
+
+    >>> _HAVE_MARKDOWN2 or md_to_html("# Hi") == "<h1>Hi</h1>\\n"
+    True
+    >>> _HAVE_MARKDOWN2 or md_to_html("a **b** c") == "<p>a <strong>b</strong> c</p>\\n"
+    True
+    >>> _HAVE_MARKDOWN2 or md_to_html("- x\\n- y").startswith("<ul>")
+    True
+    """
     if _HAVE_MARKDOWN2:  # pragma: no cover
         return markdown2.markdown(text, extras=["tables", "fenced-code-blocks"])
 

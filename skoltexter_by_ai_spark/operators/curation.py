@@ -44,7 +44,15 @@ def sample_key(*cols: Column | str) -> Column:
 
 
 def fraction_threshold(fraction: float) -> str:
-    """Hex threshold t such that P[sample_key < t] == fraction."""
+    """Hex threshold t such that P[sample_key < t] == fraction.
+
+    >>> fraction_threshold(0.5)
+    '80000000'
+    >>> fraction_threshold(0.1)
+    '19999999'
+    >>> fraction_threshold(0.0)
+    '00000000'
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
     return format(min(int(fraction * HEX_SPACE), HEX_SPACE - 1), "08x")

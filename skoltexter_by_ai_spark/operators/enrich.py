@@ -131,7 +131,11 @@ def azure_chat_endpoint(endpoint_base: str, deployment_name: str, api_version: s
     """Chat-completions URL, byte-matching the reference's construction
     (program2_ai_processor.py:153-168): trailing slashes on the base
     are stripped, path is ``/openai/deployments/{name}/chat/completions``
-    and the api version rides the query string."""
+    and the api version rides the query string.
+
+    >>> azure_chat_endpoint("https://x.example/", "gpt", "2024-02-01")
+    'https://x.example/openai/deployments/gpt/chat/completions?api-version=2024-02-01'
+    """
     return (
         f"{endpoint_base.rstrip('/')}/openai/deployments/{deployment_name}/"
         f"chat/completions?api-version={api_version}"

@@ -83,6 +83,13 @@ def fakm_decode(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 
     Raises ``NotImplementedError`` for non-FAKM bytes when no real
     codec is installed — the documented stub boundary.
+
+    >>> fakm_decode(fakm_encode("image", b"px", width=2, height=1))
+    ('image', 2, 1, 0, 0, b'px')
+    >>> fakm_decode(b"JPEGnotreally")
+    Traceback (most recent call last):
+        ...
+    NotImplementedError: real image/audio codecs (PIL/libav) are not installed in this environment; only the deterministic FAKM container is decodable
     """
     if data[:4] != _MAGIC:
         raise NotImplementedError(
