@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skoltexter_by_ai_spark.plans.analytics_queries import _REV, _floor_div, _rev_col
+from skoltexter_by_ai_spark.plans.analytics_queries import (
+    _REV,
+    _REV4,
+    _floor_div,
+    _rev4_col,
+    _rev_col,
+)
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -80,7 +86,7 @@ def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nation broadcasts onto the output. Top-20 by revenue.
     oracle=f"""
         SELECT c_custkey, c_name,
-               CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+               CAST(SUM({_REV4}) AS DOUBLE) / 10000 AS revenue,
                n_name
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -109,7 +115,7 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg((F.sum(_rev4_col()).cast("double") / 10000).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -282,7 +288,7 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group through one partition).
     oracle=f"""
         WITH rev AS (
-            SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+            SELECT l_suppkey, CAST(SUM({_REV4}) AS DOUBLE) / 10000 AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -304,7 +310,7 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.sum(_rev_col()).cast("double").alias("total_revenue"))
+        .agg((F.sum(_rev4_col()).cast("double") / 10000).alias("total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (
@@ -322,7 +328,7 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the join (p_brand/p_size prune part; l_quantity prunes
     # lineitem) — the whole disjunction must NOT block pushdown.
     oracle=f"""
-        SELECT p_brand, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        SELECT p_brand, CAST(SUM({_REV4}) AS DOUBLE) / 10000 AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
            OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity < 25)
@@ -348,7 +354,7 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.filter(cond)
         .groupBy("p_brand")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg((F.sum(_rev4_col()).cast("double") / 10000).alias("revenue"))
         .orderBy("p_brand")
     )
 
