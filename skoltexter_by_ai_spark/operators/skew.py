@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # agg kinds: name -> (kind, source column or None)
-_KINDS = ("count", "sum", "sum_decimal", "min", "max")
+_KINDS = ("count", "sum", "sum_decimal", "sum_cents", "min", "max")
 
 
 def salted_agg(
@@ -48,6 +48,12 @@ def salted_agg(
         elif kind == "sum_decimal":
             partials.append(F.sum(F.col(col).cast("decimal(18,2)")).alias(p))
             finals.append(F.sum(p).cast("decimal(18,2)").alias(name))
+        elif kind == "sum_cents":
+            # 2-decimal money as exact integer cents: primitive long
+            # adds in both stages (no per-row BigDecimal); caller
+            # divides by 100 at the output boundary.
+            partials.append(F.sum(F.round(F.col(col) * 100).cast("long")).alias(p))
+            finals.append(F.sum(p).cast("long").alias(name))
         elif kind == "min":
             partials.append(F.min(col).alias(p))
             finals.append(F.min(p).alias(name))

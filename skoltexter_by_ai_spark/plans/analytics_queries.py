@@ -7,10 +7,11 @@ SETS.
 
 Cross-engine gotchas handled here: DuckDB ``arg_max`` has no
 struct-valued ordering key, so deterministic tie-breaks use a
-collision-free BIGINT composite; float aggregates are rounded (and exact decimal sums cast to DOUBLE
-at the output boundary) so the value hash is bit-stable; higher-order sums
-cast elements to DOUBLE *before* folding so both engines accumulate
-in the same precision and order.
+collision-free BIGINT composite; float aggregates are rounded, and
+money sums run as exact scaled-integer (cents) LONG arithmetic with a
+single double division at the output boundary, so the value hash is
+bit-stable; higher-order sums cast elements to DOUBLE *before*
+folding so both engines accumulate in the same precision and order.
 """
 
 from __future__ import annotations
@@ -251,7 +252,7 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -267,7 +268,7 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         FROM x40_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -407,7 +408,7 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH s AS (
             SELECT user_id, date_trunc('hour', ts) AS h,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hourly_value
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS hourly_value
             FROM events WHERE user_id < 20
             GROUP BY 1, 2
         ), b AS (
@@ -437,8 +438,7 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("user_id") < 20)
         .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100)
             .alias("hourly_value")
         )
     )
@@ -490,12 +490,12 @@ def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (
             SELECT event_id, user_id,
                    epoch_ns(ts) // 1000000000 AS sec,
-                   CAST(value AS DECIMAL(18,2)) AS v
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
             FROM events WHERE user_id < 20
         )
         SELECT event_id, user_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
-               CAST(SUM(v) OVER w AS DOUBLE) AS value_last_hour
+               CAST(SUM(v) OVER w AS DOUBLE) / 100 AS value_last_hour
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY sec
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -512,7 +512,7 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_timestamp("ts").alias("sec"),
-        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -523,7 +523,7 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
-        F.sum("v").over(w).cast("double").alias("value_last_hour"),
+        (F.sum("v").over(w).cast("double") / 100).alias("value_last_hour"),
     ).orderBy("event_id")
 
 

@@ -521,7 +521,7 @@ def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                epoch_ns(MIN(ts)) // 1000000000 AS session_start,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         FROM sess
         GROUP BY user_id, sid
         ORDER BY user_id, session_start
@@ -607,7 +607,7 @@ def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS hour_start,
                event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         FROM events
         GROUP BY 1, 2
         ORDER BY hour_start, event_type
@@ -624,7 +624,7 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias("total_value"),
         )
         .orderBy("hour_start", "event_type")
     )

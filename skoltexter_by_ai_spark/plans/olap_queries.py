@@ -30,7 +30,7 @@ from skoltexter_by_ai_spark.sources.tables import load_table
                n_name,
                CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
                COUNT(*) AS n_suppliers,
-               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -52,8 +52,7 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int").alias("gid"),
             F.count("*").alias("n_suppliers"),
-            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).cast("double") / 100)
             .alias("total_bal"),
         )
         .select("r_name", "n_name", "gid", "n_suppliers", "total_bal")
@@ -100,12 +99,12 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INT) AS pr_rank,
                LAG(o_orderkey) OVER w AS prev_order,
                LEAD(o_orderkey) OVER w AS next_order,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
                     (PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100 AS running_total,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
                     (PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS 2 PRECEDING) AS DOUBLE)
+                     ROWS 2 PRECEDING) AS DOUBLE) / 100
                    / COUNT(*) OVER
                     (PARTITION BY o_custkey ORDER BY o_orderkey
                      ROWS 2 PRECEDING) AS moving_avg3
@@ -122,7 +121,7 @@ def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = w.rowsBetween(-2, Window.currentRow)
-    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         orders.select(
             "o_custkey",
@@ -131,11 +130,12 @@ def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(wp).cast("int").alias("pr_rank"),
             F.lag("o_orderkey").over(w).alias("prev_order"),
             F.lead("o_orderkey").over(w).alias("next_order"),
-            F.sum(dec).over(run).cast("double").alias("running_total"),
-            # Exact decimal window sum cast to double, divided by the
-            # window count: decimal AVG rounds differently per engine,
-            # but sum/count over identical doubles is bit-stable.
-            (F.sum(dec).over(mov).cast("double") / F.count("*").over(mov)).alias(
+            (F.sum(cents).over(run).cast("double") / 100).alias("running_total"),
+            # Exact integer-cents window sum, then double division by
+            # 100 and by the window count: decimal AVG rounds
+            # differently per engine, but identical doubles divided in
+            # the same order are bit-stable.
+            (F.sum(cents).over(mov).cast("double") / 100 / F.count("*").over(mov)).alias(
                 "moving_avg3"
             ),
         )
@@ -333,7 +333,7 @@ def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_suppkey,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         FROM lineitem
         GROUP BY l_suppkey
         ORDER BY l_suppkey
@@ -351,13 +351,14 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["l_suppkey"],
             aggs={
                 "n": ("count", None),
-                "revenue": ("sum_decimal", "l_extendedprice"),
+                "revenue": ("sum_cents", "l_extendedprice"),
             },
             salt=8,
         )
-        # Exact decimal accumulation inside the operator; double at the
-        # output boundary so the cross-engine value hash is stable.
-        .withColumn("revenue", F.col("revenue").cast("double"))
+        # Exact integer-cents accumulation inside the operator; double
+        # at the output boundary so the cross-engine value hash is
+        # stable.
+        .withColumn("revenue", F.col("revenue").cast("double") / 100)
         .orderBy("l_suppkey")
     )
 
@@ -371,7 +372,7 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderpriority,
                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY gid DESC, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -388,8 +389,7 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("gid"),
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
             .alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
@@ -409,7 +409,7 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
                CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         FROM orders
         WHERE o_orderdate IS NOT NULL
         GROUP BY yr, mo
@@ -428,8 +428,7 @@ def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
             .alias("total"),
         )
         .orderBy("yr", "mo")

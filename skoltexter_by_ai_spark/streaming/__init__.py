@@ -84,7 +84,7 @@ def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("__w.start")).alias("hour_start"),
@@ -114,7 +114,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 h
         events.groupBy(F.session_window("ts", gap).alias("__w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias("total_value"),
         )
         .select(
             "user_id",
