@@ -483,3 +483,27 @@ def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "x64_hll_sketch_rollup",
+    oracle=None,  # Datasketches HLL estimates are engine-specific;
+    # accuracy vs exact distinct counts is bound-tested in
+    # tests/test_sketches.py (<= 2% error, exact mergeability).
+    covers="mergeable HLL sketch rollup: fine sketches -> coarse distinct estimates (100 TB COUNT DISTINCT)",
+    tags=("olap", "sketch"),
+    min_rows=3,
+)
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.sketches import approx_distinct_rollup
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # Sketch at (returnflag, linestatus) — the granularity you would
+    # persist — and answer the coarser per-returnflag question by
+    # unioning sketches, never rescanning raw rows.
+    return approx_distinct_rollup(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        ["l_returnflag"],
+        "l_suppkey",
+    ).orderBy("l_returnflag")

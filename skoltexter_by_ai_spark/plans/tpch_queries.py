@@ -258,12 +258,14 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         li.groupBy("l_orderkey")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"),
+            # One long aggregate serves both the HAVING threshold
+            # (> 150 qty == > 15000 cents, exact) and the output
+            # measure — primitive adds, no per-row BigDecimal.
             F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
             .cast("bigint")
             .alias("sum_qty_cents"),
         )
-        .filter(F.col("__q") > 150)
+        .filter(F.col("sum_qty_cents") > 150 * 100)
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
