@@ -101,6 +101,7 @@ def ngram_contamination(
     min_overlap: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Train/benchmark leakage scan: for every (train doc, eval doc)
     pair, the fraction of the eval doc's distinct word n-grams that
@@ -117,13 +118,28 @@ def ngram_contamination(
     map-side partial count — the only shuffle is the final per-pair
     aggregation, keyed on (train_id, eval_id), whose cardinality is
     bounded by actual contamination, not corpus size.
+
+    ``hash_shingles=True`` joins on ``xxhash64`` of each shingle
+    instead of the string — 8-byte join keys and broadcast entries
+    instead of ~n·word-length strings, the form to use at scale.
+    Collisions are ~n²/2⁶⁴ per eval doc (negligible); results are
+    equal to the string form on real text (equivalence unit-tested).
+    Not used in the declared query because DuckDB cannot reproduce
+    xxhash64.
     """
+
+    def _shingles(col: str):
+        sh = word_shingles(col, n)
+        if hash_shingles:
+            return F.transform(sh, lambda s: F.xxhash64(s))
+        return sh
+
     t_sh = train.select(
         F.col(id_col).alias("train_id"),
-        F.explode(word_shingles(text_col, n)).alias("__sh"),
+        F.explode(_shingles(text_col)).alias("__sh"),
     )
     e_base = evals.select(
-        F.col(id_col).alias("eval_id"), word_shingles(text_col, n).alias("__shs")
+        F.col(id_col).alias("eval_id"), _shingles(text_col).alias("__shs")
     )
     e_tot = e_base.select(
         "eval_id", F.size("__shs").cast("bigint").alias("eval_ngrams")

@@ -109,3 +109,26 @@ def test_token_budget_sample_deterministic(spark):
         ).collect()
     )
     assert a == b and len(a) == 10  # 100 tokens / 10 per doc
+
+
+def test_ngram_contamination_hashed_equals_string_form(spark):
+    """The xxhash64 scale path (8-byte join keys) must produce the
+    same pairs and fractions as the exact string-shingle form."""
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    evals = docs.filter(F.col("doc_id") % 40 == 0)
+
+    def key(rows):
+        return sorted(
+            (r.train_id, r.eval_id, r.shared_ngrams, r.eval_ngrams, r.overlap_frac)
+            for r in rows
+        )
+
+    plain = key(curation.ngram_contamination(docs, evals, n=3, min_overlap=0.3).collect())
+    hashed = key(
+        curation.ngram_contamination(
+            docs, evals, n=3, min_overlap=0.3, hash_shingles=True
+        ).collect()
+    )
+    assert plain and plain == hashed
