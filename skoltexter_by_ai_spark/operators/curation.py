@@ -94,6 +94,43 @@ def stratified_sample(
     return df.filter(key < thr_col)
 
 
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted top-k sample per stratum
+    (Efraimidis–Spirakis A-ES): each row draws a reproducible uniform
+    u from md5(stratum, id) and is ranked by priority ``-ln(u)/w`` —
+    the k smallest per stratum form an exact weighted sample without
+    replacement (selection probability proportional to ``weight_col``).
+
+    The draw divides by 2^32 (a power of two), so u is bit-identical
+    in any engine; the ln/division result is rounded to 6 places with
+    an id tie-break, so the selection is stable even across libm ulp
+    differences. Rows with non-positive weight are excluded (they have
+    zero selection probability; also guards the division).
+
+    Output: input columns + ``priority``. Scale: one shuffle on the
+    stratum + a per-stratum window — the same shape as
+    :func:`token_budget_sample`.
+    """
+    u = (F.conv(sample_key(strata_col, id_col), 16, 10).cast("double") + 1) / F.lit(
+        float(HEX_SPACE)
+    )
+    pr = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    w = Window.partitionBy(strata_col).orderBy("priority", id_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pr)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     evals: DataFrame,

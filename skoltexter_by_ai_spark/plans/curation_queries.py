@@ -130,3 +130,47 @@ def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         docs, "source", "doc_id", "text", budget_tokens=500
     ).orderBy("doc_id")
+
+
+@register(
+    "x65_weighted_sample",
+    # Weighted-without-replacement sample, 5 docs per source with
+    # probability ~ token count. The md5 draw divides by 2^32 (exact
+    # in doubles), and the ln/weight priority is rounded to 6 places
+    # with an id tie-break, so both engines select identically.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hx
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, source, n_tokens,
+                   ROUND(-ln((hx + 1) / 4294967296.0) / n_tokens, 6) AS priority
+            FROM t WHERE n_tokens > 0
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY priority, doc_id) AS rn
+            FROM p
+        )
+        SELECT doc_id, source, n_tokens, priority
+        FROM r WHERE rn <= 5
+        ORDER BY doc_id
+    """,
+    covers="deterministic weighted sampling (Efraimidis-Spirakis top-k per stratum)",
+    tags=("training", "curation"),
+)
+def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import weighted_sample
+    from skoltexter_by_ai_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return weighted_sample(docs, "source", "doc_id", "n_tokens", k=5).orderBy("doc_id")

@@ -132,3 +132,31 @@ def test_ngram_contamination_hashed_equals_string_form(spark):
         ).collect()
     )
     assert plain and plain == hashed
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Across many strata, a row with 50x the weight of its peers must
+    be selected far more often than uniform chance would allow."""
+    rows = []
+    for s in range(200):
+        for i in range(10):
+            rows.append((s * 100 + i, f"s{s}", 50 if i == 0 else 1))
+    df = spark.createDataFrame(rows, ["id", "stratum", "w"])
+    out = curation.weighted_sample(df, "stratum", "id", "w", k=1).collect()
+    assert len(out) == 200  # one winner per stratum
+    heavy_wins = sum(1 for r in out if r.id % 100 == 0)
+    # P(heavy wins) = 50/59 ≈ 0.85; uniform would be 0.1. Require a
+    # margin that fails decisively if weights are ignored.
+    assert heavy_wins >= 120, heavy_wins
+
+
+def test_weighted_sample_deterministic_and_guards_zero_weight(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 5), (2, "s", 0), (3, "s", -2), (4, "s", 1)], ["id", "stratum", "w"]
+    )
+    out1 = sorted(r.id for r in curation.weighted_sample(df, "stratum", "id", "w", 10).collect())
+    out2 = sorted(
+        r.id
+        for r in curation.weighted_sample(df.repartition(3), "stratum", "id", "w", 10).collect()
+    )
+    assert out1 == out2 == [1, 4]  # zero/negative weights excluded
