@@ -628,3 +628,58 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+@register(
+    "x66_multimodal_features",
+    oracle=None,  # binary media plumbing is not SQL-expressible; the
+    # FAKM codec roundtrip + stage semantics are unit-tested in
+    # tests/test_multimodal.py. This entry proves the full
+    # synthesize -> decode -> resize -> featurize dataflow end-to-end
+    # on the driver's fixture text.
+    covers="multimodal columns: binary media -> decode_meta -> resize -> feature extraction (SURVEY §2.4)",
+    tags=("multimodal",),
+    min_rows=50,
+)
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from skoltexter_by_ai_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    # Deterministic 16x16 grayscale "images" whose pixels are the
+    # document's utf-8 bytes — synthesized media exercising the real
+    # Arrow-batched decode/resize/featurize stages (the codec is the
+    # documented FAKM stub; the Spark dataflow is production-shaped).
+    def _to_fakm_batch(texts):
+        return pd.Series(
+            [
+                mm.fakm_encode(
+                    "image",
+                    (t or "").encode("utf-8")[:256].ljust(256, b"\0"),
+                    width=16,
+                    height=16,
+                )
+                for t in texts
+            ]
+        )
+
+    to_fakm = F.pandas_udf(_to_fakm_batch, "binary")
+
+    media = docs.select(
+        F.concat(F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias(
+            "media_id"
+        ),
+        to_fakm("text").alias("data"),
+    )
+    feats = mm.extract_features(
+        mm.resize_images(mm.decode_meta(media), width=8, height=8)
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("mean_px"),
+        F.round(F.element_at("features", 2), 6).alias("std_px"),
+    ).orderBy("media_id")
