@@ -683,3 +683,27 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("mean_px"),
         F.round(F.element_at("features", 2), 6).alias("std_px"),
     ).orderBy("media_id")
+
+
+@register(
+    "x67_embed_and_near_dup",
+    oracle=None,  # the hashing-trick encoder + LSH constants are
+    # engine-side; encoder determinism and near-dup recall are
+    # unit-tested (tests/test_embedding.py, tests/test_similarity.py).
+    covers="embedding production -> similarity pipeline: hashed encoder feeding embedding near-dup (SURVEY §2.4)",
+    tags=("similarity", "training"),
+    min_rows=100,
+)
+def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.embedding import hashed_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_embedding(docs, "text", "doc_id", dim=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    # Near-identical fixture documents share most tokens, so their
+    # hashed embeddings exceed cosine 0.9 — the full production path
+    # (encode -> LSH bucket -> exact verify) must surface them.
+    return similarity.embedding_near_dups(
+        emb, threshold=0.9, n_tables=8, n_planes=12
+    ).orderBy("id_a", "id_b")
