@@ -507,3 +507,123 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         "l_suppkey",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "x68_funnel_analysis",
+    # Ordered 3-stage funnel per user: first view, first click AFTER
+    # that view, first purchase AFTER that click. Stage-dependent mins
+    # are two broadcast-joined re-aggregations of the same events scan
+    # — the funnel shape a warehouse MATCH_RECOGNIZE would express,
+    # built from joins both engines share.
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY 1
+        )
+        SELECT v.user_id AS user_id,
+               epoch_ns(v.t1) // 1000000000 AS first_view,
+               epoch_ns(c.t2) // 1000000000 AS first_click_after,
+               epoch_ns(p.t3) // 1000000000 AS first_purchase_after
+        FROM v JOIN c ON v.user_id = c.user_id
+               JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id
+    """,
+    covers="ordered funnel analysis: stage-dependent first-event times per user",
+    tags=("olap", "events"),
+)
+def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            "user_id",
+            F.unix_timestamp("t1").alias("first_view"),
+            F.unix_timestamp("t2").alias("first_click_after"),
+            F.unix_timestamp("t3").alias("first_purchase_after"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x69_cohort_retention",
+    # Cohort = a user's first-activity day; retention = distinct users
+    # of each cohort active again k days later. Two aggregations over
+    # one events scan with the (small) cohort map broadcast back.
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY 1
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_k
+            FROM events e JOIN first_day f ON e.user_id = f.user_id
+        )
+        SELECT CAST(strftime(cohort_day, '%Y-%m-%d') AS VARCHAR) AS cohort_day,
+               CAST(day_k AS INT) AS day_k,
+               COUNT(*) AS n_users
+        FROM activity
+        WHERE day_k <= 7
+        GROUP BY cohort_day, day_k
+        ORDER BY cohort_day, day_k
+    """,
+    covers="cohort retention: first-activity cohorts x day-offset distinct activity",
+    tags=("olap", "events"),
+)
+def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        events.join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_k"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_k") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_k").cast("int").alias("day_k"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_k")
+    )
