@@ -697,7 +697,12 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skoltexter_by_ai_spark.operators.embedding import hashed_embedding
 
-    docs = load_table(spark, sf_dir, "documents")
+    # The fixture corpus is deliberately near-dup-rich, so pair volume
+    # grows quadratically with corpus size; the declared query bounds
+    # its input to keep the bench honest about the PIPELINE cost (the
+    # operator's scale posture is the LSH bucketing, covered by x15's
+    # notes) while still crossing the sf0.01 gate with >300 pairs.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     emb = hashed_embedding(docs, "text", "doc_id", dim=64).withColumnRenamed(
         "doc_id", "vec_id"
     )
