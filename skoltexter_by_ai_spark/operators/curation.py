@@ -202,6 +202,36 @@ def ngram_contamination(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Clip ``value_col`` to its [lower, upper] quantiles (per group
+    when ``group_col`` is given) — outlier capping for feature
+    pipelines. Adds ``{value_col}_w`` plus the clip bounds.
+
+    The quantile thresholds are interpolated doubles rounded to 6
+    places (the cross-engine-stable form proven by the percentile
+    suite), computed in ONE aggregation and broadcast back — never a
+    per-row subquery. The clip itself is a narrow projection.
+    """
+    lo = F.round(F.percentile(value_col, F.lit(lower)), 6).alias("__lo")
+    hi = F.round(F.percentile(value_col, F.lit(upper)), 6).alias("__hi")
+    if group_col is None:
+        bounds = df.agg(lo, hi)
+        joined = df.crossJoin(F.broadcast(bounds))
+    else:
+        bounds = df.groupBy(group_col).agg(lo, hi)
+        joined = df.join(F.broadcast(bounds), group_col)
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return joined.withColumn(f"{value_col}_w", clipped).withColumnsRenamed(
+        {"__lo": f"{value_col}_lo", "__hi": f"{value_col}_hi"}
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     source_col: str,

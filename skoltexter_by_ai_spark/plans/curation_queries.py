@@ -174,3 +174,55 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     )
     return weighted_sample(docs, "source", "doc_id", "n_tokens", k=5).orderBy("doc_id")
+
+
+@register(
+    "x70_winsorize",
+    # Per-returnflag 5/95% winsorization of l_extendedprice: quantile
+    # thresholds from one aggregation (quantile_cont == Spark
+    # percentile, both interpolated, rounded to 6), broadcast back and
+    # clipped in a narrow projection.
+    oracle="""
+        WITH b AS (
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_orderkey, l_linenumber, l.l_returnflag,
+               CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+               b.lo AS l_extendedprice_lo,
+               b.hi AS l_extendedprice_hi,
+               LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), b.lo), b.hi)
+                   AS l_extendedprice_w
+        FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        WHERE l_orderkey <= 2000
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    covers="winsorization / outlier clipping per group (feature-pipeline numeric prep)",
+    tags=("training", "curation", "olap"),
+)
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    # Thresholds from the full table; the projected output is bounded
+    # so the declared result stays small.
+    out = winsorize(li, "l_extendedprice", group_col="l_returnflag")
+    return (
+        out.filter(F.col("l_orderkey") <= 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            "l_extendedprice_lo",
+            "l_extendedprice_hi",
+            "l_extendedprice_w",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

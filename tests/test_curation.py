@@ -225,3 +225,14 @@ def test_budget_selection_is_prefix_closed_property(spark):
                 run += n
 
     check()
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    rows = [(i, "g", float(i)) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    out = {r.id: r for r in curation.winsorize(df, "v", group_col="g", lower=0.1, upper=0.9).collect()}
+    assert len(out) == 100
+    lo, hi = out[1].v_lo, out[1].v_hi
+    assert lo == pytest.approx(10.9) and hi == pytest.approx(90.1)
+    assert out[1].v_w == lo and out[100].v_w == hi  # tails clipped
+    assert out[50].v_w == 50.0  # interior untouched
