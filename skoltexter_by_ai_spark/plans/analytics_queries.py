@@ -812,3 +812,48 @@ def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "x71_regex_extract_all",
+    # All numeric runs in the raw JSON props text, re-aggregated:
+    # regexp_extract_all + array fold are the generic "parse
+    # semi-structured text into values" pair (F8's regex sibling).
+    oracle="""
+        WITH m AS (
+            SELECT event_id,
+                   regexp_extract_all(props, '[0-9]+') AS nums
+            FROM events WHERE event_id <= 5000
+        )
+        SELECT event_id,
+               CAST(len(nums) AS INT) AS n_matches,
+               CAST(COALESCE(list_aggregate(list_transform(nums, x -> CAST(x AS BIGINT)), 'sum'), 0) AS BIGINT) AS num_sum
+        FROM m
+        WHERE len(nums) > 0
+        ORDER BY event_id
+    """,
+    covers="regexp_extract_all -> array analytics (parse semi-structured text)",
+    tags=("analytics", "text"),
+)
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 5000)
+    nums = F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0)
+    return (
+        events.select("event_id", nums.alias("nums"))
+        .filter(F.size("nums") > 0)
+        .select(
+            "event_id",
+            F.size("nums").cast("int").alias("n_matches"),
+            F.coalesce(
+                F.aggregate(
+                    F.transform("nums", lambda x: x.cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("num_sum"),
+        )
+        .orderBy("event_id")
+    )
