@@ -256,3 +256,20 @@ def test_stratified_sample_is_pure_narrow_filter(spark):
     plan = _plan(_build(spark, "x61_stratified_sample"))
     assert plan.count("Exchange") <= 1, plan
     assert "rangepartitioning" in plan.lower() or plan.count("Exchange") == 0, plan
+
+
+def test_winsorize_broadcasts_quantile_bounds(spark):
+    # x70: the per-group clip bounds come from ONE aggregation joined
+    # back by broadcast — a per-row correlated subquery or a shuffle
+    # of the fact side for the tiny bounds table would be the bug.
+    plan = _plan(_build(spark, "x70_winsorize"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_funnel_stages_broadcast_prior_stage(spark):
+    # x68: each funnel stage filters events against the PRIOR stage's
+    # per-user min — those tiny aggregates must broadcast onto the
+    # events scan, never shuffle it.
+    plan = _plan(_build(spark, "x68_funnel_analysis"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
