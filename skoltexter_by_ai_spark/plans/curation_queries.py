@@ -226,3 +226,68 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "x72_robust_zscore",
+    # Robust standardization for feature pipelines: (v - median)/MAD
+    # per group, where MAD = median(|v - median|). Two aggregation
+    # passes, each broadcast back onto the narrow projection — the
+    # outlier-insensitive sibling of mean/stddev scaling. Quantiles
+    # are interpolated doubles rounded to 6 (the cross-engine-stable
+    # form); the final score divides identically-rounded doubles.
+    oracle="""
+        WITH med AS (
+            SELECT l_returnflag, ROUND(median(l_extendedprice), 6) AS med
+            FROM lineitem GROUP BY 1
+        ),
+        mad AS (
+            SELECT l.l_returnflag,
+                   ROUND(median(ABS(CAST(l_extendedprice AS DOUBLE) - m.med)), 6) AS mad
+            FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+            GROUP BY 1
+        )
+        SELECT l_orderkey, l_linenumber, l.l_returnflag,
+               m.med AS grp_median, d.mad AS grp_mad,
+               ROUND((CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad, 6) AS robust_z
+        FROM lineitem l
+        JOIN med m ON l.l_returnflag = m.l_returnflag
+        JOIN mad d ON l.l_returnflag = d.l_returnflag
+        WHERE l_orderkey <= 2000
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    covers="robust z-score: per-group median/MAD standardization (outlier-insensitive scaling)",
+    tags=("training", "curation", "olap"),
+)
+def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("grp_median")
+    )
+    with_med = li.join(F.broadcast(med), "l_returnflag")
+    mad = with_med.groupBy("l_returnflag").agg(
+        F.round(
+            F.median(F.abs(F.col("l_extendedprice").cast("double") - F.col("grp_median"))), 6
+        ).alias("grp_mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "l_returnflag")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "grp_median",
+            "grp_mad",
+            F.round(
+                (F.col("l_extendedprice").cast("double") - F.col("grp_median"))
+                / F.col("grp_mad"),
+                6,
+            ).alias("robust_z"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
