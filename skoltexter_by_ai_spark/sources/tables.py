@@ -31,25 +31,45 @@ TABLE_NAMES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-tz TIMESTAMP plus
+    raw-nanos ``ts_ns``, whatever the writer produced.
+
+    Fixture generations have shipped ``ts`` as parquet TIMESTAMP(NANOS)
+    (surfaced as a LongType of nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS)
+    (surfaced as TIMESTAMP_NTZ). Both normalize to the same two columns
+    so every downstream query is schema-stable: with the session pinned
+    to UTC, casting NTZ→TIMESTAMP interprets the stored wall clock as
+    UTC — identical to the nanos-epoch interpretation.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):  # TIMESTAMP(NANOS)
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    ts = F.col("ts").cast("timestamp")
+    return df.withColumn("ts", ts).withColumn(
+        "ts_ns", (F.unix_micros(ts) * F.lit(1000)).cast("long")
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. ``name`` must be in TABLE_NAMES.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; we read it as a long
-    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and
-    derive a microsecond TIMESTAMP alongside the raw ``ts_ns``.
+    ``events.ts`` arrives in writer-dependent physical types; see
+    :func:`normalize_events_ts`. ``nanosAsLong`` is set pre-read so a
+    NANOS file loads as a long instead of failing the vectorized reader
+    (a no-op for MICROS files).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

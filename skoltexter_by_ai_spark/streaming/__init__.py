@@ -34,9 +34,9 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-# Parquet-on-disk schema of events.parquet: ts is TIMESTAMP(NANOS),
-# surfaced as a long via spark.sql.legacy.parquet.nanosAsLong (file
-# streaming sources require an explicit schema anyway).
+# Reference shape of events.parquet (ts physical type varies by fixture
+# generation — TIMESTAMP(NANOS) reads as a long, TIMESTAMP(MICROS) as a
+# timestamp; read_events_stream peeks the actual files).
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -58,17 +58,22 @@ def read_events_stream(
     (:func:`skoltexter_by_ai_spark.sources.tables.load_table`):
     ``ts`` TIMESTAMP (microsecond), ``ts_ns`` raw nanos.
 
+    The streaming file source needs an explicit schema; it is peeked
+    from the existing files with a batch footer read (driver-side,
+    metadata only) so the stream tracks whichever ``ts`` physical type
+    the writer used (see ``sources.tables.normalize_events_ts``).
+
     Scale: the file source lists + checkpoints processed files;
     ``max_files_per_trigger`` bounds per-batch work for backfills.
     """
+    from skoltexter_by_ai_spark.sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    file_schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(source_dir)
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events_ts(reader.parquet(source_dir))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
