@@ -23,6 +23,47 @@ if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
 
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: 4x storage reduction for
+    embedding columns at 100 TB (the standard trick before ANN indexing).
+
+    ``q[i] = floor(x[i] * 127/absmax + 0.5)`` with the per-vector scale
+    kept alongside for dequantization. All pure Column higher-order
+    functions (JVM-side): elements cast to double first so the math is
+    bit-identical to the DuckDB oracle; ``floor(x + 0.5)`` rounding is
+    used instead of ``round`` because engines disagree on banker's vs
+    half-away rounding, while floor is universal. Zero vectors take
+    scale 1.0 and quantize to zeros.
+    """
+    from pyspark.sql import functions as F
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.aggregate(vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.when(absmax > 0.0, F.lit(127.0) / absmax).otherwise(F.lit(1.0))
+    quantized = F.transform(vec, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    return df.withColumn(q_col, quantized).withColumn(scale_col, scale)
+
+
+def dequantize(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: ``x[i] ≈ q[i] / scale``."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda q: q.cast("double") / F.col(scale_col)),
+    )
+
+
 def _token_hash(token: str) -> int:
     # md5-based so the assignment is stable across processes, Python
     # versions and engines (hash() is salted; never use it here).

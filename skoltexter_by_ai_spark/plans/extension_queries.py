@@ -712,3 +712,135 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dups(
         emb, threshold=0.9, n_tables=8, n_planes=12
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x73_ivf_ann_topk",
+    oracle=None,  # centroids come from driver-side Lloyd iterations
+    # (engine-side constants); exactness at nprobe == n_centroids and
+    # recall at partial probes are unit-tested (tests/test_similarity.py).
+    covers="IVF approximate nearest neighbors: coarse-quantizer probe + exact re-rank (SURVEY §2.4 'IVF ... as the scale path')",
+    tags=("similarity",),
+    min_rows=10,
+)
+def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_ann_topk(
+        emb, query, k=10, n_centroids=16, nprobe=6
+    ).orderBy(F.col("cos_sim").desc(), "vec_id")
+
+
+@register(
+    "x74_cdc_snapshot",
+    oracle="""
+        WITH ch AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                        THEN 'D' ELSE 'U' END AS op
+            FROM orders
+        ), ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice, op,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM ch
+        )
+        SELECT o_custkey, o_orderkey AS last_seq, o_totalprice AS last_price
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+        ORDER BY o_custkey
+    """,
+    covers="CDC keep-last merge with tombstones: change log -> current snapshot (generalizes X9 incremental discipline)",
+    tags=("cdc",),
+    min_rows=100,
+)
+def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators import cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    # Synthesize an upsert/delete change log from orders: key =
+    # customer, sequence = order key, and a deterministic slice of
+    # finalized orders acts as tombstones.
+    changes = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0), "D"
+        )
+        .otherwise("U")
+        .alias("op"),
+    )
+    snap = cdc.merge_upserts(changes, ["o_custkey"], "o_orderkey", op_col="op")
+    return snap.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_seq"),
+        F.col("o_totalprice").alias("last_price"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "x75_scd2_history",
+    oracle="""
+        SELECT o_custkey,
+               o_orderkey AS valid_from,
+               LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS valid_to,
+               LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) IS NULL AS is_current,
+               o_totalprice AS price
+        FROM orders
+        ORDER BY o_custkey, valid_from
+    """,
+    covers="SCD2 versioned history: change log -> validity intervals via lead() (SURVEY §2.4 training-pipeline surface)",
+    tags=("cdc",),
+    min_rows=1000,
+)
+def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators import cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = cdc.scd2_history(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        "o_orderkey",
+    )
+    return hist.select(
+        "o_custkey",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.col("o_totalprice").alias("price"),
+    ).orderBy("o_custkey", "valid_from")
+
+
+@register(
+    "x76_int8_quantization",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, e,
+                   CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                        THEN 127.0 / list_max(list_transform(e, x -> abs(x)))
+                        ELSE 1.0 END AS q_scale
+            FROM v
+        )
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x * q_scale + 0.5) AS BIGINT)) AS q_embedding,
+               q_scale
+        FROM s
+        ORDER BY vec_id
+    """,
+    covers="symmetric int8 embedding quantization: 4x storage cut before ANN indexing (SURVEY §2.4)",
+    tags=("similarity", "training"),
+    min_rows=100,
+)
+def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.embedding import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).select("vec_id", "q_embedding", "q_scale").orderBy(
+        "vec_id"
+    )

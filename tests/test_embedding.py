@@ -49,3 +49,31 @@ def test_approx_count_distinct_within_bound_of_exact(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) / max(r.exact, 1) < 0.05
+
+
+def test_quantize_int8_roundtrip_preserves_cosine(spark, sf_dir):
+    from skoltexter_by_ai_spark.operators.embedding import dequantize, quantize_int8
+    from skoltexter_by_ai_spark.operators.similarity import cosine
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    deq = dequantize(quantize_int8(emb))
+    stats = deq.select(
+        cosine(F.col("embedding"), F.col("embedding_deq")).alias("cs")
+    ).agg(F.min("cs").alias("mn")).collect()[0]
+    # int8 symmetric quantization keeps cosine within ~1e-3 of identity.
+    assert stats.mn > 0.999
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from skoltexter_by_ai_spark.operators.embedding import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert rows[0].q_embedding == [64, -127, 32]
+    assert rows[0].q_scale == 127.0
+    assert rows[1].q_embedding == [0, 0, 0]
+    assert rows[1].q_scale == 1.0

@@ -162,3 +162,51 @@ def test_hyperplanes_deterministic():
     assert a != c
     for plane in a:
         assert abs(sum(x * x for x in plane) - 1.0) < 1e-9  # unit norm
+
+
+def test_ivf_probe_all_equals_exact(spark, sf_dir):
+    """nprobe == n_centroids degenerates to the exact scan: results
+    must match cosine_topk bit-for-bit (same rounding, same tiebreak)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = similarity.cosine_topk(emb, query, k=10).collect()
+    ivf = similarity.ivf_ann_topk(
+        emb, query, k=10, n_centroids=8, nprobe=8
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in ivf] == [
+        (r.vec_id, r.cos_sim) for r in exact
+    ]
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """Probing 6 of 16 cells must keep most of the true top-10 — IVF's
+    value is a high recall at a fraction of the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    exact_ids = {r.vec_id for r in similarity.cosine_topk(emb, query, k=10).collect()}
+    ivf_ids = {
+        r.vec_id
+        for r in similarity.ivf_ann_topk(
+            emb, query, k=10, n_centroids=16, nprobe=6
+        ).collect()
+    }
+    assert len(ivf_ids) == 10
+    assert len(exact_ids & ivf_ids) / 10 >= 0.5
+
+
+def test_ivf_assign_cells_in_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    cells = similarity.ivf_assign(emb, cents).select("ivf_cell").distinct().collect()
+    vals = {r.ivf_cell for r in cells}
+    assert vals <= set(range(8))
+    # Lloyd on real data should populate more than one cell.
+    assert len(vals) > 1
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.ivf_centroids(emb, n_centroids=4, iters=2)
+    b = similarity.ivf_centroids(emb, n_centroids=4, iters=2)
+    assert a == b
