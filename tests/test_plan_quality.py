@@ -273,3 +273,29 @@ def test_funnel_stages_broadcast_prior_stage(spark):
     # events scan, never shuffle it.
     plan = _plan(_build(spark, "x68_funnel_analysis"))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_ivf_ann_broadcasts_query_and_takeordered(spark):
+    # x73: the 1-row query side must broadcast and the final top-k must
+    # be a TakeOrderedAndProject (per-partition heaps) — a global sort
+    # of the probed cells would defeat the pruning.
+    plan = _plan(_build(spark, "x73_ivf_ann_topk"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_merge_single_key_shuffle(spark):
+    # x74: the keep-last fold is ONE hash shuffle on the merge key plus
+    # the declared ORDER BY — any extra exchange means the window and
+    # the tombstone filter stopped sharing a partitioning.
+    plan = _plan(_build(spark, "x74_cdc_snapshot"))
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_quantization_is_narrow_no_shuffle(spark):
+    # x76: quantization must be a pure projection over the scan — the
+    # only allowed exchange is the declared ORDER BY.
+    plan = _plan(_build(spark, "x76_int8_quantization"))
+    assert plan.count("Exchange") <= 1, plan
+    assert "HashAggregate" not in plan, plan
