@@ -857,3 +857,61 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "x78_equiwidth_histogram",
+    # Feature-distribution histogram: data-driven [min, max] split into
+    # 20 equal bins; the top edge folds into the last bin. Both engines
+    # compute bin = least(floor((v-lo)/w), 19) on identical doubles, so
+    # the bucketing is bit-deterministic. The bounds aggregate is one
+    # tiny broadcast; binning is a narrow projection + one partial-agg
+    # count — the 100 TB shape for any histogram.
+    oracle="""
+        WITH b AS (
+            SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
+                   lo, hi
+            FROM lineitem, b
+        )
+        SELECT bin,
+               COUNT(*) AS n,
+               ROUND(lo + bin * ((hi - lo) / 20.0), 6) AS bin_lo,
+               ROUND(lo + (bin + 1) * ((hi - lo) / 20.0), 6) AS bin_hi
+        FROM binned
+        GROUP BY bin, lo, hi
+        ORDER BY bin
+    """,
+    covers="equi-width histogram: broadcast bounds + narrow binning + partial-agg counts (feature distribution analytics)",
+    tags=("olap", "training"),
+    min_rows=15,
+)
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    binned = li.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width), F.lit(19)
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+        )
+        .orderBy("bin")
+    )

@@ -844,3 +844,97 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb).select("vec_id", "q_embedding", "q_scale").orderBy(
         "vec_id"
     )
+
+
+@register(
+    "x77_cluster_representatives",
+    # Near-dup cluster -> canonical document selection: after clustering
+    # (x20's connected components), training pipelines keep ONE document
+    # per cluster — the highest-quality member (x08's heuristic), doc_id
+    # as the deterministic tiebreak. Oracle = x20's recursive-CTE closure
+    # joined to x08's quality formula with a keep-best window.
+    oracle=f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+               FROM toks WHERE len(t) >= 2),
+        rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20),
+        shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        szs AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                 FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        edges0 AS (SELECT id_a, id_b FROM cand
+                   JOIN szs sa ON id_a = sa.doc_id
+                   JOIN szs sb ON id_b = sb.doc_id
+                   WHERE ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+                  UNION SELECT id_b, id_a FROM edges0),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                     FROM reach GROUP BY src),
+        q AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                   CASE WHEN len({_TOKS}) > 0 THEN
+                       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> list_contains(['the','a','and','of','to','is','in','it','that','for'], x)))
+                            AS DOUBLE) / len({_TOKS})
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                   ELSE 0.0 END AS p_ratio
+            FROM documents),
+        quality AS (
+            SELECT doc_id,
+                   ROUND(0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0
+                                     WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+                         + 0.3 * least(stop_ratio * 5.0, 1.0)
+                         + 0.3 * (1.0 - least(p_ratio * 5.0, 1.0)), 6) AS quality
+            FROM q),
+        ranked AS (
+            SELECT c.cluster, c.doc_id, quality,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                      ORDER BY quality DESC, c.doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY c.cluster) AS cluster_size
+            FROM clusters c JOIN quality USING (doc_id))
+        SELECT cluster, doc_id AS rep_doc_id, quality, cluster_size
+        FROM ranked WHERE rn = 1
+        ORDER BY cluster
+    """,
+    covers="canonical-document selection: near-dup clusters -> keep best-quality member (SURVEY §2.4 dedup + quality composed)",
+    tags=("dedup", "text", "training"),
+    min_rows=100,
+)
+def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, max_df=20).filter(
+        F.round("jaccard", 6) >= 0.5
+    )
+    clusters = dedup.dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    quality = docs.select(
+        "doc_id", text_analysis.quality_score("text").alias("quality")
+    )
+    # Quality is a narrow projection and clusters carry only (id,
+    # cluster): the join shuffles ids, never text.
+    w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("cluster")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("rep_doc_id"),
+            "quality",
+            "cluster_size",
+        )
+        .orderBy("cluster")
+    )

@@ -175,3 +175,45 @@ def test_stream_static_left_join_keeps_unmatched(spark, events_dir, tmp_path):
     total = load_table(spark, SF, "events").count()
     assert out.count() == total
     assert out.filter(F.col("tag").isNull()).count() > 0
+
+
+def test_streaming_upsert_snapshot_matches_batch_merge(spark, tmp_path):
+    from skoltexter_by_ai_spark.operators import cdc
+
+    # Change log split across two files = two micro-batches; later
+    # batch carries higher sequences plus a tombstone.
+    batch1 = [(1, 10, "a", "U"), (2, 11, "b", "U"), (3, 12, "c", "U")]
+    batch2 = [(1, 20, "a2", "U"), (2, 21, None, "D"), (4, 22, "d", "U")]
+    schema = "k long, seq long, payload string, op string"
+    in_dir = tmp_path / "changes"
+    in_dir.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(in_dir / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(in_dir / "b2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*.parquet"))
+    )
+    base = str(tmp_path / "snap")
+    streaming.upsert_to_parquet(
+        stream, base, str(tmp_path / "ckpt"), ["k"], "seq"
+    )
+
+    live = streaming.read_upsert_snapshot(spark, base, op_col="op")
+    got = {r.k: (r.seq, r.payload) for r in live.collect()}
+    all_changes = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        r.k: (r.seq, r.payload)
+        for r in cdc.merge_upserts(all_changes, ["k"], "seq", op_col="op").collect()
+    }
+    assert got == expect == {1: (20, "a2"), 3: (12, "c"), 4: (22, "d")}
+
+    # Tombstones stay in the raw snapshot so late lower-seq upserts
+    # cannot resurrect key 2.
+    raw = streaming.read_upsert_snapshot(spark, base)
+    assert {r.k for r in raw.collect()} == {1, 2, 3, 4}
