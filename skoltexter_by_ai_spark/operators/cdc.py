@@ -79,3 +79,44 @@ def scd2_history(
         .withColumn(valid_to_col, nxt)
         .withColumn(current_col, nxt.isNull())
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Diff two table versions by key: rows ``added`` (key only in
+    ``new``), ``removed`` (only in ``old``), ``changed`` (key in both,
+    any compare column differs). Unchanged keys are dropped.
+
+    The audit/debug companion to :func:`merge_upserts` — exactly what a
+    data-versioning layer shows between commits. One full outer join on
+    the key (single shuffle both sides); comparisons are null-safe
+    (``<=>``) so NULL→value and value→NULL count as changes.
+
+    Output: key columns + ``change_col``; old/new compare columns
+    prefixed ``old_`` / ``new_``.
+    """
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__in_new", F.lit(True))
+    joined = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~same, "changed")
+    )
+    return (
+        joined.withColumn(change_col, change)
+        .filter(F.col(change_col).isNotNull())
+        .drop("__in_old", "__in_new")
+    )

@@ -273,3 +273,40 @@ def token_budget_sample(
         .filter(F.col("cum_before") < budget_tokens)
         .drop("__draw")
     )
+
+
+def majority_vote(
+    df: DataFrame,
+    key_cols: list[str],
+    label_col: str,
+    out_col: str = "label",
+) -> DataFrame:
+    """Label consolidation: per key, the most frequent label wins; ties
+    break to the lexicographically smallest label so the result is
+    deterministic in every engine (``F.mode``'s tie choice is not).
+
+    The multi-annotator → gold-label reduction every labeled-data
+    pipeline runs. One count aggregation + one per-key window over the
+    (key, label) count table — at 100 TB the window input is
+    |keys × distinct labels|, already reduced by the partial-agg count,
+    never the raw annotation volume.
+
+    Output: key columns + ``out_col`` + ``n_votes`` (winner's count)
+    + ``n_total`` (all votes for the key).
+    """
+    counts = df.groupBy(*key_cols, label_col).agg(F.count("*").alias("n_votes"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("n_votes").desc(), F.col(label_col).asc()
+    )
+    totals = Window.partitionBy(*key_cols)
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_total", F.sum("n_votes").over(totals))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            F.col(label_col).alias(out_col),
+            "n_votes",
+            "n_total",
+        )
+    )

@@ -915,3 +915,82 @@ def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "x79_majority_vote",
+    # Label consolidation (multi-annotator -> gold label): most frequent
+    # l_returnflag per order; ties break to the smallest label so the
+    # winner is engine-deterministic (mode()'s tie choice is not).
+    oracle="""
+        WITH counts AS (
+            SELECT l_orderkey, l_returnflag, COUNT(*) AS n_votes
+            FROM lineitem GROUP BY 1, 2
+        ), ranked AS (
+            SELECT l_orderkey, l_returnflag, n_votes,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY n_votes DESC, l_returnflag) AS rn,
+                   CAST(SUM(n_votes) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_total
+            FROM counts
+        )
+        SELECT l_orderkey, l_returnflag AS label, n_votes, n_total
+        FROM ranked WHERE rn = 1
+        ORDER BY l_orderkey
+    """,
+    covers="majority-vote label consolidation: partial-agg counts + per-key keep-best window (SURVEY §2.4 training surface)",
+    tags=("training", "curation"),
+    min_rows=1000,
+)
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.curation import majority_vote
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    return majority_vote(li, ["l_orderkey"], "l_returnflag").orderBy("l_orderkey")
+
+
+@register(
+    "x80_snapshot_diff",
+    # Data-versioning diff between two deterministic slices of orders:
+    # keys ending in 0 are absent from OLD (-> added), keys divisible
+    # by 7 absent from NEW (-> removed), keys divisible by 5 carry a
+    # doubled price in NEW (-> changed). Unchanged keys drop out.
+    oracle="""
+        WITH old_t AS (
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+        ), new_t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+        ), diff AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   o.o_totalprice AS old_o_totalprice,
+                   n.o_totalprice AS new_o_totalprice,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                             THEN 'changed' END AS change_type
+            FROM old_t o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT o_orderkey, old_o_totalprice, new_o_totalprice, change_type
+        FROM diff WHERE change_type IS NOT NULL
+        ORDER BY o_orderkey
+    """,
+    covers="snapshot diff by key: added/removed/changed via null-safe full outer join (CDC audit companion)",
+    tags=("cdc",),
+    min_rows=1000,
+)
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators import cdc
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return cdc.snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"]).orderBy(
+        "o_orderkey"
+    )

@@ -55,3 +55,54 @@ def test_scd2_intervals_chain_and_single_current(spark):
 def test_scd2_preserves_all_versions(spark):
     ch = _changes(spark)
     assert cdc.scd2_history(ch, ["k"], "seq").count() == ch.count()
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    from skoltexter_by_ai_spark.operators.cdc import snapshot_diff
+
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    # key 1 unchanged -> absent; NULL -> value counts as changed.
+    assert out == {2: "changed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_removed(spark):
+    old = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    from skoltexter_by_ai_spark.operators.cdc import snapshot_diff
+
+    rows = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert [(r.k, r.change_type, r.old_v, r.new_v) for r in rows] == [
+        (2, "removed", 2.0, None)
+    ]
+
+
+def test_merge_upserts_property_random_logs(spark):
+    """Property check vs a Python fold oracle over random change logs."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = []
+        seqs = list(range(60))
+        rng.shuffle(seqs)
+        for i, s in enumerate(seqs):
+            rows.append(
+                (rng.randrange(8), s, f"p{i}", "D" if rng.random() < 0.25 else "U")
+            )
+        df = spark.createDataFrame(rows, "k long, seq long, payload string, op string")
+        got = {
+            r.k: (r.seq, r.payload)
+            for r in cdc.merge_upserts(df, ["k"], "seq", op_col="op").collect()
+        }
+        latest: dict[int, tuple] = {}
+        for k, s, p, op in rows:
+            if k not in latest or s > latest[k][0]:
+                latest[k] = (s, p, op)
+        expect = {k: (s, p) for k, (s, p, op) in latest.items() if op != "D"}
+        assert got == expect, f"trial {trial}"

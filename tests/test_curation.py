@@ -236,3 +236,16 @@ def test_winsorize_clips_to_group_quantiles(spark):
     assert lo == pytest.approx(10.9) and hi == pytest.approx(90.1)
     assert out[1].v_w == lo and out[100].v_w == hi  # tails clipped
     assert out[50].v_w == 50.0  # interior untouched
+
+
+def test_majority_vote_tiebreak_is_lexicographic(spark):
+    from skoltexter_by_ai_spark.operators.curation import majority_vote
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c"), (2, "z")],
+        "k long, lab string",
+    )
+    rows = {r.k: r for r in majority_vote(df, ["k"], "lab").collect()}
+    # a and b tie at 2 votes -> 'a' wins deterministically.
+    assert (rows[1].label, rows[1].n_votes, rows[1].n_total) == ("a", 2, 5)
+    assert (rows[2].label, rows[2].n_votes, rows[2].n_total) == ("z", 1, 1)
