@@ -828,7 +828,7 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM v
         )
         SELECT vec_id,
-               list_transform(e, x -> CAST(floor(x * q_scale + 0.5) AS BIGINT)) AS q_embedding,
+               array_to_string(list_transform(e, x -> CAST(floor(x * q_scale + 0.5) AS BIGINT)), ',') AS q_codes,
                q_scale
         FROM s
         ORDER BY vec_id
@@ -841,8 +841,18 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skoltexter_by_ai_spark.operators.embedding import quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb).select("vec_id", "q_embedding", "q_scale").orderBy(
-        "vec_id"
+    # The declared output serializes the quantized array to a CSV
+    # string: driver-side value hashing of engine-native array types is
+    # unproven (Spark collects lists, DuckDB numpy arrays), while equal
+    # strings are unambiguous — same full values, zero hasher risk.
+    return (
+        quantize_int8(emb)
+        .select(
+            "vec_id",
+            F.array_join("q_embedding", ",").alias("q_codes"),
+            "q_scale",
+        )
+        .orderBy("vec_id")
     )
 
 
