@@ -106,3 +106,25 @@ def test_merge_upserts_property_random_logs(spark):
                 latest[k] = (s, p, op)
         expect = {k: (s, p) for k, (s, p, op) in latest.items() if op != "D"}
         assert got == expect, f"trial {trial}"
+
+
+def test_merge_upserts_on_bucketed_log_is_shuffle_free(spark, tmp_path):
+    """The scale claim in cdc.py: a change log bucketed on the merge
+    key folds with NO hash exchange — the window reuses the bucketed
+    layout (only the in-partition sort remains)."""
+    from skoltexter_by_ai_spark.operators import cdc
+    from skoltexter_by_ai_spark.sources.sinks import write_bucketed
+
+    ch = _changes(spark)
+    write_bucketed(
+        ch, "cdc_log_bucketed", str(tmp_path / "cdc_log"), ["k"], num_buckets=4
+    )
+    try:
+        logged = spark.table("cdc_log_bucketed")
+        merged = cdc.merge_upserts(logged, ["k"], "seq", op_col="op")
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = {r.k: (r.seq, r.payload) for r in merged.collect()}
+        assert got == {1: (20, "b"), 3: (8, "n"), 4: (1, "z")}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdc_log_bucketed")
