@@ -77,3 +77,38 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert rows[0].q_scale == 127.0
     assert rows[1].q_embedding == [0, 0, 0]
     assert rows[1].q_scale == 1.0
+
+
+def test_quantize_int8_property_random_vectors(spark):
+    """Spark column math vs a numpy oracle over random vectors
+    (including negatives, tiny magnitudes, and an all-zero row)."""
+    import math
+    import random
+
+    from skoltexter_by_ai_spark.operators.embedding import quantize_int8
+
+    rng = random.Random(13)
+    vecs = [
+        [rng.uniform(-10, 10) * (10 ** rng.randint(-4, 2)) for _ in range(16)]
+        for _ in range(50)
+    ]
+    vecs.append([0.0] * 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: (r.q_embedding, r.q_scale) for r in quantize_int8(df).collect()}
+    for i, v in enumerate(vecs):
+        # float32 storage first (the column type), then float64 math —
+        # exactly what the Spark plan does.
+        v32 = [float.fromhex(float(x).hex()) for x in v]
+        import struct
+
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        absmax = max(abs(x) for x in v32)
+        scale = 127.0 / absmax if absmax > 0 else 1.0
+        expect = [math.floor(x * scale + 0.5) for x in v32]
+        q, s = got[i]
+        assert q == expect, f"row {i}"
+        assert abs(s - scale) < 1e-12
+        assert all(-127 <= x <= 127 for x in q)
