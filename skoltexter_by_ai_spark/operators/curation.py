@@ -310,3 +310,32 @@ def majority_vote(
             "n_total",
         )
     )
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+) -> DataFrame:
+    """Data-quality gate: evaluate named boolean expectations in ONE
+    pass and return a per-rule violation report.
+
+    ``rules`` is ``[(rule_name, predicate_column), ...]`` where the
+    predicate is True for conforming rows; NULL counts as a violation
+    (an expectation that cannot be evaluated did not pass). Output:
+    ``(rule, n_violations, n_rows)``, one row per rule.
+
+    Scale: all rules compile into a single aggregation over one scan —
+    adding a rule costs one accumulator, not one pass. The report is
+    rule-count sized; gate the pipeline on ``n_violations == 0`` or a
+    tolerated fraction of ``n_rows``.
+    """
+    aggs = [
+        F.sum(F.when(col.isNull() | ~col, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, col in rules
+    ]
+    wide = df.agg(*aggs, F.count("*").cast("bigint").alias("__n_rows"))
+    names = [name for name, _ in rules]
+    stack_expr = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack_expr}) as (rule, n_violations)", "__n_rows"
+    ).select("rule", "n_violations", F.col("__n_rows").alias("n_rows"))

@@ -291,3 +291,56 @@ def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "x81_expectation_report",
+    # Data-quality expectations over lineitem, all evaluated in one
+    # scan/aggregation; the report is rule-count sized. Bounds chosen
+    # so some rules pass clean and some surface real violations.
+    oracle="""
+        WITH agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN l_quantity IS NULL OR NOT (l_quantity BETWEEN 1 AND 50)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+                CAST(SUM(CASE WHEN l_discount IS NULL OR NOT (l_discount BETWEEN 0.0 AND 0.06)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS discount_low,
+                CAST(SUM(CASE WHEN l_extendedprice IS NULL OR NOT (l_extendedprice > 0)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+                CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_present,
+                CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+                CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+        )
+        SELECT r.rule, 
+               CASE r.rule
+                   WHEN 'qty_in_range' THEN qty_in_range
+                   WHEN 'discount_low' THEN discount_low
+                   WHEN 'price_positive' THEN price_positive
+                   WHEN 'shipdate_present' THEN shipdate_present
+                   WHEN 'returnflag_domain' THEN returnflag_domain
+               END AS n_violations,
+               n_rows
+        FROM agg, (VALUES ('qty_in_range'), ('discount_low'), ('price_positive'),
+                          ('shipdate_present'), ('returnflag_domain')) AS r(rule)
+        ORDER BY rule
+    """,
+    covers="data-quality expectation report: N named rules in one scan/aggregation (production pipeline gate)",
+    tags=("curation",),
+    min_rows=5,
+)
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import validate_expectations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("qty_in_range", F.col("l_quantity").between(1, 50)),
+        ("discount_low", F.col("l_discount").between(0.0, 0.06)),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("shipdate_present", F.col("l_shipdate").isNotNull()),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    return validate_expectations(li, rules).orderBy("rule")

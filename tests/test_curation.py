@@ -249,3 +249,19 @@ def test_majority_vote_tiebreak_is_lexicographic(spark):
     # a and b tie at 2 votes -> 'a' wins deterministically.
     assert (rows[1].label, rows[1].n_votes, rows[1].n_total) == ("a", 2, 5)
     assert (rows[2].label, rows[2].n_votes, rows[2].n_total) == ("z", 1, 1)
+
+
+def test_validate_expectations_null_is_violation(spark):
+    from skoltexter_by_ai_spark.operators.curation import validate_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (4, 100.0)], "id long, v double"
+    )
+    rules = [
+        ("v_present", F.col("v").isNotNull()),
+        ("v_positive", F.col("v") > 0),
+        ("v_small", F.col("v") < 50),
+    ]
+    got = {r.rule: (r.n_violations, r.n_rows) for r in validate_expectations(df, rules).collect()}
+    # NULL fails every rule it appears in (cannot evaluate != passed).
+    assert got == {"v_present": (1, 4), "v_positive": (2, 4), "v_small": (2, 4)}

@@ -299,3 +299,11 @@ def test_quantization_is_narrow_no_shuffle(spark):
     plan = _plan(_build(spark, "x76_int8_quantization"))
     assert plan.count("Exchange") <= 1, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_expectation_report_is_single_scan_aggregation(spark):
+    # x81: N rules must compile into ONE aggregation over ONE scan —
+    # a per-rule pass would make rule count multiply the scan cost.
+    plan = _plan(_build(spark, "x81_expectation_report"))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan

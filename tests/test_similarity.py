@@ -210,3 +210,22 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     a = similarity.ivf_centroids(emb, n_centroids=4, iters=2)
     b = similarity.ivf_centroids(emb, n_centroids=4, iters=2)
     assert a == b
+
+
+def test_ivf_partitioned_layout_prunes_probe_scan(spark, sf_dir, tmp_path):
+    """The scale path claimed in ivf_ann_topk's docstring: a corpus
+    written partitionBy(ivf_cell) turns the probe into a partition-
+    pruned scan — the non-probed cells are never opened."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    corpus = similarity.ivf_assign(emb, cents)
+    out = str(tmp_path / "ivf_corpus")
+    corpus.write.partitionBy("ivf_cell").parquet(out)
+
+    probed = spark.read.parquet(out).filter(F.col("ivf_cell").isin([0, 1, 2]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200], plan
+    # Pruning must be real: the probed scan reads fewer rows than the
+    # corpus, and exactly the rows of the probed cells.
+    expect = corpus.filter(F.col("ivf_cell").isin([0, 1, 2])).count()
+    assert probed.count() == expect < emb.count()
