@@ -948,3 +948,36 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "x82_trending_topk",
+    # Batch twin of the streaming trending view (streaming/:
+    # windowed_type_counts -> upsert snapshot -> rank at read). Top-3
+    # event types per hour, count desc with a deterministic tiebreak.
+    oracle="""
+        WITH counts AS (
+            SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS hour_start,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT hour_start, event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY hour_start
+                                      ORDER BY n DESC, event_type) AS rank
+            FROM counts
+        )
+        SELECT hour_start, event_type, n, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY hour_start, rank
+    """,
+    covers="trending top-k per event-time window: agg -> per-window rank (streaming twin composes via the upsert view)",
+    tags=("streaming", "olap"),
+    min_rows=100,
+)
+def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark import streaming as st
+
+    events = load_table(spark, sf_dir, "events")
+    return st.trending_topk(st.windowed_type_counts(events), k=3).orderBy(
+        "hour_start", "rank"
+    )

@@ -23,6 +23,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -313,6 +314,50 @@ def run_to_parquet(
     query.awaitTermination()
 
 
+def windowed_type_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-hour counts per event_type — the first phase of the
+    trending-top-k view. Works on batch and streaming frames alike.
+
+    Output: (hour_start epoch-sec, event_type, n, seq) where ``seq``
+    is the count itself: for an append-style count stream, a bigger
+    count per (window, type) supersedes a smaller one, so the count
+    doubles as the upsert sequence for :func:`upsert_to_parquet`.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("__w.start")).alias("hour_start"),
+            "event_type",
+            "n",
+            F.col("n").alias("seq"),
+        )
+    )
+
+
+def trending_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Second phase: rank each window's types by count, keep the top
+    ``k`` (count desc, type asc tiebreak — deterministic).
+
+    Streaming cannot chain a rank onto an aggregation in one query
+    (chained stateful operators); the composition that scales is
+    phase 1 in `update` mode → :func:`upsert_to_parquet` keyed on
+    (hour_start, event_type) → this rank at read time over the
+    snapshot (window-count sized, not event sized). Tested as exactly
+    that composition in tests/test_streaming.py.
+    """
+    w = (
+        Window.partitionBy("hour_start")
+        .orderBy(F.col("n").desc(), F.col("event_type").asc())
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("hour_start", "event_type", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def upsert_to_parquet(
     changes: DataFrame,
     base_dir: str,
@@ -362,8 +407,13 @@ def upsert_to_parquet(
             fh.write(f"v{batch_id}")
         os.replace(tmp, latest)
 
+    # Update mode: aggregated change sources (e.g. windowed counts)
+    # must emit rows as they update — the default append mode holds
+    # back windows the watermark has not finalized, silently dropping
+    # the stream's trailing windows from the snapshot.
     query = (
         changes.writeStream.foreachBatch(_fold)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

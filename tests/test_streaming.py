@@ -217,3 +217,27 @@ def test_streaming_upsert_snapshot_matches_batch_merge(spark, tmp_path):
     # cannot resurrect key 2.
     raw = streaming.read_upsert_snapshot(spark, base)
     assert {r.k for r in raw.collect()} == {1, 2, 3, 4}
+
+
+def test_trending_topk_stream_composes_via_upsert_view(spark, events_dir, tmp_path):
+    """Streaming cannot chain rank-after-agg in one query; the scaling
+    composition is counts (update mode) -> upsert snapshot -> rank at
+    read. The result must equal the batch twin exactly."""
+    counts_stream = streaming.windowed_type_counts(
+        streaming.read_events_stream(spark, events_dir)
+    )
+    base = str(tmp_path / "trend_snap")
+    streaming.upsert_to_parquet(
+        counts_stream,
+        base,
+        str(tmp_path / "ckpt"),
+        ["hour_start", "event_type"],
+        "seq",
+    )
+    snap = streaming.read_upsert_snapshot(spark, base).drop("seq")
+    got = streaming.trending_topk(snap, k=3)
+
+    batch = streaming.trending_topk(
+        streaming.windowed_type_counts(load_table(spark, SF, "events")), k=3
+    )
+    assert _rows(got, "hour_start", "rank") == _rows(batch, "hour_start", "rank")
