@@ -996,3 +996,40 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"]).orderBy(
         "o_orderkey"
     )
+
+
+from skoltexter_by_ai_spark.functions.zorder import morton_sql as _morton_sql  # noqa: E402
+
+
+@register(
+    "x83_morton_zorder_keys",
+    # Z-order clustering keys over a 2-D integer grid: the layout key
+    # behind multi-dimensional data skipping (see functions/zorder.py
+    # and the clustering-quality test in tests/test_sinks.py). The
+    # oracle is generated from the SAME bit layout the Spark column
+    # uses, so the two can never drift.
+    oracle=f"""
+        SELECT o_orderkey,
+               {_morton_sql('(o_orderkey % 1024)', '(o_custkey % 1024)', bits=10)} AS zkey
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    covers="Z-order (Morton) clustering keys: bit-interleaved 2-D layout for min/max data skipping",
+    tags=("olap", "layout"),
+    min_rows=1000,
+)
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.functions.zorder import morton_code
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 1024).alias("ga"),
+            (F.col("o_custkey") % 1024).alias("gb"),
+        )
+        .select(
+            "o_orderkey", morton_code("ga", "gb", bits=10).alias("zkey")
+        )
+        .orderBy("o_orderkey")
+    )

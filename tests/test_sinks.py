@@ -156,3 +156,50 @@ def test_dataset_rejects_unknown_format(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_dataset(spark.range(1), str(tmp_path / "x"), fmt="avro")
+
+
+def test_zorder_clustering_tightens_file_bounds_on_both_dims(spark, tmp_path):
+    """Clustering files by Morton code must shrink per-file min/max
+    spans on BOTH dimensions vs single-column clustering — the property
+    parquet min/max skipping exploits for 2-D predicates."""
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.functions.zorder import morton_code
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    # Hash-spread both dimensions onto the full grid: the raw fixture
+    # key ranges are SF-dependent (o_custkey only reaches ~150 at
+    # sf0.001, which would make the grid degenerate).
+    df = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(1024)).alias("ga"),
+            F.pmod(F.xxhash64("o_custkey"), F.lit(1024)).alias("gb"),
+        )
+    )
+
+    def avg_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        return per_file.agg(F.avg("span")).collect()[0][0]
+
+    a_dir = str(tmp_path / "by_ga")
+    z_dir = str(tmp_path / "by_z")
+    df.repartitionByRange(8, "ga").sortWithinPartitions("ga").write.parquet(a_dir)
+    (
+        df.withColumn("z", morton_code("ga", "gb", bits=10))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.parquet(z_dir)
+    )
+
+    # Single-column clustering leaves the OTHER dimension unclustered
+    # (per-file gb span ~ the full 1024 range); Morton clustering
+    # bounds both dimensions.
+    assert avg_span(a_dir, "gb") > 900
+    assert avg_span(z_dir, "gb") < 0.75 * avg_span(a_dir, "gb")
+    assert avg_span(z_dir, "ga") < 0.75 * 1024
