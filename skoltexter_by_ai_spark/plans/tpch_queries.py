@@ -400,3 +400,142 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select("c_custkey", redacted.alias("redacted")).orderBy(
         "c_custkey"
     )
+
+
+@register(
+    "x84_binational_volume",
+    # TPC-H Q7 shape: revenue shipped between two specific nations,
+    # by supplier nation x customer nation x year. Two independent
+    # dimension chains hang off the same fact join (supplier->nation
+    # and orders->customer->nation) — every dimension must broadcast
+    # while lineitem ⋈ orders is the only big join. Revenue sums run
+    # as exact integer ten-thousandths (primitive longs), divided once
+    # at the output boundary.
+    oracle=f"""
+        SELECT supp_nation, cust_nation, yr,
+               CAST(SUM(rev4) AS DOUBLE) / 10000 AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l.l_shipdate) AS yr,
+                   {_REV4} AS rev4
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+        )
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr
+    """,
+    covers="TPC-H Q7: bi-national shipping volume — twin dimension chains off one fact join, per-year rollup",
+    tags=("analytics", "tpch"),
+    min_rows=5,
+)
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
+        )
+        .agg((F.sum(_rev4_col()).cast("double") / 10000).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "x85_market_share",
+    # TPC-H Q8 shape: one nation's share of a region's revenue per
+    # order-year. The share is exact basis points via BIGINT floor
+    # division (x56's idiom) — a double ratio of double sums would
+    # drift between engines.
+    oracle=f"""
+        WITH flows AS (
+            SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+                   CASE WHEN n1.n_name = 'NATION_2' THEN {_REV4} ELSE 0 END AS target_rev4,
+                   {_REV4} AS rev4
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            JOIN region r   ON n2.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            WHERE r.r_name = 'ASIA'
+        )
+        SELECT yr,
+               CAST(SUM(target_rev4) AS DOUBLE) / 10000 AS target_revenue,
+               CAST(SUM(rev4) AS DOUBLE) / 10000 AS total_revenue,
+               CAST((10000 * SUM(target_rev4) - (10000 * SUM(target_rev4)) % SUM(rev4))
+                    / SUM(rev4) AS BIGINT) AS share_bp
+        FROM flows
+        GROUP BY yr
+        ORDER BY yr
+    """,
+    covers="TPC-H Q8: market share — conditional revenue ratio per year, exact basis points",
+    tags=("analytics", "tpch"),
+    min_rows=5,
+)
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(asia), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    rev4 = _rev4_col()
+    target4 = F.when(F.col("supp_nation") == "NATION_2", rev4).otherwise(F.lit(0))
+    agg = joined.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(target4).alias("t4"), F.sum(rev4).alias("r4")
+    )
+    return agg.select(
+        "yr",
+        (F.col("t4").cast("double") / 10000).alias("target_revenue"),
+        (F.col("r4").cast("double") / 10000).alias("total_revenue"),
+        _floor_div(F.lit(10000) * F.col("t4"), F.col("r4")).alias("share_bp"),
+    ).orderBy("yr")

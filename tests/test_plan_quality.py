@@ -307,3 +307,20 @@ def test_expectation_report_is_single_scan_aggregation(spark):
     plan = _plan(_build(spark, "x81_expectation_report"))
     assert plan.count("lineitem.parquet") == 1, plan
     assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan
+
+
+def test_binational_volume_broadcasts_both_dimension_chains(spark):
+    # x84 (Q7 shape): supplier->nation and customer->nation chains must
+    # ride broadcasts; only lineitem ⋈ orders may shuffle.
+    plan = _plan(_build(spark, "x84_binational_volume"))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_market_share_single_fact_shuffle(spark):
+    # x85 (Q8 shape): the six-table star must shuffle only the
+    # fact⋈fact join; the share ratio aggregates once (partial+final).
+    plan = _plan(_build(spark, "x85_market_share"))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan
