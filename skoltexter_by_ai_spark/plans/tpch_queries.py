@@ -539,3 +539,108 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r4").cast("double") / 10000).alias("total_revenue"),
         _floor_div(F.lit(10000) * F.col("t4"), F.col("r4")).alias("share_bp"),
     ).orderBy("yr")
+
+
+@register(
+    "x86_small_quantity_revenue",
+    # TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    # 20% of their part's average quantity. The correlated scalar
+    # average decorrelates into ONE per-part aggregate joined back —
+    # at 100 TB the aggregate is |parts|-sized and broadcastable,
+    # while the naive correlated form would rescan lineitem per row.
+    # The 20%-threshold compare runs on exact scaled integers
+    # (5 * qty_cents * n < total_cents) — no double division at all.
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l.l_partkey,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS small_revenue
+        FROM lineitem l
+        JOIN per_part p ON l.l_partkey = p.l_partkey
+        WHERE 5 * CAST(ROUND(l.l_quantity * 100) AS BIGINT) * p.n < p.qty_cents
+        GROUP BY l.l_partkey
+        ORDER BY l.l_partkey
+    """,
+    covers="TPC-H Q17: correlated per-part average decorrelated to aggregate-then-join, exact integer threshold",
+    tags=("analytics", "tpch"),
+    min_rows=10,
+)
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty_cents).alias("qty_cents"), F.count("*").alias("n")
+    )
+    small = (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.lit(5) * qty_cents * F.col("n") < F.col("qty_cents"))
+    )
+    return (
+        small.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("small_revenue"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "x87_idle_rich_customers",
+    # TPC-H Q22 shape: customers with above-average account balance
+    # and no URGENT-priority orders — a 1-row scalar aggregate
+    # (broadcast) feeding an anti-join against a filtered fact slice.
+    # (The fixture gives every customer at least one order, so the
+    # original "no orders at all" predicate would be vacuous — the
+    # priority slice keeps the identical plan shape with real rows.)
+    # The average threshold compares exact cents via integer
+    # cross-multiply: bal_cents * n_pos > total_pos_cents.
+    oracle="""
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS DOUBLE) / 100 AS acctbal
+        FROM customer c, pos
+        WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.total_cents
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority LIKE '1%')
+        ORDER BY c.c_custkey
+    """,
+    covers="TPC-H Q22: scalar-average threshold + anti-join against a filtered fact slice",
+    tags=("analytics", "tpch"),
+    min_rows=5,  # 5 rows at sf0.001, 75 at the sf0.01 gate
+)
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_cents).alias("total_cents"), F.count("*").alias("n")
+    )
+    rich = (
+        customer.join(F.broadcast(pos))
+        .filter(bal_cents * F.col("n") > F.col("total_cents"))
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority").like("1%"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    idle = rich.join(urgent, "c_custkey", "left_anti")
+    return idle.select(
+        "c_custkey",
+        "c_mktsegment",
+        (bal_cents.cast("double") / 100).alias("acctbal"),
+    ).orderBy("c_custkey")
