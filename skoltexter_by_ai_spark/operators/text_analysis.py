@@ -8,7 +8,7 @@ crossings; at 100 TB these are narrow map-only passes with no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from skoltexter_by_ai_spark.operators.dedup import normalized_text, tokens
@@ -175,3 +175,46 @@ def top_token_share(col: Column | str) -> Column:
     return F.when(
         n > 0, F.array_max(counts).cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the context-
+    window preparation step every embedding/RAG pipeline runs.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``;
+    the last chunk is the first window reaching the end (no trailing
+    fragments), and a document shorter than one window yields exactly
+    one chunk. Pure column ops: tokenize once, ``sequence`` +
+    ``posexplode`` generate chunk indices DISTRIBUTED (never a
+    driver-side loop), ``slice`` + ``array_join`` materialize chunk
+    text. Narrow after the tokenize projection — zero shuffle; output
+    grows by ~len/stride per doc, the inherent cost of overlap.
+
+    Output: (id_col, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # Number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride).
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra.cast("double") / stride).cast("int")
+    staged = df.select(
+        id_col, toks.alias("__toks"), F.sequence(F.lit(0), n_chunks - 1).alias("__ids")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return (
+        staged.select(id_col, F.explode("__ids").alias("chunk_id"), "__toks")
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

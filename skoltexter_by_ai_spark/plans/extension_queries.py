@@ -981,3 +981,93 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.trending_topk(st.windowed_type_counts(events), k=3).orderBy(
         "hour_start", "rank"
     )
+
+
+@register(
+    "x88_document_chunking",
+    # Overlapping token windows (32 tokens, stride 24) — context-window
+    # prep for embedding/RAG pipelines. The oracle regenerates the same
+    # windows with generate_series + list slicing; whitespace
+    # tokenization matches the engine's tokens() exactly.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), n AS (
+            SELECT doc_id, toks,
+                   1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) AS n_chunks
+            FROM t
+        ), c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+            FROM n
+        )
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT) AS n_chunk_tokens,
+               array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_id
+    """,
+    covers="document chunking into overlapping context windows (SURVEY §2.4 training surface)",
+    tags=("text", "training"),
+    min_rows=500,
+)
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, stride=24
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "x89_cluster_aware_split",
+    # Near-dup-aware train/val/test split: assign each document its
+    # x20 near-dup cluster, then hash-split on the CLUSTER id — all
+    # members of a near-dup cluster land in the same split, so
+    # training data never leaks into eval via near-duplicates. The
+    # composition is the point: clusters (connected components) feed
+    # the same md5 split x26 proves engine-neutral.
+    oracle=f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS s
+               FROM toks WHERE len(t) >= 2),
+        rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20),
+        shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        szs AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                 FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        edges0 AS (SELECT id_a, id_b FROM cand
+                   JOIN szs sa ON id_a = sa.doc_id
+                   JOIN szs sb ON id_b = sb.doc_id
+                   WHERE ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+                  UNION SELECT id_b, id_a FROM edges0),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                     FROM reach GROUP BY src)
+        SELECT doc_id, cluster,
+               CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clusters
+        ORDER BY doc_id
+    """,
+    covers="near-dup-aware train/val/test split: cluster assignment composed with the md5 hash split (no leakage across splits)",
+    tags=("dedup", "training"),
+    min_rows=400,
+)
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, max_df=20).filter(
+        F.round("jaccard", 6) >= 0.5
+    )
+    clusters = dedup.dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    return clusters.select(
+        "doc_id", "cluster", text_analysis.hash_split("cluster").alias("split")
+    ).orderBy("doc_id")

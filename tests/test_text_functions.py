@@ -262,3 +262,49 @@ def test_simhash_max_tokens_validation(spark):
         simhash64(df, "doc_id", "text", max_tokens=0)
     with pytest.raises(ValueError):
         simhash64(df, "doc_id", "text", max_tokens=SIMHASH_MAX_TOKENS + 1)
+
+
+def test_chunk_documents_invariants(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(70))),  # 70 tokens -> 3 chunks
+            (2, "a b c"),                               # shorter than one window
+            (3, " ".join(f"w{i}" for i in range(32))),  # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, stride=24)
+    rows = sorted(
+        [(r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text) for r in out.collect()]
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r[0], []).append(r)
+    # 70 tokens, window 32, stride 24 -> chunks at 0/24/48 (last is 22 long).
+    assert [r[1] for r in by_doc[1]] == [0, 1, 2]
+    assert [r[2] for r in by_doc[1]] == [32, 32, 22]
+    assert by_doc[2] == [(2, 0, 3, "a b c")]
+    assert [r[2] for r in by_doc[3]] == [32]
+    # Coverage: concatenating chunks at stride offsets reconstructs the
+    # token stream (every token is in at least one chunk).
+    toks = [f"t{i}" for i in range(70)]
+    for doc_id, chunk_id, n, text in by_doc[1]:
+        assert text.split() == toks[chunk_id * 24 : chunk_id * 24 + 32]
+
+
+def test_cluster_aware_split_never_splits_a_cluster(spark, sf_dir):
+    from skoltexter_by_ai_spark.plans.registry import all_queries
+
+    out = all_queries()["x89_cluster_aware_split"].builder(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    leaky = (
+        out.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert leaky.count() == 0
+    # And the split is non-degenerate: more than one split value used.
+    assert out.select("split").distinct().count() >= 2
