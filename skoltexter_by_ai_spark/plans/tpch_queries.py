@@ -425,15 +425,18 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
-            WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
-                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+            WHERE n1.n_name IN ('NATION_2', 'NATION_7', 'NATION_12')
+              AND n2.n_name IN ('NATION_2', 'NATION_7', 'NATION_12')
+              AND n1.n_name <> n2.n_name
         )
         GROUP BY supp_nation, cust_nation, yr
         ORDER BY supp_nation, cust_nation, yr
     """,
     covers="TPC-H Q7: bi-national shipping volume — twin dimension chains off one fact join, per-year rollup",
     tags=("analytics", "tpch"),
-    min_rows=5,
+    # Three-nation set keeps the query non-vacuous at sf0.001 (14
+    # rows) as well as the sf0.01 gate (41).
+    min_rows=10,
 )
 def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -457,8 +460,9 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .filter(
-            ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7"))
-            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2"))
+            F.col("supp_nation").isin("NATION_2", "NATION_7", "NATION_12")
+            & F.col("cust_nation").isin("NATION_2", "NATION_7", "NATION_12")
+            & (F.col("supp_nation") != F.col("cust_nation"))
         )
     )
     return (

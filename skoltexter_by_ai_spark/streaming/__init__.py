@@ -154,15 +154,20 @@ def interval_join(
     window_seconds: float = 600.0,
     watermark: str = "1 hour",
     suffix: str = "_right",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream (or batch) inner join: pairs on the same key with
+    """Stream-stream (or batch) join: pairs on the same key with
     ``left.ts <= right.ts < left.ts + window_seconds``.
 
-    In streaming mode both sides carry a watermark and the time-range
-    condition bounds the join state: rows age out once the watermark
-    passes their window (Spark derives the state retention from the
-    range predicate). Batch frames take the identical plan minus
-    watermarks — tests assert stream == batch on the same files.
+    ``how='left_outer'`` keeps unmatched left rows (right columns
+    NULL) — in streaming, outer rows emit only once the watermark
+    proves no match can still arrive, which is why outer stream-stream
+    joins REQUIRE watermarks on both sides. In streaming mode both
+    sides carry a watermark and the time-range condition bounds the
+    join state: rows age out once the watermark passes their window
+    (Spark derives the state retention from the range predicate).
+    Batch frames take the identical plan minus watermarks — tests
+    assert stream == batch on the same files for both join types.
     """
     l_side = left.withWatermark(ts_col, watermark) if left.isStreaming else left
     r_named = right.select(
@@ -181,7 +186,7 @@ def interval_join(
         & (F.col("__ts_r") < F.col(ts_col) + F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
     )
     return (
-        l_side.join(r_side, cond)
+        l_side.join(r_side, cond, how)
         .drop("__on_r")
         .withColumnRenamed("__ts_r", f"{ts_col}{suffix}")
     )
