@@ -286,3 +286,47 @@ def test_left_outer_interval_join_stream_matches_batch(spark, events_dir, tmp_pa
     # the full outer row set.
     assert any(v is None for _, v in got)
     assert any(v is None for _, v in want)
+
+
+def test_llm_enrich_runs_on_a_stream(spark, tmp_path):
+    """The reference's heart (X1-X10) composed with Structured
+    Streaming: a document stream flows through the SAME llm_enrich
+    mapInPandas stage as batch, into a checkpointed parquet sink —
+    streaming ingestion -> async LLM map -> durable side outputs."""
+    from skoltexter_by_ai_spark.operators.enrich import (
+        EnrichConfig,
+        ScriptedTransport,
+        llm_enrich,
+    )
+
+    tpl = "SYSTEM: You are a helpful writer.\nUSER: Write about:\n{school_data}"
+    keys = [f"S{i:03d}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(k, f"doc for {k}") for k in keys], "school_code string, content string"
+    )
+    in_dir = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.parquet(in_dir)
+
+    # S003 fails permanently (exhausts retries); S007 succeeds after a
+    # retry — both paths must survive the streaming boundary.
+    script = {
+        "S003": [("status", 500, "boom")],
+        "S007": [("status", 500, "flaky"), ("ok", "recovered S007")],
+    }
+    cfg = EnrichConfig(backoff_factor=0.001, retry_sleep_on_429=0.001, request_timeout=5.0)
+
+    stream = spark.readStream.schema("school_code string, content string").parquet(in_dir)
+    enriched = llm_enrich(
+        stream, tpl, ScriptedTransport(script), cfg, num_partitions=2
+    )
+    out_dir = str(tmp_path / "enriched")
+    streaming.run_to_parquet(
+        enriched, out_dir, str(tmp_path / "ckpt"), output_mode="append"
+    )
+
+    got = {r.school_code: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == set(keys)
+    assert not got["S003"].success and got["S003"].error_type == "HTTPError"
+    assert got["S007"].success and got["S007"].content == "recovered S007"
+    ok = [k for k in keys if k not in ("S003",)]
+    assert all(got[k].success for k in ok)
