@@ -344,3 +344,104 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
     ]
     return validate_expectations(li, rules).orderBy("rule")
+
+
+@register(
+    "x90_curation_pipeline",
+    # The end-to-end corpus-curation pipeline as ONE declared query:
+    # quality-gate documents (x08's heuristic, >= 0.5), cluster the
+    # survivors by near-duplicate connected components (x20), keep the
+    # best-quality representative per cluster (x77's tiebreak), and
+    # assign leak-free train/val/test splits on the cluster id (x89).
+    # Each stage is oracle-proven on its own; this query proves the
+    # COMPOSITION — what a real training-data job runs nightly.
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ),
+        q AS (
+            SELECT d.doc_id,
+                   CAST(len(tk.t) AS BIGINT) AS n_tok,
+                   CASE WHEN len(tk.t) > 0 THEN
+                       CAST(len(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
+                                x -> list_contains(['the','a','and','of','to','is','in','it','that','for'], x)))
+                            AS DOUBLE) / len(tk.t)
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(d.text) > 0 THEN
+                       CAST(length(regexp_replace(d.text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                       / length(d.text)
+                   ELSE 0.0 END AS p_ratio
+            FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id),
+        quality AS (
+            SELECT doc_id,
+                   ROUND(0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0
+                                     WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+                         + 0.3 * least(stop_ratio * 5.0, 1.0)
+                         + 0.3 * (1.0 - least(p_ratio * 5.0, 1.0)), 6) AS quality
+            FROM q),
+        kept AS (SELECT doc_id, quality FROM quality WHERE quality >= 0.5),
+        sh AS (SELECT DISTINCT d.doc_id,
+                 unnest(list_transform(generate_series(1, len(t.t)-1), i -> t.t[i] || ' ' || t.t[i+1])) AS s
+               FROM kept d JOIN toks t USING (doc_id) WHERE len(t.t) >= 2),
+        rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 20),
+        shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        szs AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                 FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        edges0 AS (SELECT id_a, id_b FROM cand
+                   JOIN szs sa ON id_a = sa.doc_id
+                   JOIN szs sb ON id_b = sb.doc_id
+                   WHERE ROUND(common * 1.0 / (sa.sz + sb.sz - common), 6) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+                  UNION SELECT id_b, id_a FROM edges0),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM kept
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                     FROM reach GROUP BY src),
+        ranked AS (
+            SELECT c.cluster, c.doc_id, k.quality,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                      ORDER BY k.quality DESC, c.doc_id) AS rn
+            FROM clusters c JOIN kept k USING (doc_id))
+        SELECT cluster, doc_id AS rep_doc_id, quality,
+               CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ranked WHERE rn = 1
+        ORDER BY cluster
+    """,
+    covers="end-to-end corpus curation: quality gate -> near-dup clusters -> best representative -> leak-free split, composed under one oracle",
+    tags=("curation", "dedup", "training"),
+    min_rows=200,
+)
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from skoltexter_by_ai_spark.operators import dedup, text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id", "text", text_analysis.quality_score("text").alias("quality")
+    )
+    kept = quality.filter(F.col("quality") >= 0.5)
+    pairs = dedup.ngram_jaccard_pairs(kept, "doc_id", "text", n=2, max_df=20).filter(
+        F.round("jaccard", 6) >= 0.5
+    )
+    clusters = dedup.dedup_clusters(kept.select("doc_id"), pairs, id_col="doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
+    reps = (
+        clusters.join(kept.select("doc_id", "quality"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return reps.select(
+        "cluster",
+        F.col("doc_id").alias("rep_doc_id"),
+        "quality",
+        text_analysis.hash_split("cluster").alias("split"),
+    ).orderBy("cluster")
