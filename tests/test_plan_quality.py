@@ -324,3 +324,14 @@ def test_market_share_single_fact_shuffle(spark):
     assert plan.count("BroadcastHashJoin") >= 5, plan
     assert plan.count("SortMergeJoin") <= 1, plan
     assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan
+
+
+def test_chunking_is_narrow_single_exchange(spark):
+    # x88: tokenize -> sequence -> explode -> slice must stay narrow —
+    # the only allowed exchange is the declared ORDER BY. An extra
+    # shuffle of exploded chunk rows (~len/stride x input) would
+    # dominate at corpus scale.
+    plan = _plan(_build(spark, "x88_document_chunking"))
+    assert plan.count("Exchange") <= 1, plan
+    assert "Generate" in plan and "explode" in plan, plan
+    assert "HashAggregate" not in plan, plan
