@@ -335,3 +335,36 @@ def test_chunking_is_narrow_single_exchange(spark):
     assert plan.count("Exchange") <= 1, plan
     assert "Generate" in plan and "explode" in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# broadcast cross joins of a 1-row / query-vector / scalar-aggregate
+# side onto the scan. Anything NOT listed here that plans a nested
+# loop (or any CartesianProduct at all) is a regression: an
+# accidental unkeyed join that scales as |left| x |right|.
+_INTENTIONAL_NESTED_LOOP = {
+    "q24_events_batch_agg",   # broadcast MIN(event_time) scalar
+    "x05_cosine_topk",        # broadcast query vector
+    "x06_lsh_ann_topk",       # broadcast query vector + bucket
+    "x13_knn_join",           # broadcast query batch
+    "x73_ivf_ann_topk",       # broadcast query + probe cells
+    "x17_tfidf_top_terms",    # broadcast corpus-size scalar
+    "x30_cross_join_small",   # declared cross join of two tiny dims
+    "x34_scalar_subquery",    # broadcast scalar aggregate
+    "x78_equiwidth_histogram",  # broadcast min/max bounds row
+    "x87_idle_rich_customers",  # broadcast 1-row average
+    "x90_curation_pipeline",    # broadcast n-docs scalar via quality chain
+}
+
+
+def test_no_accidental_cartesian_or_nested_loop_joins(spark):
+    """Sweep EVERY declared query's physical plan: unkeyed joins must
+    be the intentional broadcast-tiny-side ones, never an accident."""
+    unexpected = {}
+    for name, spec in sorted(all_queries().items()):
+        plan = _plan(spec.builder(spark, SF))
+        if "CartesianProduct" in plan:
+            unexpected[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _INTENTIONAL_NESTED_LOOP:
+            unexpected[name] = "BroadcastNestedLoopJoin"
+    assert not unexpected, unexpected
