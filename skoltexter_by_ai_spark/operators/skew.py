@@ -67,3 +67,77 @@ def salted_agg(
         .groupBy(*keys)
         .agg(*finals)
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Global running total WITHOUT a single-task global window.
+
+    The naive ``Window.orderBy(...)`` running sum funnels every row
+    through ONE task — the classic sweep-line/scan bottleneck at scale.
+    This is the textbook two-phase parallel prefix sum instead:
+
+    1. ``repartitionByRange(order_cols)`` — contiguous key ranges per
+       partition, ``sortWithinPartitions`` for in-partition order;
+    2. per-partition totals (tiny: one row per partition) come to the
+       driver and become cumulative OFFSETS, broadcast back;
+    3. one ``mapInPandas`` pass computes the in-partition cumulative
+       sum with a carry across Arrow batches, plus the partition's
+       offset.
+
+    Cost: one range shuffle + two narrow passes; no step touches more
+    than its partition. The driver materializes exactly
+    ``num_partitions`` numbers.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism or 8
+    # localCheckpoint pins ONE materialization of the range shuffle:
+    # repartitionByRange picks its boundaries by sampling, so two
+    # independent executions (the totals pass and the cumsum pass)
+    # could partition differently — offsets would then be credited to
+    # the wrong ranges. Checkpointing makes both passes read the same
+    # physical partitions.
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint()
+    )
+    totals = (
+        ranged.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(value_col).alias("__t"))
+        .collect()
+    )
+    by_pid = {r["__pid"]: r["__t"] or 0 for r in totals}
+    offsets = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, df.schema[value_col].dataType)]
+    )
+
+    def cumsum(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        carry = offsets.get(pid, 0)
+        for pdf in iterator:
+            vals = pdf[value_col].fillna(0)
+            running = vals.cumsum() + carry
+            if len(running):
+                carry = running.iloc[-1]
+            out = pdf.copy()
+            out[out_col] = running
+            yield out
+
+    return ranged.mapInPandas(cumsum, out_schema)

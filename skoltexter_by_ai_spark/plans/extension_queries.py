@@ -1071,3 +1071,136 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select(
         "doc_id", "cluster", text_analysis.hash_split("cluster").alias("split")
     ).orderBy("doc_id")
+
+
+@register(
+    "x91_ema_per_user",
+    # Exponential moving average per user — the classic "iterative"
+    # recurrence expressed as an ORDERED ARRAY FOLD, so it runs as one
+    # aggregation + one narrow projection (no driver loop, no UDF).
+    # Both engines fold left-to-right over the identically-sorted
+    # (ts, event_id) sequence with identical double ops, so the result
+    # is bit-deterministic. DuckDB's list_reduce seeds with the first
+    # element; Spark emulates that with element_at + slice.
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   list_transform(
+                       list_sort(list((epoch_ns(ts), event_id, value))),
+                       s -> CAST(s[3] AS DOUBLE)) AS vals
+            FROM events
+            WHERE value IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n,
+               ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ema
+        FROM seq
+        ORDER BY user_id
+    """,
+    covers="per-key exponential moving average as an ordered array fold (iterative recurrence without UDFs or driver loops)",
+    tags=("events", "training"),
+    min_rows=50,
+)
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    seq = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_ns", "event_id", "value"))
+        ).alias("arr")
+    )
+    vals = F.transform(F.col("arr"), lambda s: s["value"].cast("double"))
+    staged = seq.select("user_id", vals.alias("vals"))
+    ema = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return staged.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n"),
+        F.round(ema, 6).alias("ema"),
+    ).orderBy("user_id")
+
+
+@register(
+    "x92_peak_concurrency",
+    # Sweep-line over session intervals: how many user sessions are
+    # open at once, at peak? Sessions come from the same gaps-and-
+    # islands logic as x14 (end = last event + gap, exclusive); each
+    # interval contributes (+1 at start, -1 at end), a GLOBAL running
+    # sum over (t, delta) gives concurrency, and the answer is its max
+    # plus the first time it is reached. The Spark side computes the
+    # running sum with operators.skew.distributed_prefix_sum — the
+    # two-phase parallel prefix sum — NOT a single-task global window.
+    oracle="""
+        WITH marks AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks
+        ),
+        intervals AS (
+            SELECT user_id, sid,
+                   epoch_ns(MIN(ts)) AS start_ns,
+                   epoch_ns(MAX(ts) + INTERVAL 30 MINUTES) AS end_ns
+            FROM sess GROUP BY user_id, sid
+        ),
+        deltas AS (
+            SELECT start_ns AS t, 1 AS delta FROM intervals
+            UNION ALL
+            SELECT end_ns, -1 FROM intervals
+        ),
+        run AS (
+            SELECT t, delta,
+                   SUM(delta) OVER (ORDER BY t, delta
+                                    ROWS UNBOUNDED PRECEDING) AS concurrency
+            FROM deltas
+        )
+        SELECT CAST(MAX(concurrency) AS BIGINT) AS peak,
+               CAST(MIN(CASE WHEN concurrency = (SELECT MAX(concurrency) FROM run)
+                             THEN t END) AS BIGINT) AS peak_at_ns
+        FROM run
+    """,
+    covers="sweep-line peak concurrency over session intervals via two-phase distributed prefix sum (no single-task global window)",
+    tags=("events", "streaming", "olap"),
+    min_rows=1,
+)
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.skew import distributed_prefix_sum
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("__w"), "user_id")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            (F.unix_micros(F.col("__w.start")) * 1000).alias("start_ns"),
+            (F.unix_micros(F.col("__w.end")) * 1000).alias("end_ns"),
+        )
+    )
+    deltas = sessions.select(
+        F.col("start_ns").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(F.col("end_ns").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run = distributed_prefix_sum(deltas, ["t", "delta"], "delta", out_col="concurrency")
+    peak = run.agg(F.max("concurrency").alias("__p"))
+    return (
+        run.join(F.broadcast(peak))
+        .agg(
+            F.max("concurrency").cast("bigint").alias("peak"),
+            F.min(
+                F.when(F.col("concurrency") == F.col("__p"), F.col("t"))
+            )
+            .cast("bigint")
+            .alias("peak_at_ns"),
+        )
+    )

@@ -55,3 +55,38 @@ def test_hash_split_is_stable_and_roughly_80_10_10(spark):
     }
     first = {r.id: r.split for r in df.collect()}
     assert first == again
+
+
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """Two-phase prefix sum == the single-task global window, on data
+    spread across many range partitions with ties and negatives."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from skoltexter_by_ai_spark.operators.skew import distributed_prefix_sum
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(500), rng.choice([-3, -1, 1, 2, 5])) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "t long, delta long")
+
+    got = distributed_prefix_sum(df, ["t", "delta"], "delta", "run", num_ranges=8)
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("run", F.sum("delta").over(w))
+
+    # Running totals at each distinct (t, delta) boundary must agree —
+    # compare the max running value per key (ties within a key are
+    # order-arbitrary in both forms).
+    agg = lambda d: {  # noqa: E731
+        (r.t, r.delta): r.mx
+        for r in d.groupBy("t", "delta").agg(F.max("run").alias("mx")).collect()
+    }
+    assert agg(got) == agg(want)
+    # Totals line up end-to-end: the running value after the final
+    # (t, delta) key equals the grand total. (limit(1) over tied keys
+    # would pick an arbitrary mid-tie row; the per-key max above is
+    # the well-defined boundary value.)
+    total = sum(d for _, d in rows)
+    last_key = max(rows)
+    assert agg(got)[last_key] == total
