@@ -354,6 +354,7 @@ _INTENTIONAL_NESTED_LOOP = {
     "x78_equiwidth_histogram",  # broadcast min/max bounds row
     "x87_idle_rich_customers",  # broadcast 1-row average
     "x90_curation_pipeline",    # broadcast n-docs scalar via quality chain
+    "x92_peak_concurrency",     # broadcast 1-row peak aggregate
 }
 
 
