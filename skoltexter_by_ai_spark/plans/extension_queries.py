@@ -1103,24 +1103,17 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_rows=50,
 )
 def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    seq = events.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("ts_ns", "event_id", "value"))
-        ).alias("arr")
+    # Same implementation serves batch and streaming: the builder
+    # delegates to streaming.user_ema's batch path, and the streaming
+    # twin (applyInPandasWithState) is parity-tested against it.
+    from skoltexter_by_ai_spark import streaming
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        streaming.user_ema(events, alpha=0.3)
+        .select("user_id", "n", F.round("ema", 6).alias("ema"))
+        .orderBy("user_id")
     )
-    vals = F.transform(F.col("arr"), lambda s: s["value"].cast("double"))
-    staged = seq.select("user_id", vals.alias("vals"))
-    ema = F.aggregate(
-        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
-        F.element_at(F.col("vals"), 1),
-        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
-    )
-    return staged.select(
-        "user_id",
-        F.size("vals").cast("bigint").alias("n"),
-        F.round(ema, 6).alias("ema"),
-    ).orderBy("user_id")
 
 
 @register(

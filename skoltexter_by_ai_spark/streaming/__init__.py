@@ -265,6 +265,72 @@ def user_running_stats(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     )
 
 
+EMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+_EMA_STATE = StructType(
+    [StructField("n", LongType()), StructField("ema", DoubleType())]
+)
+
+
+def user_ema(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponential moving average — the streaming twin of the
+    x91 batch fold, carried as two numbers of state per user.
+
+    Batch frames take the identical ordered-array-fold path as x91
+    (tests assert parity); streams fold each micro-batch's rows in
+    (ts_ns, event_id) order on top of the persisted (n, ema) state.
+    The recurrence is the same left fold either way, so a stream
+    replaying the batch's files converges to the batch answer exactly.
+    """
+    if not events.isStreaming:
+        src = events.filter(F.col("value").isNotNull())
+        seq = src.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ns", "event_id", "value"))
+            ).alias("arr")
+        )
+        vals = F.transform(F.col("arr"), lambda s: s["value"].cast("double"))
+        staged = seq.select("user_id", vals.alias("vals"))
+        ema = F.aggregate(
+            F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+            F.element_at(F.col("vals"), 1),
+            lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+        )
+        return staged.select(
+            "user_id", F.size("vals").cast("bigint").alias("n"), ema.alias("ema")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, ema = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value"]).sort_values(["ts_ns", "event_id"])
+            for v in pdf["value"].astype(float):
+                ema = v if ema is None else alpha * v + (1.0 - alpha) * ema
+                n += 1
+        state.update((n, ema if ema is not None else 0.0))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ema": [ema]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EMA_SCHEMA,
+        stateStructType=_EMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame,
     query_name: str,

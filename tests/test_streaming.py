@@ -330,3 +330,18 @@ def test_llm_enrich_runs_on_a_stream(spark, tmp_path):
     assert got["S007"].success and got["S007"].content == "recovered S007"
     ok = [k for k in keys if k not in ("S003",)]
     assert all(got[k].success for k in ok)
+
+
+def test_user_ema_stream_matches_batch_fold(spark, events_dir, tmp_path):
+    """Stateful streaming EMA == the x91 batch array fold, to float64
+    ulp (same left fold, different execution)."""
+    stream = streaming.read_events_stream(spark, events_dir)
+    out = streaming.run_to_memory(
+        streaming.user_ema(stream), "t_ema", str(tmp_path / "ckpt"), "update"
+    )
+    batch = {r.user_id: r for r in streaming.user_ema(load_table(spark, SF, "events")).collect()}
+    got = {r.user_id: r for r in out.collect()}
+    assert set(got) == set(batch)
+    for uid, g in got.items():
+        assert g.n == batch[uid].n
+        assert g.ema == pytest.approx(batch[uid].ema, rel=1e-12)
