@@ -82,15 +82,33 @@ def main() -> None:
         except Exception as exc:  # keep the bench alive; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"
 
+    # The driver captures only a bounded TAIL of stdout, and the full
+    # {name: sec} dict with descriptive query names is ~3.5 KB — two
+    # rounds of BENCH_r{N} came back parsed=null because the line's
+    # head was clipped (VERDICT r2 item 2). The stdout line therefore
+    # uses SHORT keys (q01…x92, the unique prefix) and 2dp values
+    # (~1.5 KB for 116 queries); the full-precision long-name record
+    # is committed alongside as BENCH_LOCAL.json.
+    short = {name.split("_", 1)[0]: round(sec, 2) for name, sec in sorted(timings.items())}
     result = {
         "metric": "declared_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
-        "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "queries": short,
     }
     if failures:
-        result["failures"] = failures
+        result["failures"] = {
+            name.split("_", 1)[0]: msg[:60] for name, msg in failures.items()
+        }
+    full = dict(result, queries=timings, failures=failures or None)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries everything
     # Compact separators keep the one line as short as possible in
     # case the driver caps its captured tail.
     os.write(real_stdout, (json.dumps(result, separators=(",", ":")) + "\n").encode())

@@ -22,6 +22,8 @@ DataFrame compositions (no UDFs):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -329,6 +331,14 @@ def validate_expectations(
     rule-count sized; gate the pipeline on ``n_violations == 0`` or a
     tolerated fraction of ``n_rows``.
     """
+    if not rules:
+        raise ValueError("validate_expectations requires at least one rule")
+    for name, _ in rules:
+        # Rule names are interpolated into the stack() selectExpr below;
+        # restrict to identifier characters so a quote/backtick cannot
+        # produce broken (or worse, surprising) SQL (ADVICE r2).
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(f"rule name must match [A-Za-z0-9_]+: {name!r}")
     aggs = [
         F.sum(F.when(col.isNull() | ~col, 1).otherwise(0)).cast("bigint").alias(name)
         for name, col in rules

@@ -632,6 +632,19 @@ def _floor_div(num: F.Column, den: F.Column) -> F.Column:
     return ((num - num % den) / den).cast("bigint")
 
 
+def _bp_floor(num: F.Column, den: F.Column) -> F.Column:
+    """floor(10000 * num / den) as exact basis points, with the
+    numerator widened to decimal(38,0) BEFORE the 10000× scale-up:
+    num is a SUM of ~1e9-per-row scaled revenues, so 10000 * num
+    wraps int64 once the sum passes ~9.2e14 — silently, in non-ANSI
+    Spark (ADVICE r2 on x85). DuckDB needs no widening: its
+    SUM(BIGINT) already returns HUGEINT. The intermediate stays
+    exact (decimal % and a remainder-subtracted division), so the
+    final bigint cast loses nothing."""
+    wide = num.cast("decimal(38,0)") * F.lit(10000)
+    return ((wide - wide % den) / den).cast("bigint")
+
+
 def _rev_col() -> F.Column:
     return F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")

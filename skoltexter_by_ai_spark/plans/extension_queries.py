@@ -989,9 +989,15 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prep for embedding/RAG pipelines. The oracle regenerates the same
     # windows with generate_series + list slicing; whitespace
     # tokenization matches the engine's tokens() exactly.
+    # list_filter drops the [''] that string_split_regex yields for
+    # empty/whitespace-only text, matching Spark tokens()'s guard —
+    # without it an empty doc would count 1 token vs Spark's 0
+    # (ADVICE r2; latent until a fixture regen ships an empty doc).
     oracle="""
         WITH t AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
             FROM documents
         ), n AS (
             SELECT doc_id, toks,
@@ -1100,7 +1106,10 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     covers="per-key exponential moving average as an ordered array fold (iterative recurrence without UDFs or driver loops)",
     tags=("events", "training"),
-    min_rows=50,
+    # One row per distinct user: sf0.001 ships 15 users, so the gate
+    # must sit below that to be satisfiable at the smoke scale
+    # (VERDICT r2: min_rows=50 was tuned against sf0.01 only).
+    min_rows=10,
 )
 def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same implementation serves batch and streaming: the builder

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from skoltexter_by_ai_spark.plans.analytics_queries import (
     _REV,
     _REV4,
-    _floor_div,
+    _bp_floor,
     _rev4_col,
     _rev_col,
 )
@@ -215,9 +215,7 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return monthly.select(
         "ym",
-        _floor_div(F.lit(10000) * F.col("promo_scaled"), F.col("total_scaled")).alias(
-            "promo_bps"
-        ),
+        _bp_floor(F.col("promo_scaled"), F.col("total_scaled")).alias("promo_bps"),
         "total_scaled",
     ).orderBy("ym")
 
@@ -541,7 +539,7 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr",
         (F.col("t4").cast("double") / 10000).alias("target_revenue"),
         (F.col("r4").cast("double") / 10000).alias("total_revenue"),
-        _floor_div(F.lit(10000) * F.col("t4"), F.col("r4")).alias("share_bp"),
+        _bp_floor(F.col("t4"), F.col("r4")).alias("share_bp"),
     ).orderBy("yr")
 
 

@@ -314,12 +314,23 @@ def user_ema(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         import pandas as pd
 
         n, ema = state.get if state.exists else (0, None)
+        if n == 0:
+            # State tuples are fixed-width, so "no values yet" was
+            # stored as ema=0.0; restore None so the first real value
+            # SEEDS the fold (ema := v) instead of mixing with a
+            # phantom 0.0 — exactly the batch fold's semantics.
+            ema = None
         for pdf in pdfs:
             pdf = pdf.dropna(subset=["value"]).sort_values(["ts_ns", "event_id"])
             for v in pdf["value"].astype(float):
                 ema = v if ema is None else alpha * v + (1.0 - alpha) * ema
                 n += 1
-        state.update((n, ema if ema is not None else 0.0))
+        if n == 0:
+            # Micro-batch carried only NULL values for this key: the
+            # batch twin emits no row for it, so neither do we, and
+            # there is nothing worth persisting.
+            return
+        state.update((n, ema))
         yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ema": [ema]})
 
     return events.groupBy("user_id").applyInPandasWithState(

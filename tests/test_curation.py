@@ -265,3 +265,14 @@ def test_validate_expectations_null_is_violation(spark):
     got = {r.rule: (r.n_violations, r.n_rows) for r in validate_expectations(df, rules).collect()}
     # NULL fails every rule it appears in (cannot evaluate != passed).
     assert got == {"v_present": (1, 4), "v_positive": (2, 4), "v_small": (2, 4)}
+
+
+def test_validate_expectations_rejects_bad_rule_names_and_empty(spark):
+    from skoltexter_by_ai_spark.operators.curation import validate_expectations
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one rule"):
+        validate_expectations(df, [])
+    for bad in ("has space", "quote'", "back`tick", ""):
+        with pytest.raises(ValueError, match="rule name"):
+            validate_expectations(df, [(bad, F.col("id") >= 0)])

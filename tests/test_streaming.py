@@ -345,3 +345,52 @@ def test_user_ema_stream_matches_batch_fold(spark, events_dir, tmp_path):
     for uid, g in got.items():
         assert g.n == batch[uid].n
         assert g.ema == pytest.approx(batch[uid].ema, rel=1e-12)
+
+
+def test_user_ema_null_only_first_batch_seeds_with_first_value(spark, tmp_path):
+    """A key whose FIRST micro-batch carries only NULL values must not
+    poison the fold with a phantom ema=0.0: the first real value in a
+    later batch seeds the recurrence (ema := v), exactly like the
+    batch twin (ADVICE r2). The all-NULL batch also emits no row."""
+    import glob
+    import os
+
+    schema = "user_id long, event_id long, ts_ns long, value double"
+    in_dir = str(tmp_path / "ema_in")
+    b1 = [(1, 1, 1_000, None), (2, 1, 1_000, 10.0)]
+    b2 = [(1, 2, 2_000, 5.0), (2, 2, 2_000, 20.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    # The file source orders micro-batches by modification time; pin it
+    # so b1's file is processed strictly first.
+    files = sorted(glob.glob(f"{in_dir}/part-*.parquet"), key=os.path.getmtime)
+    for i, f in enumerate(files):
+        os.utime(f, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming.run_to_memory(
+        streaming.user_ema(stream), "t_ema_nullseed", str(tmp_path / "ckpt"), "update"
+    )
+    rows = out.collect()
+
+    # User 1's all-NULL first batch emits NO row; its single row comes
+    # from batch 2, seeded with 5.0 — NOT 0.3*5 + 0.7*0.0 = 1.5.
+    u1 = [r for r in rows if r.user_id == 1]
+    assert len(u1) == 1
+    assert u1[0].n == 1 and u1[0].ema == 5.0
+
+    # User 2 updates in both batches; the final state is the batch fold.
+    u2 = max((r for r in rows if r.user_id == 2), key=lambda r: r.n)
+    assert u2.n == 2 and u2.ema == pytest.approx(0.3 * 20.0 + 0.7 * 10.0)
+
+    # Parity with the batch twin over the union of both files.
+    batch = {
+        r.user_id: r
+        for r in streaming.user_ema(spark.read.schema(schema).parquet(in_dir)).collect()
+    }
+    assert u1[0].ema == pytest.approx(batch[1].ema, rel=1e-12)
+    assert u2.ema == pytest.approx(batch[2].ema, rel=1e-12)
