@@ -1,0 +1,142 @@
+"""Bounded-state exact quantiles (operators.quantiles).
+
+The bisection must reproduce Spark's own `percentile` (= DuckDB
+quantile_cont, type-7) to the suite's ROUND(·,6) convention, while
+keeping executor state bounded: per-task aggregation state is a
+bucket-count map capped at nbuckets entries, never a value map.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators.curation import robust_zscore, winsorize
+from skoltexter_by_ai_spark.operators.quantiles import (
+    exact_quantile_bounds,
+    grouped_exact_quantiles,
+)
+
+PROBS = [0.0, 0.05, 0.25, 0.5, 0.95, 1.0]
+
+
+@pytest.fixture(scope="module")
+def grid_df(spark):
+    random.seed(7)
+    rows = [
+        (random.choice("ABC"), round(random.uniform(900.0, 105000.0), 2))
+        for _ in range(20000)
+    ]
+    rows.append(("D", 42.42))  # singleton group: pos lands exactly on a rank
+    rows.append(("A", None))  # NULLs are ignored, like percentile()
+    return spark.createDataFrame(rows, "g string, v double").cache()
+
+
+def test_matches_spark_percentile_all_probs(grid_df):
+    mine = {
+        r.g: [r[f"__q{i}"] for i in range(len(PROBS))]
+        for r in exact_quantile_bounds(grid_df, "v", ["g"], PROBS).collect()
+    }
+    ref = {
+        r.g: [r[f"p{i}"] for i in range(len(PROBS))]
+        for r in grid_df.groupBy("g")
+        .agg(
+            *[
+                F.round(F.percentile("v", F.lit(p)), 6).alias(f"p{i}")
+                for i, p in enumerate(PROBS)
+            ]
+        )
+        .collect()
+    }
+    assert mine == ref
+
+
+def test_global_quantiles_no_group(grid_df):
+    got = exact_quantile_bounds(grid_df, "v", [], [0.5]).collect()
+    want = grid_df.agg(F.round(F.percentile("v", F.lit(0.5)), 6)).collect()
+    assert len(got) == 1 and got[0]["__q0"] == want[0][0]
+
+
+def test_tiny_nbuckets_converges(spark):
+    """More refinement passes, same answer — exercises the multi-pass
+    path that a 64-bit range would need."""
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 1002)], "g string, v double"
+    )
+    got = grouped_exact_quantiles(
+        df, ["g"], F.col("v").cast("long"), [0.25, 0.5], nbuckets=4
+    )
+    vals = {round(r["__p"], 2): r["__q"] for r in got.collect()}
+    assert vals == {0.25: 251.0, 0.5: 501.0}
+
+
+def test_guard_rejects_off_grid_values(spark):
+    df = spark.createDataFrame([("A", 1.234567), ("A", 2.0)], "g string, v double")
+    with pytest.raises(Exception, match="guard failed"):
+        exact_quantile_bounds(df, "v", ["g"], [0.5]).collect()
+
+
+def test_winsorize_plan_has_no_percentile_aggregate(spark, sf_dir):
+    """The 100 TB posture gate (VERDICT r2): the default winsorize path
+    must not plan Spark's percentile/median aggregate, whose per-group
+    value-map state is memory-unbounded. All aggregates in the plan
+    must be count/min/max/sum-shaped (bounded, mergeable)."""
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = winsorize(li, "l_extendedprice", group_col="l_returnflag")
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "percentile" not in plan
+    assert "median" not in plan
+
+
+def test_winsorize_matches_legacy_percentile_path(spark, sf_dir):
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    key = ["l_orderkey", "l_linenumber"]
+    bounded = winsorize(li, "l_extendedprice", group_col="l_returnflag")
+    legacy = winsorize(li, "l_extendedprice", group_col="l_returnflag", scale=None)
+    cols = sorted(bounded.columns)
+    a = [tuple(r) for r in bounded.select(cols).orderBy(*key).collect()]
+    b = [tuple(r) for r in legacy.select(cols).orderBy(*key).collect()]
+    assert a == b
+
+
+def test_robust_zscore_matches_unbounded_median(spark, sf_dir):
+    """The delta ranking runs on exact integers; result must equal the
+    straightforward double median/MAD composition post-ROUND."""
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    got = robust_zscore(li, "l_extendedprice", "l_returnflag")
+
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("m")
+    )
+    wm = li.join(F.broadcast(med), "l_returnflag")
+    mad = wm.groupBy("l_returnflag").agg(
+        F.round(
+            F.median(F.abs(F.col("l_extendedprice").cast("double") - F.col("m"))), 6
+        ).alias("d")
+    )
+    want = wm.join(F.broadcast(mad), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("m").alias("grp_median"),
+        F.col("d").alias("grp_mad"),
+        F.round(
+            (F.col("l_extendedprice").cast("double") - F.col("m")) / F.col("d"), 6
+        ).alias("robust_z"),
+    )
+    key = ["l_orderkey", "l_linenumber"]
+    cols = ["l_orderkey", "l_linenumber", "grp_median", "grp_mad", "robust_z"]
+    a = [tuple(r) for r in got.select(cols).orderBy(*key).collect()]
+    b = [tuple(r) for r in want.select(cols).orderBy(*key).collect()]
+    assert a == b
