@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Mutation-testing gate for the pure-Python compile paths.
+
+Parity target: the reference gates pushes on mutation score
+(/root/reference/tools/ci/mutmut_gate.py runs mutmut over ``src`` and
+fails on survivors). mutmut is not installed in this container, so
+this is a dependency-free equivalent: an AST mutator over the modules
+whose logic the DuckDB oracle CANNOT see (template compilation, text
+cleanup, markdown conversion, the enrichment payload/fence/retry state
+machine), each mutant executed against the test files that own that
+module.
+
+A mutant is KILLED when its scoped pytest run fails (or errors) and
+SURVIVED when the suite stays green — a surviving mutant marks logic
+the tests do not pin down.
+
+Usage:
+    python tools/mutation_gate.py                 # strided sample (default 36)
+    python tools/mutation_gate.py --max-mutants 0 # every site (slow)
+    python tools/mutation_gate.py --list          # show sites only
+
+Prints one JSON summary line; exits 1 when the kill rate drops below
+--min-kill-rate (default 0.80). Results are recorded in QUALITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import copy
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# module under mutation -> the test files that must kill its mutants
+TARGETS: dict[str, list[str]] = {
+    "skoltexter_by_ai_spark/functions/template.py": [
+        "tests/test_template_properties.py",
+        "tests/test_render_parity.py",
+    ],
+    "skoltexter_by_ai_spark/functions/text.py": [
+        "tests/test_text_functions.py",
+    ],
+    "skoltexter_by_ai_spark/functions/markdown_lite.py": [
+        "tests/test_publish.py",
+    ],
+    "skoltexter_by_ai_spark/operators/enrich.py": [
+        "tests/test_enrich.py",
+    ],
+}
+
+_CMP_FLIP = {
+    ast.Eq: ast.NotEq,
+    ast.NotEq: ast.Eq,
+    ast.Lt: ast.LtE,
+    ast.LtE: ast.Lt,
+    ast.Gt: ast.GtE,
+    ast.GtE: ast.Gt,
+    ast.Is: ast.IsNot,
+    ast.IsNot: ast.Is,
+    ast.In: ast.NotIn,
+    ast.NotIn: ast.In,
+}
+_BIN_FLIP = {ast.Add: ast.Sub, ast.Sub: ast.Add}
+
+
+def _docstring_positions(tree: ast.AST) -> set[int]:
+    """Line numbers of docstring constants (never mutate those)."""
+    out: set[int] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            body = getattr(node, "body", [])
+            if body and isinstance(body[0], ast.Expr) and isinstance(
+                body[0].value, ast.Constant
+            ):
+                out.add(body[0].value.lineno)
+    return out
+
+
+def enumerate_sites(tree: ast.AST) -> list[tuple[ast.AST, str]]:
+    """All single-site mutations: (node, description)."""
+    doc_lines = _docstring_positions(tree)
+    sites: list[tuple[ast.AST, str]] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Compare) and len(node.ops) == 1:
+            op = type(node.ops[0])
+            if op in _CMP_FLIP:
+                sites.append(
+                    (node, f"L{node.lineno}: {op.__name__} -> {_CMP_FLIP[op].__name__}")
+                )
+        elif isinstance(node, ast.BinOp) and type(node.op) in _BIN_FLIP:
+            sites.append(
+                (
+                    node,
+                    f"L{node.lineno}: {type(node.op).__name__} -> "
+                    f"{_BIN_FLIP[type(node.op)].__name__}",
+                )
+            )
+        elif isinstance(node, ast.BoolOp):
+            flip = "Or" if isinstance(node.op, ast.And) else "And"
+            sites.append((node, f"L{node.lineno}: BoolOp -> {flip}"))
+        elif isinstance(node, ast.Constant):
+            if node.lineno in doc_lines:
+                continue
+            if node.value is True or node.value is False:
+                sites.append((node, f"L{node.lineno}: {node.value} -> {not node.value}"))
+            elif isinstance(node.value, int) and not isinstance(node.value, bool):
+                sites.append((node, f"L{node.lineno}: {node.value} -> {node.value + 1}"))
+    return sites
+
+
+def mutate(tree: ast.AST, index: int) -> ast.AST:
+    """Return a deep copy of ``tree`` with mutation ``index`` applied."""
+    tree = copy.deepcopy(tree)
+    sites = enumerate_sites(tree)
+    node, _ = sites[index]
+    if isinstance(node, ast.Compare):
+        node.ops[0] = _CMP_FLIP[type(node.ops[0])]()
+    elif isinstance(node, ast.BinOp):
+        node.op = _BIN_FLIP[type(node.op)]()
+    elif isinstance(node, ast.BoolOp):
+        node.op = ast.Or() if isinstance(node.op, ast.And) else ast.And()
+    elif isinstance(node, ast.Constant):
+        if node.value is True or node.value is False:
+            node.value = not node.value
+        else:
+            node.value = node.value + 1
+    return tree
+
+
+def run_pytest(test_files: list[str], timeout: int) -> bool:
+    """True when the scoped suite PASSES (mutant survived)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q", "-p", "no:cacheprovider", *test_files],
+            cwd=REPO,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False  # hang == killed
+    return proc.returncode == 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-mutants", type=int, default=36, help="0 = all sites")
+    ap.add_argument("--min-kill-rate", type=float, default=0.80)
+    ap.add_argument("--timeout", type=int, default=420)
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    summary: dict[str, dict] = {}
+    total_tested = total_killed = 0
+    per_file_budget = None
+    if args.max_mutants:
+        per_file_budget = max(1, args.max_mutants // len(TARGETS))
+
+    for rel, test_files in TARGETS.items():
+        path = os.path.join(REPO, rel)
+        src = open(path).read()
+        tree = ast.parse(src)
+        sites = enumerate_sites(tree)
+        picked = list(range(len(sites)))
+        if per_file_budget and len(picked) > per_file_budget:
+            stride = len(picked) / per_file_budget
+            picked = [int(i * stride) for i in range(per_file_budget)]
+        if args.list:
+            summary[rel] = {"sites": len(sites), "picked": [sites[i][1] for i in picked]}
+            continue
+
+        survivors: list[str] = []
+        killed = 0
+        backup = path + ".mutbak"
+        shutil.copyfile(path, backup)
+        try:
+            for i in picked:
+                mutated = ast.unparse(mutate(ast.parse(src), i))
+                with open(path, "w") as fh:
+                    fh.write(mutated)
+                if run_pytest(test_files, args.timeout):
+                    survivors.append(sites[i][1])
+                else:
+                    killed += 1
+                print(
+                    f"[{rel}] {sites[i][1]}: "
+                    f"{'SURVIVED' if survivors and survivors[-1] == sites[i][1] else 'killed'}",
+                    file=sys.stderr,
+                )
+        finally:
+            shutil.copyfile(backup, path)
+            os.remove(backup)
+        summary[rel] = {
+            "sites": len(sites),
+            "tested": len(picked),
+            "killed": killed,
+            "survived": len(survivors),
+            "survivors": survivors,
+        }
+        total_tested += len(picked)
+        total_killed += killed
+
+    if args.list:
+        print(json.dumps(summary, indent=1))
+        return 0
+    rate = total_killed / total_tested if total_tested else 1.0
+    out = {
+        "tested": total_tested,
+        "killed": total_killed,
+        "kill_rate": round(rate, 3),
+        "files": summary,
+    }
+    print(json.dumps(out, indent=1))
+    return 0 if rate >= args.min_kill_rate else 1
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    rc = main()
+    print(f"# mutation gate finished in {time.time() - t0:.0f}s", file=sys.stderr)
+    sys.exit(rc)
