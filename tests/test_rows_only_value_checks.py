@@ -1,0 +1,132 @@
+"""Value-level cross-checks for the rows-only declared queries
+(VERDICT r2 item 7).
+
+The queries without a DuckDB oracle (xxhash64/LSH machinery DuckDB
+cannot reproduce) get containment/recall assertions against an EXACT
+twin computed on the same fixture — not just row counts:
+
+- x03: LSH candidate pairs must contain every pair whose FULL-set
+  n-gram Jaccard is high (pure-Python twin; x02's pruned-index
+  jaccard is a different, rarity-weighted measure).
+- x06: the bucket-prefiltered ANN must find a planted near-neighbor
+  and every returned score must equal the exact cosine (the re-rank
+  is exact; only the candidate set is approximate).
+- x15: the near-dup detector must return EXACTLY the planted
+  (i, i+1_000_000) perturbation pairs — full value-level expectation.
+- x67: numpy brute force over the same hashed embeddings — ZERO false
+  positives (the verify stage is exact) and recall at the analytic
+  multi-table LSH level.
+
+(x04 banding recall, x64 sketch-vs-exact, x66 feature exactness and
+x73 probe-all==exact live in their operator test files.)
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators import similarity
+from skoltexter_by_ai_spark.plans.registry import get_query
+from skoltexter_by_ai_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_x03_candidates_contain_exact_high_jaccard_pairs(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+
+    def shingles(t: str, n: int = 2) -> set:
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {r.doc_id: shingles(r.text) for r in docs}
+    exact = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        sa, sb = sh[a], sh[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+            exact.add((a, b))
+    assert exact, "fixture must contain high-Jaccard pairs for a non-vacuous check"
+    cands = {
+        (r.id_a, r.id_b)
+        for r in get_query("x03_minhash_lsh_candidates").builder(spark, SF).collect()
+    }
+    # 16 bands x 2 rows: P[band miss | j>=0.5] <= (1 - 0.25)^16 ~= 1%
+    # per pair, and the fixture's actual pairs sit far above 0.5 — with
+    # the fixed seed this is deterministic containment.
+    missed = exact - cands
+    assert not missed, f"LSH candidates missed exact pairs: {sorted(missed)[:5]}"
+
+
+def test_x06_ann_scores_are_exact_and_planted_neighbor_found(spark):
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # Every score x06 returns must equal the exact cosine for that id.
+    query = emb.filter(F.col("vec_id") == 0)
+    exact_all = {
+        r.vec_id: r.cos_sim
+        for r in similarity.cosine_topk(emb, query, k=10**6).collect()
+    }
+    for r in get_query("x06_lsh_ann_topk").builder(spark, SF).collect():
+        assert r.cos_sim == exact_all[r.vec_id]
+
+    # Recall check on data WITH structure: plant a 0.999-cosine twin of
+    # vector 0 (the fixture's raw vectors are near-orthogonal, which no
+    # sign-bit prefilter can rank) — the ANN must surface it first.
+    twin = query.select(
+        F.lit(1_000_000).cast("long").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.05 * F.sin((i + 1).cast("double")))
+        ).alias("embedding"),
+    )
+    rows = similarity.lsh_ann_topk(
+        emb.unionByName(twin), query, k=10, n_planes=12, max_hamming=4
+    ).collect()
+    assert rows[0].vec_id == 1_000_000 and rows[0].cos_sim > 0.99
+
+
+def test_x15_returns_exactly_the_planted_pairs(spark):
+    ids = [
+        r.vec_id
+        for r in load_table(spark, SF, "embeddings").select("vec_id").collect()
+    ]
+    expected = {(i, i + 1_000_000) for i in ids}
+    got = {
+        (r.id_a, r.id_b)
+        for r in get_query("x15_embedding_near_dups").builder(spark, SF).collect()
+    }
+    # Every planted perturbation pair (cosine ~0.999) must be found,
+    # and nothing else crosses the 0.9 threshold on this fixture.
+    assert got == expected
+
+
+def test_x67_no_false_positives_and_analytic_recall(spark):
+    from skoltexter_by_ai_spark.operators.embedding import hashed_embedding
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 500)
+    rows = hashed_embedding(docs, "text", "doc_id", dim=64).collect()
+    ids = np.array([r.doc_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    brute = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if round(sims[a, b], 6) >= 0.9:
+                brute.add((int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))))
+    assert brute, "fixture must contain near-dup docs for a non-vacuous check"
+    got = {
+        (r.id_a, r.id_b)
+        for r in get_query("x67_embed_and_near_dup").builder(spark, SF).collect()
+    }
+    # Exact-verify stage => nothing below the threshold may appear.
+    assert not (got - brute), f"false positives: {sorted(got - brute)[:5]}"
+    # 8 tables x 12 planes at cos=0.9: per-table collision 0.856^12,
+    # multi-table recall 1-(1-0.155)^8 ~= 0.74 for the HARDEST pairs
+    # (exactly at threshold); the observed mix sits above it.
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.7, f"recall {recall} below the analytic floor"
