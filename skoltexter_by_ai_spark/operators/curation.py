@@ -248,7 +248,10 @@ def winsorize(
     if group_col is None:
         joined = df.crossJoin(F.broadcast(bounds))
     else:
-        joined = df.join(F.broadcast(bounds), group_col)
+        # LEFT: a group whose values are all NULL has no bounds row in
+        # the bisection path; keep its rows with NULL bounds/clip, the
+        # same shape the percentile fallback produces.
+        joined = df.join(F.broadcast(bounds), group_col, "left")
     clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
     return joined.withColumn(f"{value_col}_w", clipped).withColumnsRenamed(
         {"__lo": f"{value_col}_lo", "__hi": f"{value_col}_hi"}

@@ -162,6 +162,11 @@ def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # Built-in percentile is DELIBERATE here: its state is a
+    # value→count map bounded by the column's DOMAIN, and l_quantity
+    # has ~50 distinct values — fine at any row count. For unbounded
+    # domains (prices), use operators.quantiles' bisection instead
+    # (x70/x72 do; see SCALING.md round-3 section).
     return (
         lineitem.groupBy("l_returnflag")
         .agg(

@@ -140,3 +140,14 @@ def test_robust_zscore_matches_unbounded_median(spark, sf_dir):
     a = [tuple(r) for r in got.select(cols).orderBy(*key).collect()]
     b = [tuple(r) for r in want.select(cols).orderBy(*key).collect()]
     assert a == b
+
+
+def test_winsorize_keeps_all_null_groups(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 3.0), ("B", None), ("B", None)], "g string, v double"
+    )
+    out = winsorize(df, "v", group_col="g").orderBy("g", "v")
+    rows = out.collect()
+    assert len(rows) == 4  # NULL-only group B keeps its rows
+    b = [r for r in rows if r.g == "B"]
+    assert all(r.v_w is None and r.v_lo is None for r in b)
