@@ -60,7 +60,10 @@ def grouped_exact_quantiles(
     Returns one row per (group, prob): ``(*group_cols, __p, __q)``
     with ``__q`` the type-7 quantile in the LONG's units (double).
     NULL values are ignored (matching ``percentile``); a group whose
-    values are all NULL yields no row. ``guard``, when given, is a
+    values are all NULL yields no row. Values must lie within
+    ±2^62 so range arithmetic (``__hi - __lo``) cannot wrap — every
+    scaled-decimal caller is orders of magnitude inside that.
+    ``guard``, when given, is a
     per-row boolean that must hold for every row — the caller's
     losslessness check for the double→long mapping; a violation fails
     the job rather than returning silently-wrong quantiles.
@@ -232,8 +235,10 @@ def grouped_exact_quantiles(
         *group_cols, F.col("__k").alias("__k2"), F.col("__vk").alias("__v2")
     )
     out = (
-        per_p.join(v1, [*group_cols, "__k1"])
-        .join(v2, [*group_cols, "__k2"])
+        # (groups × ranks)-sized frames: broadcast so no stats-less
+        # planner ever SMJs the interpolation join.
+        per_p.join(F.broadcast(v1), [*group_cols, "__k1"])
+        .join(F.broadcast(v2), [*group_cols, "__k2"])
         .select(
             *group_cols,
             "__p",

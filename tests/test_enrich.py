@@ -119,6 +119,50 @@ def test_empty_content_then_success(spark):
     assert out["s1"].success is True and out["s1"].content == "second try"
 
 
+def test_empty_content_exhausts(spark):
+    # Persistently-empty content must exhaust the retry budget and
+    # report FAILURE (mutation gate r3: success=True here survived).
+    script = {"s1": [("ok", "")] * 4}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is False and out["s1"].error_type == "EmptyContent"
+    assert out["s1"].content is None
+
+
+def test_default_retry_budget_is_exactly_four_attempts(spark, tmp_path):
+    # Reference parity (src/config.py): max_retries=3 → 1 + 3 calls.
+    # Counted through the filesystem because the transport runs in
+    # executor Python workers.
+    log = tmp_path / "calls.log"
+    cfg = EnrichConfig(backoff_factor=0.001, retry_sleep_on_429=0.001, request_timeout=5.0)
+    t = enrich.CallLogTransport(str(log), {"s1": [("status", 500, "boom")]})
+    out = llm_enrich(_docs(spark, ["s1"]), TPL, t, cfg, num_partitions=1)
+    rows = {r.school_code: r for r in out.collect()}
+    assert rows["s1"].success is False
+    assert open(log).read().count("s1") == 1 + cfg.max_retries == 4
+
+
+def test_scripted_steps_advance_one_per_call(spark, tmp_path):
+    # The scripted transport must replay steps IN ORDER, one per call:
+    # recovery on the second step means exactly two calls, not a walk
+    # through later failure steps.
+    log = tmp_path / "calls.log"
+    script = {
+        "s1": [("status", 500, "x"), ("ok", "second"), ("status", 500, "x"), ("status", 500, "x")]
+    }
+    t = enrich.CallLogTransport(str(log), script)
+    out = llm_enrich(_docs(spark, ["s1"]), TPL, t, FAST, num_partitions=1)
+    rows = {r.school_code: r for r in out.collect()}
+    assert rows["s1"].success is True and rows["s1"].content == "second"
+    assert open(log).read().count("s1") == 2
+
+
+def test_scripted_status_without_body_defaults_empty(spark):
+    # A 2-tuple ("status", 500) step must default its body to "".
+    script = {"s1": [("status", 500)] * 4}
+    out = _run(spark, script, ["s1"])
+    assert out["s1"].success is False and out["s1"].error_type == "HTTPError"
+
+
 def test_network_error_then_success(spark):
     script = {"s1": [("network", "conn reset"), ("ok", "after retry")]}
     out = _run(spark, script, ["s1"])

@@ -78,6 +78,26 @@ def test_md_to_html_headers_lists_tables():
     assert "<strong>bold</strong>" in html and "<em>em</em>" in html
     assert "<ul>" in html and "<li>one</li>" in html
     assert "<table>" in html and "<td>1</td>" in html
+    # Header cells must come from the HEADER row, not the |---|
+    # separator or a body row (mutation gate r3: lines[0] -> lines[1]
+    # survived the weaker <table> assertion).
+    assert "<th>a</th>" in html and "<th>b</th>" in html
+    assert "---" not in html
+
+
+def test_md_to_html_table_at_end_of_document():
+    # Header + separator as the LAST lines (no body rows, no trailing
+    # newline) must still be recognized as a table (the i+1 bound
+    # check survived mutation when every fixture table had a body).
+    html = md_to_html("intro\n\n| h1 | h2 |\n|---|---|")
+    assert "<th>h1</th>" in html and "<tbody>" in html
+
+
+def test_md_to_html_ordered_list():
+    html = md_to_html("1. first\n2. second\n\ntail\n")
+    assert "<ol>" in html and "</ol>" in html
+    assert "<li>first</li>" in html and "<li>second</li>" in html
+    assert "<p>tail</p>" in html
 
 
 def test_md_to_html_fenced_code_escapes():

@@ -54,6 +54,11 @@ def test_number_fmt(spark, value, expected):
         ("```MARKDOWN\nx\n```", "x"),  # case-insensitive language tag
         ("```\njust fenced\n```", "just fenced"),
         ("```markdown partial without closing", "partial without closing"),
+        # No separator after the fence tag: the prefix cut must remove
+        # EXACTLY len('```markdown')/len('```') chars (an off-by-one
+        # hid behind ws_ltrim in the spaced cases; mutation gate r3).
+        ("```markdownBody without space", "Body without space"),
+        ("```Xunfenced tail", "Xunfenced tail"),
         ("trailing only```", "trailing only"),
         ("  \n```python\nprint(1)\n```\n  ", "print(1)"),
     ],
