@@ -108,3 +108,16 @@ def test_shingles_match_python_model(spark, texts):
         toks = [tok for tok in re.split(r"\s+", t or "", flags=re.ASCII) if tok]
         grams = list(dict.fromkeys(" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)))
         assert got[i] == grams, f"text={t!r}"
+
+
+def test_two_piece_template_renders_both_pieces(spark):
+    """Deterministic 2-piece case (literal + placeholder): the
+    single-vs-concat return branch must still emit BOTH pieces — the
+    hypothesis interleaver only sometimes draws this shape, which let
+    a `len(pieces) > 1` -> `> 2` mutant slip through on some runs."""
+    df = spark.createDataFrame([("World", "x", "y", "z")], COLS)
+    got = df.select(compile_template("Hello {ColA}", COLS).alias("doc")).collect()
+    assert got[0].doc == "Hello World"
+    # And the mirrored shape: placeholder + trailing literal.
+    got2 = df.select(compile_template("{ColA}!", COLS).alias("doc")).collect()
+    assert got2[0].doc == "World!"
