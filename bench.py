@@ -75,9 +75,11 @@ def main() -> None:
             # measures steady-state throughput, which is what extrapolates
             # to large inputs where compile time is noise.
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            df = spec.builder(spark, sf_dir)
+            # Time BUILD + EXECUTE together: operators that iterate
+            # (quantile bisection) run eager jobs during construction,
+            # and timing only the final write would hide that work.
             start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - start, 3)
         except Exception as exc:  # keep the bench alive; report the failure
             failures[name] = f"{type(exc).__name__}: {exc}"

@@ -325,37 +325,56 @@ def dedup_clusters(
     """Connected components over near-dup ``pairs``: every node gets
     ``cluster`` = min id reachable from it (the canonical survivor).
 
-    Min-label propagation with a driver-side convergence loop; each
-    iteration is one join + min-aggregate, lineage truncated via
-    localCheckpoint so plans stay flat. Iterations needed = cluster
-    diameter, which for near-dup graphs is tiny (dup groups are
-    near-cliques). For general billion-edge graphs swap in
-    large-star/small-star; this shape is the right one for dedup.
+    Min-label propagation PLUS pointer jumping per round (each node
+    also adopts its current cluster-node's label), with a driver-side
+    convergence probe; lineage truncated via localCheckpoint so plans
+    stay flat. The jump makes label distance double per round, so
+    rounds ≈ log2(diameter) — near-dup graphs are usually near-cliques
+    (1–2 rounds) but CHAINS of borderline pairs do occur (the sf0.01
+    fixture ships a diameter-14 one: 15 rounds flat, 5 with jumping).
+    For general billion-edge graphs swap in large-star/small-star;
+    this shape is the right one for dedup.
 
     Deterministic: min over a total order, independent of partitioning.
     """
     nodes = ids.select(F.col(id_col).alias("id")).distinct()
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # Pin the edge list BEFORE iterating: `pairs` is typically the
+    # whole near-dup candidate pipeline, and without a checkpoint every
+    # iteration's join + convergence probe would recompute it from the
+    # source (measured 5x wall on x20 once bench timed builders).
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = nodes.select("id", F.col("id").alias("cluster")).localCheckpoint()
     for _ in range(max_iter):
         prop = labels.join(edges, labels["id"] == edges["a"]).select(
             F.col("b").alias("id"), F.col("cluster")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(prop).groupBy("id").agg(F.min("cluster").alias("cluster"))
-        ).localCheckpoint()
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .filter(F.col("o.cluster") != F.col("n.cluster"))
-            .limit(1)
-            .count()
         )
-        labels = new_labels
-        if changed == 0:
+        # Pointer jump: my cluster is a node in my component, so its
+        # label is also reachable — adopting it compounds propagation
+        # distance across rounds (chains converge in ~d/2, not d).
+        # One jump is the sweet spot: each extra chained jump is
+        # another label-table shuffle per round, which measured worse
+        # than the rounds it saved.
+        jump = stepped.select(
+            F.col("id").alias("cluster"), F.col("cluster").alias("__cc")
+        )
+        jumped = stepped.join(jump, "cluster").select(
+            "id", F.col("__cc").alias("cluster")
+        )
+        # Carry the previous label so the convergence probe is a
+        # trivial scan of THIS checkpoint, not a separate join job.
+        new_full = jumped.join(
+            labels.select("id", F.col("cluster").alias("__old")), "id"
+        ).localCheckpoint()
+        labels = new_full.select("id", "cluster")
+        if new_full.filter(F.col("cluster") != F.col("__old")).isEmpty():
             break
     return labels.withColumnRenamed("id", id_col)
 
