@@ -49,7 +49,10 @@ def grouped_exact_quantiles(
     group_cols: list[str],
     value_long: Column,
     probs: list[float],
-    nbuckets: int = 4096,
+    # 8192 puts typical scaled-decimal ranges (~1e7–6e7) inside TWO
+    # refinement passes (8192² ≈ 6.7e7); 4096 left the x72 delta range
+    # needing a third. Worst case for any int64 stays ⌈64/13⌉+1 = 6.
+    nbuckets: int = 8192,
     guard: Column | None = None,
     stats: DataFrame | None = None,
     return_stats: bool = False,
