@@ -17,7 +17,7 @@ domain instead:
    bucket) — a few-KB mergeable partial state per task — and keep the
    bucket containing the rank. Each pass shrinks the candidate range
    by ``nbuckets``×, so ⌈64 / log2(nbuckets)⌉ passes pin any int64
-   exactly (4 passes at the default 65536 — and real data closes in
+   exactly (6 passes at the default 8192 — and real data closes in
    1–2 because ranges are far narrower than the full int64 domain);
 4. interpolate ranks back to quantiles in double, with Spark's own
    ``lower·(⌈pos⌉−pos) + upper·(pos−⌊pos⌋)`` formula.
