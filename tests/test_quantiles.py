@@ -151,3 +151,52 @@ def test_winsorize_keeps_all_null_groups(spark):
     assert len(rows) == 4  # NULL-only group B keeps its rows
     b = [r for r in rows if r.g == "B"]
     assert all(r.v_w is None and r.v_lo is None for r in b)
+
+
+def test_property_random_grids_match_percentile(spark):
+    """Property check beyond the fixed-seed fixture: random group
+    shapes, duplicate-heavy values, negatives, and awkward probs must
+    all reproduce F.percentile post-ROUND."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from("AB"),
+                st.one_of(
+                    st.none(),
+                    st.integers(-10**7, 10**7).map(lambda c: c / 100.0),
+                ),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.lists(st.sampled_from([0.0, 0.01, 0.33, 0.5, 0.9, 1.0]), min_size=1, max_size=3, unique=True),
+    )
+    def check(rows, probs):
+        df = spark.createDataFrame(rows, "g string, v double")
+        if df.filter(F.col("v").isNotNull()).isEmpty():
+            return
+        mine = {
+            tuple(r[:1]): [r[f"__q{i}"] for i in range(len(probs))]
+            for r in exact_quantile_bounds(df, "v", ["g"], probs).collect()
+        }
+        ref = {
+            tuple(r[:1]): [r[f"p{i}"] for i in range(len(probs))]
+            for r in df.groupBy("g")
+            .agg(
+                *[
+                    F.round(F.percentile("v", F.lit(p)), 6).alias(f"p{i}")
+                    for i, p in enumerate(probs)
+                ]
+            )
+            .collect()
+        }
+        # percentile yields NULL rows for all-NULL groups; the bisection
+        # omits them — compare only groups with data.
+        ref = {k: v for k, v in ref.items() if v[0] is not None}
+        assert mine == ref
+
+    check()
