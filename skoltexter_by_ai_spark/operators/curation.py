@@ -211,6 +211,7 @@ def winsorize(
     lower: float = 0.05,
     upper: float = 0.95,
     scale: int | None = 100,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Clip ``value_col`` to its [lower, upper] quantiles (per group
     when ``group_col`` is given) — outlier capping for feature
@@ -230,8 +231,25 @@ def winsorize(
     for low-cardinality columns, an executor OOM on a 100 TB
     high-cardinality one (VERDICT r2), so the bounded path is the
     default.
+
+    ``approx_accuracy`` selects the fastest bounded option instead:
+    ONE pass of Spark's ``approx_percentile`` (Greenwald-Khanna,
+    state ≈ accuracy·log n regardless of cardinality), with bound
+    error ≤ 1/accuracy quantile rank. Right when clip bounds need not
+    be exact — which for outlier capping they usually need not.
     """
-    if scale is None:
+    if approx_accuracy is not None:
+        lo = F.round(
+            F.approx_percentile(value_col, F.lit(lower), F.lit(approx_accuracy)), 6
+        ).alias("__lo")
+        hi = F.round(
+            F.approx_percentile(value_col, F.lit(upper), F.lit(approx_accuracy)), 6
+        ).alias("__hi")
+        if group_col is None:
+            bounds = df.agg(lo, hi)
+        else:
+            bounds = df.groupBy(group_col).agg(lo, hi)
+    elif scale is None:
         lo = F.round(F.percentile(value_col, F.lit(lower)), 6).alias("__lo")
         hi = F.round(F.percentile(value_col, F.lit(upper)), 6).alias("__hi")
         if group_col is None:

@@ -200,3 +200,30 @@ def test_property_random_grids_match_percentile(spark):
         assert mine == ref
 
     check()
+
+
+def test_winsorize_approx_bounds_close_to_exact(spark, sf_dir):
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    exact = {
+        r.l_returnflag: (r.l_extendedprice_lo, r.l_extendedprice_hi)
+        for r in winsorize(li, "l_extendedprice", group_col="l_returnflag")
+        .select("l_returnflag", "l_extendedprice_lo", "l_extendedprice_hi")
+        .distinct()
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.l_extendedprice_lo, r.l_extendedprice_hi)
+        for r in winsorize(
+            li, "l_extendedprice", group_col="l_returnflag", approx_accuracy=10000
+        )
+        .select("l_returnflag", "l_extendedprice_lo", "l_extendedprice_hi")
+        .distinct()
+        .collect()
+    }
+    # GK bound: rank error <= n/accuracy; translate loosely to a 1%
+    # relative tolerance on these smooth price distributions.
+    for g, (lo, hi) in exact.items():
+        alo, ahi = approx[g]
+        assert abs(alo - lo) / hi < 0.01 and abs(ahi - hi) / hi < 0.01
