@@ -121,3 +121,28 @@ def test_two_piece_template_renders_both_pieces(spark):
     # And the mirrored shape: placeholder + trailing literal.
     got2 = df.select(compile_template("{ColA}!", COLS).alias("doc")).collect()
     assert got2[0].doc == "World!"
+
+
+def test_survey_fallback_uses_older_year_when_newest_empty(spark):
+    """Both survey-year columns exist and the NEWEST is empty: the
+    coalesce must fall through to the older year (a `len>1` -> `len>2`
+    mutant that drops the fallback survived the fixture, where the
+    newest year always had data)."""
+    cols = ["SurveyAnswerCategoryX_2023/2024", "SurveyAnswerCategoryX_2022/2023"]
+    df = spark.createDataFrame([("", "42")], ", ".join(f"`{c}` string" for c in cols))
+    got = df.select(
+        compile_template("{SurveyAnswerCategoryX}", cols).alias("doc")
+    ).collect()
+    assert got[0].doc == "42"
+
+
+def test_survey_prefixed_column_present_verbatim_resolves_directly(spark):
+    """A placeholder that LOOKS like a survey category but exists as a
+    literal column must resolve to that column, not the year-suffix
+    search (which would find nothing and render the sentinel)."""
+    cols = ["SurveyAnswerCategoryZ"]
+    df = spark.createDataFrame([("direct",)], "`SurveyAnswerCategoryZ` string")
+    got = df.select(
+        compile_template("{SurveyAnswerCategoryZ}", cols).alias("doc")
+    ).collect()
+    assert got[0].doc == "direct"
