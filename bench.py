@@ -92,6 +92,9 @@ def main() -> None:
     # (~1.5 KB for 116 queries); the full-precision long-name record
     # is committed alongside as BENCH_LOCAL.json.
     short = {name.split("_", 1)[0]: round(sec, 2) for name, sec in sorted(timings.items())}
+    # A non-unique prefix would silently collapse two queries into one
+    # key and drop a measurement (ADVICE r3) — fail loudly instead.
+    assert len(short) == len(timings), "non-unique query-name prefixes in timings"
     result = {
         "metric": "declared_queries_total_wall",
         "value": round(sum(timings.values()), 2),
@@ -104,6 +107,9 @@ def main() -> None:
         result["failures"] = {
             name.split("_", 1)[0]: msg[:60] for name, msg in failures.items()
         }
+        assert len(result["failures"]) == len(failures), (
+            "non-unique query-name prefixes in failures"
+        )
     full = dict(result, queries=timings, failures=failures or None)
     try:
         here = os.path.dirname(os.path.abspath(__file__))

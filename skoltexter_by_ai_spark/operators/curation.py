@@ -315,7 +315,11 @@ def robust_zscore(
     med = medq.select(
         group_col, F.round(F.col("__q") / scale, round_to).alias("grp_median")
     )
-    with_med = df.join(F.broadcast(med), group_col)
+    # LEFT: a group whose values are all NULL never reaches the
+    # bisection (non-NULL filter), so it has no median row — keep its
+    # rows with NULL median/MAD/z, the same shape the percentile
+    # composition this replaced produced (ADVICE r3).
+    with_med = df.join(F.broadcast(med), group_col, "left")
 
     # The p=0.5 interpolation fraction is 0 or 0.5, so the median sits
     # on the HALF-grid of the value scale — deltas |v − med| are exact
@@ -352,7 +356,7 @@ def robust_zscore(
         group_col,
         F.round(F.col("__q") / (2 * scale), round_to).alias("grp_mad"),
     )
-    return with_med.join(F.broadcast(mad), group_col).withColumn(
+    return with_med.join(F.broadcast(mad), group_col, "left").withColumn(
         "robust_z",
         F.round((v - F.col("grp_median")) / F.col("grp_mad"), round_to),
     )

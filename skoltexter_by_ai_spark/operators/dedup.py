@@ -336,9 +336,20 @@ def dedup_clusters(
     this shape is the right one for dedup.
 
     Deterministic: min over a total order, independent of partitioning.
+
+    Pair endpoints absent from ``ids`` are unioned into the node set
+    (and appear in the output), so transitive bridges through them
+    still merge their neighbours — callers may pass ``ids`` as any
+    subset or superset of the endpoints (ADVICE r3: the pointer-jump
+    rewrite's inner joins silently required endpoints ⊆ ids).
     """
-    nodes = ids.select(F.col(id_col).alias("id")).distinct()
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    nodes = (
+        ids.select(F.col(id_col).alias("id"))
+        .unionByName(e.select(F.col("a").alias("id")))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+    )
     # Pin the edge list BEFORE iterating: `pairs` is typically the
     # whole near-dup candidate pipeline, and without a checkpoint every
     # iteration's join + convergence probe would recompute it from the

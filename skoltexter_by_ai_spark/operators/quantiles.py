@@ -57,6 +57,7 @@ def grouped_exact_quantiles(
     stats: DataFrame | None = None,
     return_stats: bool = False,
     persist_base: bool = False,
+    guard_msg: str | None = None,
 ) -> DataFrame:
     """Exact interpolated quantiles of ``value_long`` per group.
 
@@ -93,6 +94,8 @@ def grouped_exact_quantiles(
             guard=guard,
             stats=stats.withColumn("__all", F.lit(1)) if stats is not None else None,
             return_stats=return_stats,
+            persist_base=persist_base,
+            guard_msg=guard_msg,
         )
         if return_stats:
             return res[0].drop("__all"), res[1].drop("__all")
@@ -131,8 +134,11 @@ def grouped_exact_quantiles(
         guarded_min = F.col("__min") + F.coalesce(
             F.assert_true(
                 F.col("__all_ok"),
-                "grouped_exact_quantiles: guard failed — values are not exactly "
-                "representable on the caller's integer grid",
+                guard_msg
+                or (
+                    "grouped_exact_quantiles: guard failed — values are not "
+                    "exactly representable on the caller's integer grid"
+                ),
             ).cast("long"),
             F.lit(0),
         )
@@ -290,6 +296,13 @@ def exact_quantile_bounds(
         probs,
         guard=F.abs(v * scale - scaled) < 0.01,
         persist_base=persist_base,
+        guard_msg=(
+            f"exact_quantile_bounds: {value_col!r} has values off the "
+            f"1/{scale} grid. Remediation: pass the correct `scale`, or "
+            "scale=None (exact, but per-group state grows with distinct "
+            "values), or approx_accuracy=N (single-pass bounded-state "
+            "Greenwald-Khanna approximation)."
+        ),
     )
     cols = [
         F.round(

@@ -178,3 +178,13 @@ def test_simhash_block_pair_banding_full_recall_vs_bruteforce(spark):
         for r in simhash_near_dups(df, "doc_id", "text", max_hamming=6).collect()
     }
     assert got == expected
+
+
+def test_dedup_clusters_bridges_through_missing_endpoints(spark):
+    """ADVICE r3: pair endpoints absent from ``ids`` must still bridge
+    transitively (and appear in the output), as the pre-pointer-jump
+    implementation did."""
+    ids = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 9), (9, 3)], ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster for r in dedup.dedup_clusters(ids, pairs, "doc_id").collect()}
+    assert out == {1: 1, 2: 2, 3: 1, 9: 1}

@@ -74,7 +74,7 @@ def test_tiny_nbuckets_converges(spark):
 
 def test_guard_rejects_off_grid_values(spark):
     df = spark.createDataFrame([("A", 1.234567), ("A", 2.0)], "g string, v double")
-    with pytest.raises(Exception, match="guard failed"):
+    with pytest.raises(Exception, match="1/100 grid"):
         exact_quantile_bounds(df, "v", ["g"], [0.5]).collect()
 
 
@@ -227,3 +227,42 @@ def test_winsorize_approx_bounds_close_to_exact(spark, sf_dir):
     for g, (lo, hi) in exact.items():
         alo, ahi = approx[g]
         assert abs(alo - lo) / hi < 0.01 and abs(ahi - hi) / hi < 0.01
+
+
+def test_robust_zscore_keeps_all_null_groups(spark):
+    """ADVICE r3: a group whose values are all NULL must keep its rows
+    (NULL median/MAD/z), matching the percentile composition the
+    bisection replaced and winsorize's left-join shape."""
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 3.0), ("A", 5.0), ("B", None)], "g string, v double"
+    )
+    rows = robust_zscore(df, "v", "g").orderBy("g", "v").collect()
+    assert len(rows) == 4
+    b = [r for r in rows if r.g == "B"]
+    assert len(b) == 1
+    assert b[0].grp_median is None and b[0].grp_mad is None and b[0].robust_z is None
+    a = {r.v: r.robust_z for r in rows if r.g == "A"}
+    assert a[3.0] == 0.0  # median 3, MAD 2
+
+
+def test_off_grid_guard_message_names_remediation(spark):
+    """ADVICE r3: the hard failure on off-grid values must tell the
+    caller how to proceed (scale=None / approx_accuracy)."""
+    df = spark.createDataFrame([("A", 0.123456), ("A", 2.0)], "g string, v double")
+    with pytest.raises(Exception) as exc:
+        winsorize(df, "v", group_col="g").collect()
+    msg = str(exc.value)
+    assert "scale=None" in msg and "approx_accuracy" in msg
+
+
+def test_global_quantiles_forward_persist_base(spark):
+    """ADVICE r3: the group_cols==[] branch must forward persist_base
+    (and guard_msg) through the synthetic-group recursion."""
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    out = exact_quantile_bounds(df, "v", [], [0.5], persist_base=True).collect()
+    assert [r["__q0"] for r in out] == [50.0]
+    # And the custom guard message surfaces on the global path too.
+    bad = spark.createDataFrame([(0.123456,), (1.0,)], "v double")
+    with pytest.raises(Exception) as exc:
+        exact_quantile_bounds(bad, "v", [], [0.5], persist_base=True).collect()
+    assert "approx_accuracy" in str(exc.value)
