@@ -46,7 +46,7 @@ _MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
                    CAST(l_tax AS DOUBLE) FROM lineitem
         )
         WHERE l_orderkey <= 5000
-        ORDER BY l_orderkey, l_linenumber, measure
+        ORDER BY l_orderkey, l_linenumber, measure, value
     """,
     covers="wide->long melt / unpivot (SURVEY §1.2 wide year columns)",
     tags=("analytics",),
@@ -58,9 +58,12 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         *[F.col(m).cast("double").alias(m) for m in _MEASURES],
     )
+    # `value` joins the sort key because (l_orderkey, l_linenumber) is
+    # not unique on the fixture — duplicate pairs emit the same measure
+    # name with different values, so the full row is the total order.
     return wide.unpivot(
         ["l_orderkey", "l_linenumber"], list(_MEASURES), "measure", "value"
-    ).orderBy("l_orderkey", "l_linenumber", "measure")
+    ).orderBy("l_orderkey", "l_linenumber", "measure", "value")
 
 
 @register(

@@ -56,7 +56,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM lineitem
         WHERE l_quantity > 30 AND l_shipdate IS NOT NULL
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, l_quantity
     """,
     covers="P2 key/null predicates (program1_generate_markdowns.py:376-379)",
 )
@@ -66,7 +66,11 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter((F.col("l_quantity") > 30) & F.col("l_shipdate").isNotNull())
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        # The fixture's (l_orderkey, l_linenumber) is NOT unique (~20%
+        # duplicate pairs differing in quantity), so the full output
+        # row is the sort key — ties are then identical rows and the
+        # emitted order is total (SURVEY §2.3 rule b).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     )
 
 
@@ -441,8 +445,11 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q16_topk",
+    # The ranking price is projected alongside the keys so the emitted
+    # order is provably total from the output alone (SURVEY §2.3 rule
+    # b): the full sort key is the output row's prefix.
     oracle="""
-        SELECT l_orderkey, l_linenumber
+        SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
         FROM lineitem
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         LIMIT 12
@@ -456,7 +463,11 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
         .limit(12)
-        .select("l_orderkey", "l_linenumber")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        )
     )
 
 

@@ -197,7 +197,7 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS l_extendedprice_w
         FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
         WHERE l_orderkey <= 2000
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice
     """,
     covers="winsorization / outlier clipping per group (feature-pipeline numeric prep)",
     tags=("training", "curation", "olap"),
@@ -224,7 +224,11 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice_hi",
             "l_extendedprice_w",
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique on the fixture;
+        # (flag, price) tiebreaks make the order total — the remaining
+        # columns (lo/hi/w) are functions of (flag, price), so tied
+        # rows are identical (SURVEY §2.3 rule b).
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
     )
 
 
@@ -254,7 +258,7 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN med m ON l.l_returnflag = m.l_returnflag
         JOIN mad d ON l.l_returnflag = d.l_returnflag
         WHERE l_orderkey <= 2000
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, l.l_returnflag, robust_z
     """,
     covers="robust z-score: per-group median/MAD standardization (outlier-insensitive scaling)",
     tags=("training", "curation", "olap"),
@@ -281,7 +285,12 @@ def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp_mad",
             "robust_z",
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique on the fixture;
+        # (flag, robust_z) tiebreaks make the order total — robust_z is
+        # strictly monotone in the (unprojected) price within a flag
+        # group, and median/MAD are functions of the flag, so tied rows
+        # are identical (SURVEY §2.3 rule b).
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "robust_z")
     )
 
 

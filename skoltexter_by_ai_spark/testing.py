@@ -53,10 +53,13 @@ def _normalize(value: Any) -> Any:
     return (type(value).__name__, str(value))
 
 
-def _canonical_rows(records: list[dict[str, Any]], columns: list[str]) -> list[tuple]:
+def _canonical_rows(
+    records: list[dict[str, Any]], columns: list[str], *, keep_order: bool = False
+) -> list[tuple]:
     ordered_cols = sorted(columns)
     rows = [tuple(_normalize(rec[c]) for c in ordered_cols) for rec in records]
-    rows.sort(key=repr)
+    if not keep_order:
+        rows.sort(key=repr)
     return rows
 
 
@@ -74,7 +77,19 @@ class OracleReport:
         return self.columns_match and self.values_match and self.spark_rows == self.oracle_rows
 
 
-def compare_with_oracle(name: str, spark_df: DataFrame, oracle_sql: str, sf_dir: str) -> OracleReport:
+def compare_with_oracle(
+    name: str,
+    spark_df: DataFrame,
+    oracle_sql: str,
+    sf_dir: str,
+    *,
+    ordered: bool = False,
+) -> OracleReport:
+    """Driver-style comparison. ``ordered=True`` compares rows in
+    EMITTED order (columns still sorted by name, as the driver does) —
+    the stricter gate that catches a non-total ORDER BY whose tie
+    permutations only hash green because the driver canonicalizes row
+    order (VERDICT r3 item 1)."""
     spark_tbl = spark_df.toArrow()
     con = duckdb_connection(sf_dir)
     try:
@@ -90,13 +105,18 @@ def compare_with_oracle(name: str, spark_df: DataFrame, oracle_sql: str, sf_dir:
     if not columns_match:
         detail = f"columns spark={spark_cols} duckdb={duck_cols}"
     else:
-        s_rows = _canonical_rows(spark_tbl.to_pylist(), spark_tbl.column_names)
-        d_rows = _canonical_rows(duck_tbl.to_pylist(), duck_tbl.column_names)
+        s_rows = _canonical_rows(
+            spark_tbl.to_pylist(), spark_tbl.column_names, keep_order=ordered
+        )
+        d_rows = _canonical_rows(
+            duck_tbl.to_pylist(), duck_tbl.column_names, keep_order=ordered
+        )
         values_match = s_rows == d_rows
         if not values_match:
+            kind = "emitted" if ordered else "sorted"
             for i, (a, b) in enumerate(zip(s_rows, d_rows)):
                 if a != b:
-                    detail = f"first diff at sorted row {i}: spark={a!r} duckdb={b!r}"
+                    detail = f"first diff at {kind} row {i}: spark={a!r} duckdb={b!r}"
                     break
             else:
                 detail = f"row-count mismatch {len(s_rows)} vs {len(d_rows)}"
@@ -108,3 +128,49 @@ def compare_with_oracle(name: str, spark_df: DataFrame, oracle_sql: str, sf_dir:
         values_match=values_match,
         detail=detail,
     )
+
+
+def final_order_by_columns(sql: str) -> list[str] | None:
+    """Column names of a query's final top-level ``ORDER BY`` (the one
+    at paren-depth 0), with ASC/DESC/NULLS modifiers and table
+    qualifiers stripped; ``None`` when the outermost SELECT has no
+    ORDER BY (e.g. a single-row global aggregate). Used by the order-
+    totality gate (SURVEY §2.3 rule b)."""
+    import re
+
+    depth = 0
+    idx = None
+    for m in re.finditer(r"\(|\)|ORDER BY", sql, flags=re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            idx = m.end()
+    if idx is None:
+        return None
+    tail = re.sub(r"\bLIMIT\s+\d+\s*;?\s*$", "", sql[idx:], flags=re.I).strip().rstrip(";")
+    parts: list[str] = []
+    d, cur = 0, ""
+    for ch in tail:
+        if ch == "(":
+            d += 1
+        if ch == ")":
+            d -= 1
+        if ch == "," and d == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    cols = []
+    for p in parts:
+        p = " ".join(p.split())
+        p = re.sub(r"\s+(ASC|DESC)\b", "", p, flags=re.I)
+        p = re.sub(r"\s+NULLS\s+(FIRST|LAST)\b", "", p, flags=re.I)
+        p = p.strip()
+        if re.fullmatch(r"[A-Za-z_][\w.]*", p):
+            p = p.split(".")[-1]
+        cols.append(p)
+    return cols
