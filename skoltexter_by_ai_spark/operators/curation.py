@@ -304,21 +304,31 @@ def robust_zscore(
 
     v = F.col(value_col).cast("double")
     v_long = F.round(v * scale).cast("long")
+    # The quartiles ride along with the median (extra RANKS, not extra
+    # passes — rank location is shared per histogram pass): they seed
+    # the MAD round below. The GK sketch in the stats pass seeds the
+    # median round itself, so this whole call is typically stats+GK
+    # pass + ONE histogram pass (VERDICT r3 next-round item 3).
     medq, vstats = grouped_exact_quantiles(
         df,
         [group_col],
         v_long,
-        [0.5],
+        [0.25, 0.5, 0.75],
         guard=F.abs(v * scale - v_long) < 0.01,
         return_stats=True,
         # The narrow (group, value) projection is re-scanned by every
-        # refinement pass (stats + ~2 histogram passes per round);
-        # caching it trades one materialization for memory-speed
-        # re-reads (VERDICT r3 next-round item 3).
+        # refinement pass; caching it trades one materialization for
+        # memory-speed re-reads.
         persist_base=True,
     )
-    med = medq.select(
-        group_col, F.round(F.col("__q") / scale, round_to).alias("grp_median")
+    # One row per group: exact q1/median/q3 in the LONG's units (cents).
+    qstats = medq.groupBy(group_col).agg(
+        F.max(F.when(F.col("__p") == 0.25, F.col("__q"))).alias("__q1c"),
+        F.max(F.when(F.col("__p") == 0.5, F.col("__q"))).alias("__medc"),
+        F.max(F.when(F.col("__p") == 0.75, F.col("__q"))).alias("__q3c"),
+    )
+    med = qstats.select(
+        group_col, F.round(F.col("__medc") / scale, round_to).alias("grp_median")
     )
     # LEFT: a group whose values are all NULL never reaches the
     # bisection (non-NULL filter), so it has no median row — keep its
@@ -329,14 +339,27 @@ def robust_zscore(
     # The p=0.5 interpolation fraction is 0 or 0.5, so the median sits
     # on the HALF-grid of the value scale — deltas |v − med| are exact
     # integers at 2×scale (guarded below), keeping the bisection range
-    # ~scale-sized instead of 10^round_to-sized (2 passes, not 4).
+    # ~scale-sized instead of 10^round_to-sized.
     m2 = F.round(F.col("grp_median") * (2 * scale)).cast("long")
     # The MAD round reuses the median round's per-group stats: same
     # non-NULL count, and [0, max one-sided spread] is a superset of
     # the delta range — so no second counting scan is needed. Folding
     # the half-grid assert into __max keeps it from being pruned.
+    # The exact quartiles bracket the MAD: [m−r, m+r] with
+    # r = min(m−q1, q3−m) sits inside [q1, q3] (≲ half the mass, so
+    # MAD ≥ r), and with r = max(m−q1, q3−m) it covers [q1, q3]
+    # (≳ half the mass, so MAD ≤ r). ±2 half-grid units absorb
+    # interpolation wobble; a miss (duplicate-heavy boundaries) only
+    # costs an overflow-bucket pass, never correctness.
     on_half_grid = F.abs(F.col("grp_median") * (2 * scale) - m2) < 0.01
-    dstats = vstats.join(F.broadcast(med), group_col).select(
+    near = F.least(F.col("__medc") - F.col("__q1c"), F.col("__q3c") - F.col("__medc"))
+    far = F.greatest(F.col("__medc") - F.col("__q1c"), F.col("__q3c") - F.col("__medc"))
+    dstats = vstats.join(
+        F.broadcast(
+            qstats.withColumn("grp_median", F.round(F.col("__medc") / scale, round_to))
+        ),
+        group_col,
+    ).select(
         group_col,
         "__n",
         F.lit(0).cast("long").alias("__min"),
@@ -349,6 +372,8 @@ def robust_zscore(
                 F.lit(0),
             )
         ).alias("__max"),
+        F.greatest(F.lit(0).cast("long"), F.floor(near * 2).cast("long") - 2).alias("__slo"),
+        (F.ceil(far * 2).cast("long") + 2).alias("__shi"),
     )
     madq = grouped_exact_quantiles(
         with_med,

@@ -14,11 +14,22 @@ domain instead:
    (``pos = p·(n−1)``, ranks ⌊pos⌋ and ⌈pos⌉);
 3. a fixed number of histogram-refinement passes: bucket the value
    range into ``nbuckets`` equal slices, count per (group, rank,
-   bucket) — a few-KB mergeable partial state per task — and keep the
-   bucket containing the rank. Each pass shrinks the candidate range
-   by ``nbuckets``×, so ⌈64 / log2(nbuckets)⌉ passes pin any int64
-   exactly (6 passes at the default 8192 — and real data closes in
-   1–2 because ranges are far narrower than the full int64 domain);
+   bucket) — a sparse hash-agg whose per-task partial state is
+   bounded by min(task rows, nbuckets), plus two OVERFLOW buckets
+   (below/above the candidate range) so the cumulative count is
+   always the global rank — and keep the bucket containing the rank.
+   Each pass shrinks the candidate range by ``nbuckets``×, and once a
+   range is ≤ ~1M values the pass switches to width-1 buckets and
+   closes the rank outright (the post-shuffle cumulative window stays
+   a single bounded task), so ⌈44 / log2(nbuckets)⌉ + 1 passes pin
+   any int64 exactly — and real data closes in 1 because of seeding:
+   The stats pass additionally runs a Greenwald-Khanna sketch
+   (``approx_percentile`` at each prob ± 3/accuracy, bounded
+   O(accuracy·log n) state per group) whose value brackets SEED each
+   rank's candidate range — typically tight enough that ONE histogram
+   pass closes it. Correctness never rests on the sketch: a rank
+   outside its bracket lands in an overflow bucket and is reopened on
+   the untried side of the domain, costing one extra pass;
 4. interpolate ranks back to quantiles in double, with Spark's own
    ``lower·(⌈pos⌉−pos) + upper·(pos−⌊pos⌋)`` formula.
 
@@ -43,21 +54,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Diagnostic: histogram passes used by the most recent
+# grouped_exact_quantiles calls (appended per call). Tests assert the
+# seeded path closes in one pass; not part of the public API.
+LAST_PASS_COUNTS: list[int] = []
+
+# When a candidate range is at most this wide, the pass uses WIDTH 1
+# (one bucket per value) and closes the rank outright. The histogram
+# is a sparse hash aggregation — per-task partial state is bounded by
+# the task's row count, never the bucket count — so the only cost of
+# fine buckets is the post-shuffle cumulative window, whose per-
+# (group, rank) partition is bounded by this constant (~1M rows: a
+# single comfortable task). Bucket ids above it never collide with
+# the overflow sentinel below.
+_EXACT_RANGE_CAP = 1 << 20
+
+# Overflow-bucket id for values ABOVE the candidate range (below uses
+# -1). Far outside any reachable bucket id: ids are bounded by
+# max(nbuckets, _EXACT_RANGE_CAP).
+_OVERFLOW_HI = 1 << 62
+
 
 def grouped_exact_quantiles(
     df: DataFrame,
     group_cols: list[str],
     value_long: Column,
     probs: list[float],
-    # 8192 puts typical scaled-decimal ranges (~1e7–6e7) inside TWO
-    # refinement passes (8192² ≈ 6.7e7); 4096 left the x72 delta range
-    # needing a third. Worst case for any int64 stays ⌈64/13⌉+1 = 6.
+    # 8192 puts typical scaled-decimal ranges (~1e7–6e7) inside ONE
+    # coarse pass (8192 × the 2^20 width-1 cap ≈ 8.6e9 in two passes);
+    # any int64 converges in ⌈44/13⌉ + 1 = 5. Seeded ranges usually
+    # skip straight to a single width-1 pass.
     nbuckets: int = 8192,
     guard: Column | None = None,
     stats: DataFrame | None = None,
     return_stats: bool = False,
     persist_base: bool = False,
     guard_msg: str | None = None,
+    seed_accuracy: int | None = 1_000,
 ) -> DataFrame:
     """Exact interpolated quantiles of ``value_long`` per group.
 
@@ -73,7 +106,10 @@ def grouped_exact_quantiles(
     the job rather than returning silently-wrong quantiles.
 
     ``stats``, when given, is a precomputed per-group frame
-    ``(*group_cols, __n, __min, __max)`` that skips the counting pass:
+    ``(*group_cols, __n, __min, __max)`` — optionally plus a
+    ``[__slo, __shi]`` per-group seed bracket applied to every rank
+    (an accelerator only; see ``seed_accuracy``) — that skips the
+    counting pass:
     ``__n`` must be the exact non-NULL count, and ``[__min, __max]``
     may be any SUPERSET of the true value range (bisection counts
     within candidate ranges, so conservative bounds only add a
@@ -81,6 +117,12 @@ def grouped_exact_quantiles(
     aggregated the data once (robust_zscore's MAD round) use this to
     save a full scan. ``return_stats=True`` returns ``(result, stats)``
     so a follow-up call over derived values can do exactly that.
+
+    ``seed_accuracy`` controls the Greenwald-Khanna bracket sketch run
+    inside the stats pass to seed each rank's initial candidate range
+    (None disables seeding; caller-provided ``stats`` implies
+    unseeded since the sketch rides the stats pass). Seeds are an
+    accelerator only — results are exact regardless.
     """
     if not group_cols:
         # Global quantiles: run the grouped machinery over one
@@ -96,6 +138,7 @@ def grouped_exact_quantiles(
             return_stats=return_stats,
             persist_base=persist_base,
             guard_msg=guard_msg,
+            seed_accuracy=seed_accuracy,
         )
         if return_stats:
             return res[0].drop("__all"), res[1].drop("__all")
@@ -122,13 +165,41 @@ def grouped_exact_quantiles(
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # Seed brackets: the SAME stats pass also runs a Greenwald-Khanna
+    # sketch at each prob ± 3/accuracy. GK state is O(accuracy·log n)
+    # per group — bounded regardless of value cardinality — and the
+    # returned values are actual data values, so the brackets are LONGs
+    # inside [min, max] for free. Seeding typically pins each rank's
+    # candidate range tightly enough that ONE histogram pass closes it
+    # (vs log_nbuckets(range) passes from [min, max]). Correctness
+    # never depends on the sketch: a rank outside its bracket lands in
+    # an overflow bucket below and just costs one extra pass.
+    seeded = stats is None and seed_accuracy is not None
+    # Caller-provided stats may carry a per-group [__slo, __shi] seed
+    # bracket (applied to every rank of the group) — robust_zscore's
+    # MAD round derives one from the median round's exact quartiles.
+    stats_seeded = stats is not None and {"__slo", "__shi"}.issubset(stats.columns)
+    bracket_probs: list[float] = []
+    for p in probs:
+        bracket_probs.append(max(0.0, p - 3.0 / seed_accuracy) if seeded else 0.0)
+        bracket_probs.append(min(1.0, p + 3.0 / seed_accuracy) if seeded else 1.0)
+
     if stats is None:
-        stats = base.groupBy(*group_cols).agg(
+        aggs = [
             F.count("__v").alias("__n"),
             F.min("__v").alias("__min"),
             F.max("__v").alias("__max"),
             F.bool_and(F.coalesce(F.col("__ok"), F.lit(False))).alias("__all_ok"),
-        )
+        ]
+        if seeded:
+            aggs.append(
+                F.approx_percentile(
+                    "__v",
+                    F.array(*[F.lit(bp) for bp in bracket_probs]),
+                    F.lit(int(seed_accuracy)),
+                ).alias("__gk")
+            )
+        stats = base.groupBy(*group_cols).agg(*aggs)
         # Evaluate the guard on the (tiny) stats frame; folding the
         # assert into __min keeps Catalyst from pruning it as unused.
         guarded_min = F.col("__min") + F.coalesce(
@@ -143,82 +214,148 @@ def grouped_exact_quantiles(
             F.lit(0),
         )
         stats = stats.select(
-            *group_cols, "__n", guarded_min.alias("__min"), "__max"
+            *group_cols,
+            "__n",
+            guarded_min.alias("__min"),
+            "__max",
+            *(["__gk"] if seeded else []),
         ).localCheckpoint(eager=True)
     else:
-        stats = stats.select(*group_cols, "__n", "__min", "__max")
+        stats = stats.select(
+            *group_cols,
+            "__n",
+            "__min",
+            "__max",
+            *(["__slo", "__shi"] if stats_seeded else []),
+        )
 
-    # (group, prob) → position and the two bracketing ranks.
+    # (group, prob) → position and the two bracketing ranks, each
+    # carrying its seed bracket (posexplode tracks the prob's index
+    # into the flat [lo0, hi0, lo1, hi1, …] sketch array).
     per_p = stats.select(
         *group_cols,
         "__n",
-        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("__p"),
+        *(["__gk"] if seeded else []),
+        *(["__slo", "__shi"] if stats_seeded else []),
+        F.posexplode(F.array(*[F.lit(float(p)) for p in probs])).alias("__i", "__p"),
     ).withColumn("__pos", F.col("__p") * (F.col("__n") - 1).cast("double"))
+    if seeded:
+        slo = F.col("__gk")[F.col("__i") * 2].cast("long")
+        shi = F.col("__gk")[F.col("__i") * 2 + 1].cast("long")
+    elif stats_seeded:
+        slo = F.col("__slo").cast("long")
+        shi = F.col("__shi").cast("long")
+    else:
+        slo = F.lit(None).cast("long")
+        shi = F.lit(None).cast("long")
     per_p = per_p.select(
         *group_cols,
         "__p",
         "__pos",
         F.floor("__pos").cast("long").alias("__k1"),
         F.ceil("__pos").cast("long").alias("__k2"),
+        slo.alias("__slo"),
+        shi.alias("__shi"),
     )
 
-    # Distinct ranks to locate (ranks shared between probs dedupe).
+    # Distinct ranks to locate (ranks shared between probs dedupe,
+    # widening to the union of their seed brackets). Every rank also
+    # carries the group's absolute [min, max] so an overflow-bucket
+    # refinement can re-open the untried side of the domain.
+    kc = per_p.select(
+        *group_cols, F.col("__k1").alias("__k"), "__slo", "__shi"
+    ).unionByName(per_p.select(*group_cols, F.col("__k2").alias("__k"), "__slo", "__shi"))
     ranks = (
-        per_p.select(*group_cols, F.explode(F.array("__k1", "__k2")).alias("__k"))
-        .distinct()
+        kc.groupBy(*group_cols, "__k")
+        .agg(F.min("__slo").alias("__slo"), F.max("__shi").alias("__shi"))
         .join(stats.select(*group_cols, "__min", "__max"), group_cols)
         .select(
             *group_cols,
             "__k",
-            F.col("__min").alias("__lo"),
-            F.col("__max").alias("__hi"),
-            F.lit(0).cast("long").alias("__below"),
+            # GK returns data values, so the clamps are belt-and-braces.
+            F.greatest(
+                "__min", F.least(F.coalesce(F.col("__slo"), F.col("__min")), F.col("__max"))
+            ).alias("__lo"),
+            F.least(
+                "__max", F.greatest(F.coalesce(F.col("__shi"), F.col("__max")), F.col("__min"))
+            ).alias("__hi"),
+            F.col("__min").alias("__gmin"),
+            F.col("__max").alias("__gmax"),
         )
     )
 
-    max_passes = math.ceil(64 / math.log2(nbuckets)) + 1
-    closed = ranks.filter(F.col("__lo") >= F.col("__hi"))
-    open_t = ranks.filter(F.col("__lo") < F.col("__hi")).localCheckpoint(eager=True)
+    # +1 for ceil rounding, +1 more to absorb one overflow-bucket hop
+    # when a seed bracket misses its rank.
+    max_passes = math.ceil(64 / math.log2(nbuckets)) + 2
+    # Closed-at-birth ONLY when the whole group is a single value — a
+    # single-point SEED bracket ([lo == hi] from the sketch) is not
+    # proof and must go through one histogram pass, whose overflow
+    # buckets reopen it if the true rank value lies outside.
+    closed = ranks.filter(F.col("__gmin") >= F.col("__gmax"))
+    open_t = ranks.filter(F.col("__gmin") < F.col("__gmax")).localCheckpoint(eager=True)
     cum_w = (
         Window.partitionBy(*group_cols, "__k")
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    n_passes = 0
     for _ in range(max_passes):
         if open_t.isEmpty():  # driver sees a boolean, never values
             break
-        # Histogram each DISTINCT candidate range once — in pass 1
-        # every rank of a group shares [min, max], so deduping avoids
-        # a ranks× row amplification on the expensive full-range pass.
-        # All range arithmetic stays in LONG `div` — a double division
-        # would lose integer precision past 2^53.
+        n_passes += 1
+        # Histogram each DISTINCT candidate range once — ranks sharing
+        # a range (e.g. both [min, max] unseeded) dedupe, avoiding a
+        # ranks× row amplification on the full-range pass. All range
+        # arithmetic stays in LONG `div` — a double division would lose
+        # integer precision past 2^53. Rows OUTSIDE the candidate range
+        # fold into two overflow buckets (-1 below, nbuckets above), so
+        # the cumulative count is the GLOBAL rank — no running `below`
+        # state to thread through passes, and a rank that escapes its
+        # seeded range is caught by the overflow bucket and re-opened
+        # on the untried side.
         ranges = (
             open_t.select(*group_cols, "__lo", "__hi")
             .distinct()
-            .withColumn("__width", F.expr(f"(__hi - __lo) div {nbuckets} + 1L"))
+            .withColumn(
+                "__width",
+                F.expr(
+                    f"CASE WHEN __hi - __lo <= {_EXACT_RANGE_CAP}L THEN 1L "
+                    f"ELSE (__hi - __lo) div {nbuckets} + 1L END"
+                ),
+            )
         )
-        j = base.join(F.broadcast(ranges), [*group_cols]).filter(
-            F.col("__v").between(F.col("__lo"), F.col("__hi"))
-        )
+        j = base.join(F.broadcast(ranges), [*group_cols])
         hist = j.groupBy(
             *group_cols, "__lo", "__hi", "__width",
-            F.expr("(__v - __lo) div __width").alias("__b"),
+            F.expr(
+                f"CASE WHEN __v < __lo THEN -1L WHEN __v > __hi THEN {_OVERFLOW_HI}L "
+                "ELSE (__v - __lo) div __width END"
+            ).alias("__b"),
         ).agg(F.count("*").alias("__c"))
         counts = hist.join(F.broadcast(open_t), [*group_cols, "__lo", "__hi"])
         cum = counts.withColumn("__cum", F.sum("__c").over(cum_w))
         picked = cum.filter(
-            (F.col("__below") + F.col("__cum") >= F.col("__k") + 1)
-            & (F.col("__below") + F.col("__cum") - F.col("__c") <= F.col("__k"))
+            (F.col("__cum") >= F.col("__k") + 1)
+            & (F.col("__cum") - F.col("__c") <= F.col("__k"))
         )
         refined = picked.select(
             *group_cols,
             "__k",
-            (F.col("__lo") + F.col("__b") * F.col("__width")).alias("__lo"),
-            F.least(
-                F.col("__hi"),
-                F.col("__lo") + (F.col("__b") + 1) * F.col("__width") - 1,
-            ).alias("__hi"),
-            (F.col("__below") + F.col("__cum") - F.col("__c")).alias("__below"),
+            F.when(F.col("__b") == -1, F.col("__gmin"))
+            .when(F.col("__b") == _OVERFLOW_HI, F.col("__hi") + 1)
+            .otherwise(F.col("__lo") + F.col("__b") * F.col("__width"))
+            .alias("__lo"),
+            F.when(F.col("__b") == -1, F.col("__lo") - 1)
+            .when(F.col("__b") == _OVERFLOW_HI, F.col("__gmax"))
+            .otherwise(
+                F.least(
+                    F.col("__hi"),
+                    F.col("__lo") + (F.col("__b") + 1) * F.col("__width") - 1,
+                )
+            )
+            .alias("__hi"),
+            "__gmin",
+            "__gmax",
         ).localCheckpoint(eager=True)  # cut lineage; pin this pass's result
         closed = closed.union(refined.filter(F.col("__lo") >= F.col("__hi")))
         open_t = refined.filter(F.col("__lo") < F.col("__hi"))
@@ -229,6 +366,7 @@ def grouped_exact_quantiles(
                 f"{max_passes} passes (nbuckets={nbuckets})"
             )
 
+    LAST_PASS_COUNTS.append(n_passes)
     # Everything downstream reads only the checkpointed small frames,
     # so the cached projection can go immediately.
     if persist_base:

@@ -266,3 +266,84 @@ def test_global_quantiles_forward_persist_base(spark):
     with pytest.raises(Exception) as exc:
         exact_quantile_bounds(bad, "v", [], [0.5], persist_base=True).collect()
     assert "approx_accuracy" in str(exc.value)
+
+
+def test_seeded_and_unseeded_agree(spark, grid_df):
+    probs = [0.0, 0.25, 0.5, 1.0]
+    a = sorted(
+        map(tuple, exact_quantile_bounds(grid_df, "v", ["g"], probs).collect())
+    )
+    import skoltexter_by_ai_spark.operators.quantiles as q
+
+    b = sorted(
+        map(
+            tuple,
+            q.grouped_exact_quantiles(
+                grid_df,
+                ["g"],
+                (F.round(F.col("v") * 100)).cast("long"),
+                probs,
+                seed_accuracy=None,
+            )
+            .groupBy("g")
+            .agg(
+                *[
+                    F.round(
+                        F.max(F.when(F.col("__p") == float(p), F.col("__q"))) / 100, 6
+                    ).alias(f"__q{i}")
+                    for i, p in enumerate(probs)
+                ]
+            )
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_sabotaged_seed_sketch_still_exact(spark, monkeypatch):
+    """The GK seed is an accelerator ONLY: even a sketch that returns
+    garbage brackets (here: every bracket collapses onto the group
+    minimum) must yield exact quantiles — the overflow buckets reopen
+    the untried side of the domain and the bisection converges."""
+    from pyspark.sql import functions as SF
+
+    probs = [0.25, 0.5, 1.0]
+    fake_calls = {"n": 0}
+
+    def fake_approx_percentile(col, percs, acc):
+        fake_calls["n"] += 1
+        return SF.array(*[SF.min(col) for _ in range(2 * len(probs))])
+
+    monkeypatch.setattr(SF, "approx_percentile", fake_approx_percentile)
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    out = {
+        r["__p"]: r["__q"]
+        for r in __import__(
+            "skoltexter_by_ai_spark.operators.quantiles", fromlist=["x"]
+        ).grouped_exact_quantiles(
+            df, [], F.col("v").cast("long"), probs
+        ).collect()
+    }
+    assert fake_calls["n"] == 1  # the sabotage actually took effect
+    assert out == {0.25: 25.0, 0.5: 50.0, 1.0: 100.0}
+
+
+def test_seeded_bisection_closes_in_one_pass(spark, grid_df):
+    """Perf regression pin: on a cents-grid column the GK-seeded
+    candidate ranges must close in a SINGLE histogram pass (the 100 TB
+    cost model budgeted in SCALING.md). Unseeded from [min, max] the
+    same data needs two."""
+    import skoltexter_by_ai_spark.operators.quantiles as q
+
+    q.LAST_PASS_COUNTS.clear()
+    exact_quantile_bounds(grid_df, "v", ["g"], [0.05, 0.5, 0.95]).collect()
+    assert q.LAST_PASS_COUNTS[-1] == 1
+    q.LAST_PASS_COUNTS.clear()
+    grouped_exact_quantiles(
+        grid_df,
+        ["g"],
+        F.round(F.col("v") * 100).cast("long"),
+        [0.5],
+        seed_accuracy=None,
+    ).collect()
+    assert q.LAST_PASS_COUNTS[-1] == 2
