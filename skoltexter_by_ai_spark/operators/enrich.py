@@ -323,6 +323,13 @@ async def call_llm(
     return False, None, None, "RateLimited", "all retry attempts failed"
 
 
+def split_rpm(target_rpm: float, parts: int) -> float:
+    """Per-partition request budget: the cluster-wide RPM divided over
+    the partitions running limiters independently, clamped so a
+    degenerate partition count can never inflate the global rate."""
+    return target_rpm / max(parts, 1)
+
+
 # --- the Spark stage ----------------------------------------------------------
 
 
@@ -347,7 +354,7 @@ def llm_enrich(
     build_payload(prompt_template, "", cfg)
 
     parts = num_partitions or docs.rdd.getNumPartitions() or 1
-    per_partition_rpm = cfg.target_rpm / max(parts, 1)
+    per_partition_rpm = split_rpm(cfg.target_rpm, parts)
 
     def worker(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -318,3 +318,116 @@ def test_aiohttp_transport_network_error_maps_to_transport_error(monkeypatch):
     transport = enrich.AiohttpTransport("https://x/chat", api_key="k")
     with pytest.raises(enrich.TransportNetworkError):
         asyncio.run(transport.post("doc-1", {}))
+
+
+# --- mutation-gate survivor kills (full-site run, round 4) --------------------
+# Each test pins behavior a surviving mutant could change undetected:
+# reference-parity config constants, marker-split slicing, limiter
+# pacing, the 429/exception exhaustion paths, and error-body
+# truncation bounds.
+
+
+def test_config_defaults_match_reference_values():
+    # src/config.py:91-100 parity — the defaults ARE the contract.
+    cfg = EnrichConfig()
+    assert (
+        cfg.max_retries,
+        cfg.backoff_factor,
+        cfg.retry_sleep_on_429,
+        cfg.request_timeout,
+        cfg.max_concurrent,
+        cfg.target_rpm,
+        cfg.max_tokens,
+        cfg.temperature,
+    ) == (3, 2.0, 60.0, 300.0, 250, 10_000.0, 2048, 0.10)
+
+
+def test_build_payload_one_missing_marker_raises():
+    with pytest.raises(ValueError):
+        build_payload("SYSTEM: sys only {school_data}", "x", EnrichConfig())
+    with pytest.raises(ValueError):
+        build_payload("USER: user only {school_data}", "x", EnrichConfig())
+
+
+def test_build_payload_exact_slices():
+    payload = build_payload(TPL, "DATA", EnrichConfig())
+    assert payload["messages"][0]["content"] == "You are a helpful writer."
+    assert payload["messages"][1]["content"] == "Describe this school:\nDATA"
+
+
+def test_rate_limiter_paces_evenly():
+    import asyncio
+    import time
+
+    async def drain(rpm, n):
+        rl = enrich.RateLimiter(rpm)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            async with rl:
+                pass
+        return time.perf_counter() - t0
+
+    # 3000 rpm -> 20 ms interval; 4 acquisitions must take >= ~3
+    # intervals (first is free). A limiter that never advances its
+    # next-free slot (or skips sub-second waits) finishes instantly.
+    elapsed = asyncio.run(drain(3000.0, 4))
+    assert elapsed >= 0.045, f"limiter did not pace: {elapsed:.3f}s"
+
+
+def test_429_exhaustion_type_count_and_linear_sleeps(spark, tmp_path):
+    log = tmp_path / "calls.log"
+    t = enrich.CallLogTransport(str(log), {"s1": [("status", 429, "slow")]})
+    out = llm_enrich(_docs(spark, ["s1"]), TPL, t, FAST, num_partitions=1)
+    r = out.collect()[0]
+    # Exhaustion of the 429 path is RateLimited (not HTTPError), after
+    # exactly max_retries + 1 calls — one per range() iteration.
+    assert r.success is False and r.error_type == "RateLimited"
+    assert open(log).read().count("s1") == FAST.max_retries + 1 == 4
+
+
+def test_generic_exception_exhaustion_keeps_exception_type(spark, tmp_path):
+    # An unknown scripted step raises ValueError inside post() — the
+    # broad-except path. Exhaustion must report type "Exception" (one
+    # extra retry would fall through to the RateLimited tail instead).
+    log = tmp_path / "calls.log"
+    t = enrich.CallLogTransport(str(log), {"s1": [("kaboom",)]})
+    out = llm_enrich(_docs(spark, ["s1"]), TPL, t, FAST, num_partitions=1)
+    r = out.collect()[0]
+    assert r.success is False and r.error_type == "Exception"
+    assert "kaboom" in r.error_message
+    assert open(log).read().count("s1") == FAST.max_retries + 1 == 4
+
+
+def test_network_step_without_message_defaults(spark):
+    out = _run(spark, {"s1": [("network",)] * 4}, ["s1"])
+    r = out["s1"]
+    assert r.success is False and r.error_type == "ClientError"
+    assert "scripted network error" in r.error_message
+
+
+def test_error_bodies_truncate_at_reference_bounds(spark):
+    # InvalidJSON captures the first 200 chars of the body; HTTPError
+    # the first 500 (program2 parity) — exactly, not off by one.
+    body = "x" * 600
+    script = {
+        "s1": [("raw", body)],
+        "s2": [("status", 500, body)] * 4,
+    }
+    out = _run(spark, script, ["s1", "s2"])
+    assert out["s1"].error_message == f"Could not parse JSON response: {body[:200]}"
+    assert out["s2"].error_message == f"status 500: {body[:500]}"
+
+
+def test_llm_enrich_defaults_cfg_and_partitions(spark):
+    # cfg=None and num_partitions=None must fall back to the reference
+    # defaults and the frame's own partitioning (an `or` chain turned
+    # `and` leaves both None and crashes).
+    out = llm_enrich(_docs(spark, ["s1"]), TPL, ScriptedTransport({}))
+    r = out.collect()[0]
+    assert r.success is True and r.content == "stub"
+
+
+def test_split_rpm_clamps_and_divides():
+    assert enrich.split_rpm(10_000.0, 4) == 2500.0
+    assert enrich.split_rpm(10_000.0, 1) == 10_000.0  # max(1, ...) clamp
+    assert enrich.split_rpm(10_000.0, 0) == 10_000.0  # degenerate parts

@@ -163,3 +163,79 @@ def test_md_to_html_prefers_markdown2_with_reference_extras(monkeypatch):
         monkeypatch.delitem(sys.modules, "markdown2")
         importlib.reload(markdown_lite)
     assert not markdown_lite._HAVE_MARKDOWN2  # restored to subset path
+
+
+# --- mutation-gate survivor kills (full-site run, round 4) ----------------
+# Each test below pins behavior a surviving mutant could change
+# undetected: EOF boundaries in the line loops, per-branch line
+# advancement, quote preservation in inline text, and the
+# forward-looking table separator probe.
+
+
+def test_md_to_html_keeps_double_quotes_unescaped():
+    # _inline escapes with quote=False (matching markdown2): a literal
+    # double quote must come through verbatim, not as &quot;.
+    assert '<p>say "hi" now</p>' in md_to_html('say "hi" now\n')
+
+
+def test_md_to_html_unterminated_fence_at_eof():
+    # An unclosed ``` fence must consume to EOF without an index error.
+    html = md_to_html("intro\n\n```\ncode line\n")
+    assert "<pre><code>code line" in html and "</code></pre>" in html
+
+
+def test_md_to_html_multiline_code_block_keeps_every_line():
+    html = md_to_html("```\nline one\nline two\nline three\n```\n")
+    assert "line one\nline two\nline three" in html
+
+
+def test_md_to_html_paragraph_directly_after_code_block():
+    # The line immediately after the closing fence must not be skipped.
+    html = md_to_html("```\ncode\n```\ntail paragraph\n")
+    assert "<p>tail paragraph</p>" in html
+
+
+def test_md_to_html_paragraph_directly_after_heading():
+    # No blank line between heading and text: both must render.
+    html = md_to_html("# Title\nbody right after\n")
+    assert "<h1>Title</h1>" in html and "<p>body right after</p>" in html
+
+
+def test_md_to_html_trailing_pipe_line_is_paragraph():
+    # A final line containing '|' (no separator row after it — there is
+    # no next line at all) is a plain paragraph, and probing the next
+    # line must not run off the end.
+    html = md_to_html("a | b")
+    assert "<p>a | b</p>" in html
+
+
+def test_md_to_html_table_at_document_start():
+    # Table detection looks FORWARD at lines[i+1] for the separator;
+    # a table on line 0 (nothing before it) must be detected.
+    html = md_to_html("| h1 | h2 |\n|---|---|\n| a | b |\n")
+    assert "<th>h1</th>" in html and "<td>b</td>" in html
+
+
+def test_md_to_html_list_item_on_last_line():
+    # Document ending in a list item (no trailing blank/newline): the
+    # list loop must stop at EOF, not index past it.
+    html = md_to_html("- only item")
+    assert "<ul>\n<li>only item</li>\n</ul>" in html
+
+
+def test_md_to_html_multiline_paragraph_keeps_every_line():
+    html = md_to_html("first line\nsecond line\nthird line\n")
+    assert "<p>first line\nsecond line\nthird line</p>" in html
+
+
+def test_md_to_html_multi_item_lists_keep_every_item():
+    # Per-item advancement: a 2-item unordered and ordered list must
+    # emit both items (an `i += 1` -> `+= 2` mutant drops every other).
+    html = md_to_html("- first\n- second\n\n1. one\n2. two\n")
+    assert "<li>first</li>" in html and "<li>second</li>" in html
+    assert "<li>one</li>" in html and "<li>two</li>" in html
+
+
+def test_md_to_html_ordered_list_item_on_last_line():
+    html = md_to_html("1. only one")
+    assert "<ol>\n<li>only one</li>\n</ol>" in html

@@ -146,3 +146,53 @@ def test_survey_prefixed_column_present_verbatim_resolves_directly(spark):
         compile_template("{SurveyAnswerCategoryZ}", cols).alias("doc")
     ).collect()
     assert got[0].doc == "direct"
+
+
+def test_survey_single_year_column_resolves(spark):
+    """Only ONE year-suffixed column exists: the single-candidate
+    branch must return THAT column (a `candidates[0]` -> `[1]` mutant
+    crashes or mis-resolves here; the fixture always had both years)."""
+    cols = ["SurveyAnswerCategoryY_2022/2023"]
+    df = spark.createDataFrame([("only",)], "`SurveyAnswerCategoryY_2022/2023` string")
+    got = df.select(
+        compile_template("{SurveyAnswerCategoryY}", cols).alias("doc")
+    ).collect()
+    assert got[0].doc == "only"
+
+
+def test_survey_year_single_column_per_suffix(spark):
+    """SurveySchoolYear with exactly one survey column per year
+    suffix: the `year_cols[0]` single-element branch must be the one
+    exercised (kills the `[0]` -> `[1]` index mutant in _survey_year)."""
+    cols = ["SurveyAnswerCategoryX_2023/2024", "SurveyAnswerCategoryX_2022/2023"]
+    df = spark.createDataFrame(
+        [("data", "old")], ", ".join(f"`{c}` string" for c in cols)
+    )
+    got = df.select(
+        compile_template("{SurveyAnswerCategoryX}: {SurveySchoolYear}", cols).alias("doc")
+    ).collect()
+    assert got[0].doc == "data: 2023/2024"
+
+
+def test_survey_year_any_data_probe_spans_all_columns_of_a_suffix(spark):
+    """TWO survey categories share the newest suffix; only the SECOND
+    one has data there. _survey_year's per-suffix any-data probe must
+    coalesce across BOTH columns (a `len(year_cols) > 1` -> `> 2`
+    mutant reduces the probe to the first column, which is empty, and
+    would wrongly report the older year)."""
+    cols = [
+        "SurveyAnswerCategoryA_2023/2024",
+        "SurveyAnswerCategoryB_2023/2024",
+        "SurveyAnswerCategoryA_2022/2023",
+    ]
+    df = spark.createDataFrame(
+        [("", "bdata", "older")], ", ".join(f"`{c}` string" for c in cols)
+    )
+    got = df.select(
+        compile_template(
+            "{SurveyAnswerCategoryA}|{SurveyAnswerCategoryB}|{SurveySchoolYear}", cols
+        ).alias("doc")
+    ).collect()
+    # A falls back to its older value; B has newest data; the school
+    # year is the NEWEST suffix because B had data there.
+    assert got[0].doc == "older|bdata|2023/2024"

@@ -154,15 +154,28 @@ def main() -> int:
     ap.add_argument("--min-kill-rate", type=float, default=0.80)
     ap.add_argument("--timeout", type=int, default=420)
     ap.add_argument("--list", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="substring filter on target module paths (re-run one module)",
+    )
     args = ap.parse_args()
+
+    targets = {
+        rel: tf
+        for rel, tf in TARGETS.items()
+        if args.only is None or args.only in rel
+    }
+    if not targets:
+        ap.error(f"--only {args.only!r} matches no target module")
 
     summary: dict[str, dict] = {}
     total_tested = total_killed = 0
     per_file_budget = None
     if args.max_mutants:
-        per_file_budget = max(1, args.max_mutants // len(TARGETS))
+        per_file_budget = max(1, args.max_mutants // len(targets))
 
-    for rel, test_files in TARGETS.items():
+    for rel, test_files in targets.items():
         path = os.path.join(REPO, rel)
         src = open(path).read()
         tree = ast.parse(src)
