@@ -431,3 +431,30 @@ def test_split_rpm_clamps_and_divides():
     assert enrich.split_rpm(10_000.0, 4) == 2500.0
     assert enrich.split_rpm(10_000.0, 1) == 10_000.0  # max(1, ...) clamp
     assert enrich.split_rpm(10_000.0, 0) == 10_000.0  # degenerate parts
+
+
+def test_429_sleeps_are_linear_in_attempt(monkeypatch):
+    """The 429 path sleeps base*(attempt+1) — LINEAR, the reference's
+    rate-limit etiquette (program2). Durations are asserted directly
+    via a recording sleep on an in-process call_llm, because the
+    mapInPandas tests can only see call counts, not waits."""
+    import asyncio as aio
+
+    recorded: list[float] = []
+    real_sleep = aio.sleep
+
+    async def fake_sleep(seconds, *a, **k):
+        recorded.append(seconds)
+        return await real_sleep(0)
+
+    monkeypatch.setattr(aio, "sleep", fake_sleep)
+    cfg = EnrichConfig(retry_sleep_on_429=7.0, backoff_factor=2.0, request_timeout=5.0)
+    transport = ScriptedTransport({"k": [("status", 429, "slow")]})
+    limiter = enrich.RateLimiter(1e12)  # effectively unthrottled
+    payload = build_payload(TPL, "doc", cfg)
+    ok, *_rest, err_type, _msg = aio.run(
+        enrich.call_llm(transport, "k", payload, cfg, limiter)
+    )
+    assert ok is False and err_type == "RateLimited"
+    # One linear sleep per attempt: 7*1, 7*2, 7*3, 7*4.
+    assert [s for s in recorded if s >= 7.0] == [7.0, 14.0, 21.0, 28.0]
