@@ -375,13 +375,15 @@ def robust_zscore(
         F.greatest(F.lit(0).cast("long"), F.floor(near * 2).cast("long") - 2).alias("__slo"),
         (F.ceil(far * 2).cast("long") + 2).alias("__shi"),
     )
+    # No persist here: the seeded MAD round reads its base exactly
+    # once (single histogram pass), so a cache would only pay
+    # serialization for zero reuse.
     madq = grouped_exact_quantiles(
         with_med,
         [group_col],
         F.abs(v_long * 2 - m2),
         [0.5],
         stats=dstats,
-        persist_base=True,
     )
     mad = madq.select(
         group_col,

@@ -292,7 +292,11 @@ def grouped_exact_quantiles(
     # proof and must go through one histogram pass, whose overflow
     # buckets reopen it if the true rank value lies outside.
     closed = ranks.filter(F.col("__gmin") >= F.col("__gmax"))
-    open_t = ranks.filter(F.col("__gmin") < F.col("__gmax")).localCheckpoint(eager=True)
+    # No eager checkpoint here: ranks derive from the (checkpointed)
+    # stats through count-sized frames, so pass 1 recomputes them for
+    # pennies inside its own job instead of paying a separate one;
+    # the per-pass refined checkpoints still cut loop lineage.
+    open_t = ranks.filter(F.col("__gmin") < F.col("__gmax"))
     cum_w = (
         Window.partitionBy(*group_cols, "__k")
         .orderBy("__b")
