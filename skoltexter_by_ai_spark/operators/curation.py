@@ -96,6 +96,45 @@ def stratified_sample(
     return df.filter(key < thr_col)
 
 
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the C4/RefinedWeb-style
+    "cap documents per domain" curation step that stops a handful of
+    mega-domains from dominating a training mix.
+
+    Selection is the ``cap`` smallest :func:`sample_key` draws per
+    group (deterministic hash order, tie-broken by ``id_col``): an
+    unbiased fixed-size sample of each over-cap group, reproducible
+    across engines, re-runs and repartitioning. Unlike a fraction
+    (:func:`stratified_sample`), a CAP depends on the group's row
+    set, so appends can displace previously-kept rows — inherent to
+    cap semantics; use fractions when append-stability matters.
+
+    Scale: one shuffle on ``group_col`` (window row_number ≤ cap).
+    The window partition is the whole group, so a single pathological
+    mega-domain serializes onto one task; for corpora where a domain
+    can exceed ~10M rows, cut first with a per-group hash THRESHOLD
+    (rank-``cap`` order statistic of the draw via
+    :mod:`~skoltexter_by_ai_spark.operators.quantiles`-style
+    selection, then ``key <= threshold``) and let this exact cap
+    handle the bounded remainder.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        sample_key(group_col, id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     strata_col: str,

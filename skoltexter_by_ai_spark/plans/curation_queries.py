@@ -446,3 +446,34 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         text_analysis.hash_split("cluster").alias("split"),
     ).orderBy("cluster")
+
+
+@register(
+    "x93_source_cap",
+    # Per-source document cap (the C4/RefinedWeb "cap per domain"
+    # step): at most 10 docs per source, selected by the smallest
+    # deterministic md5 draws so the kept set is an unbiased sample of
+    # each over-cap source and identical in both engines. n_chars
+    # rides along to prove the cap projects payload columns through.
+    oracle="""
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 10
+        ORDER BY doc_id
+    """,
+    covers="per-source/domain cap sampling (corpus curation; caps mega-domains)",
+    tags=("training", "curation"),
+    min_rows=150,
+)
+def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.curation import group_cap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return group_cap(docs, "source", "doc_id", cap=10).orderBy("doc_id")

@@ -276,3 +276,41 @@ def test_validate_expectations_rejects_bad_rule_names_and_empty(spark):
     for bad in ("has space", "quote'", "back`tick", ""):
         with pytest.raises(ValueError, match="rule name"):
             validate_expectations(df, [(bad, F.col("id") >= 0)])
+
+
+def test_group_cap_keeps_at_most_cap_per_group(spark):
+    from skoltexter_by_ai_spark.operators.curation import group_cap
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    out = group_cap(df, "source", "doc_id", cap=4)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src0": 4, "src1": 4, "src2": 4}
+    # Under-cap groups pass through whole.
+    small = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    assert group_cap(small, "source", "doc_id", cap=10).count() == 3
+    # cap=0 empties; negative rejected.
+    assert group_cap(small, "source", "doc_id", cap=0).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_cap(small, "source", "doc_id", cap=-1)
+
+
+def test_group_cap_selection_is_deterministic_and_membership_stable(spark):
+    from skoltexter_by_ai_spark.operators.curation import group_cap
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(100)], "doc_id long, source string"
+    )
+    a = sorted(r.doc_id for r in group_cap(df, "source", "doc_id", cap=10).collect())
+    b = sorted(
+        r.doc_id
+        for r in group_cap(df.repartition(7), "source", "doc_id", cap=10).collect()
+    )
+    assert a == b  # partitioning-independent
+    # The kept set is the cap smallest hash draws: raising the cap
+    # only ADDS rows (prefix property of hash order).
+    c = sorted(r.doc_id for r in group_cap(df, "source", "doc_id", cap=20).collect())
+    assert set(a).issubset(set(c))
