@@ -416,3 +416,68 @@ def lsh_ann_topk(
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, round_to: int = 6
+) -> DataFrame:
+    """Per-label mean embedding — class prototypes for nearest-class-
+    mean probes, clustering diagnostics, and per-class drift checks.
+
+    Returns ``(label, n_vecs, centroid)`` with the centroid rounded to
+    ``round_to`` places per dimension (the suite's cross-engine float
+    convention). Shuffles once on (label, dim) for the per-dimension
+    mean — partial aggregation does the heavy lifting map-side — then
+    once on label to reassemble the (dim-bounded) array; no
+    ``collect``, no UDF, scale-bound by labels × dims, not rows.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__v"),
+    )
+    dims = ex.groupBy("label", "__pos").agg(F.avg("__v").alias("__m"))
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+            lambda s: F.round(s["__m"], round_to),
+        ).alias("centroid")
+    )
+    nv = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_vecs")
+    )
+    return nv.join(cent, "label")
+
+
+def nearest_centroid_labels(
+    cents: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """For each label: the nearest OTHER label by centroid cosine —
+    the confusion-prone class pairs. Input is
+    :func:`label_centroids`' output; the all-pairs join is labels²
+    (bounded by class count, never rows), broadcast on one side.
+    Cosine runs on the ROUNDED centroids so both engines fold
+    identical inputs.
+    """
+    a = cents.select(
+        F.col("label"), F.col("n_vecs"), F.col("centroid")
+    )
+    b = cents.select(
+        F.col("label").alias("__olabel"), F.col("centroid").alias("__ocent")
+    )
+    pairs = a.join(F.broadcast(b), F.col("label") != F.col("__olabel")).withColumn(
+        "__cos", F.round(cosine(F.col("centroid"), F.col("__ocent")), round_to)
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("__cos").desc(), F.col("__olabel")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "label",
+            "n_vecs",
+            F.col("__olabel").alias("nearest_label"),
+            F.col("__cos").alias("nearest_cos"),
+            "centroid",
+        )
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from skoltexter_by_ai_spark.operators.dedup import normalized_text, tokens
 
@@ -216,5 +217,42 @@ def chunk_documents(
             "chunk_id",
             F.size(chunk).cast("int").alias("n_chunk_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def token_vocabulary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus token-frequency table with cumulative coverage — the
+    tokenizer-training prep view: for each token its term frequency,
+    document frequency, frequency rank, and the cumulative share of
+    all token occurrences covered by the vocabulary up to that rank
+    (the "how big must the vocab be for X% coverage" curve).
+
+    Scale: one (token) shuffle with map-side partial counts; the rank
+    and coverage windows run over the VOCABULARY (bounded by distinct
+    tokens, not corpus size), which is the standard shape for this
+    table — a vocabulary that doesn't fit one task isn't a vocabulary.
+    Output columns: ``token, tf, df, rank, cum_share``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("__id").alias("df"),
+    )
+    w_rank = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    total = Window.partitionBy()
+    return (
+        vocab.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("tf").over(
+                    w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.sum("tf").over(total),
+                6,
+            ),
         )
     )

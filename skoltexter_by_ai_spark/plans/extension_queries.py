@@ -1206,3 +1206,86 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("peak_at_ns"),
         )
     )
+
+
+@register(
+    "x94_label_centroids",
+    # Class prototypes + confusion-prone neighbours: per-label mean
+    # embedding (rounded per dim), then each label's nearest OTHER
+    # label by cosine of the ROUNDED centroids — identical fold inputs
+    # in both engines, final cosine rounded.
+    oracle="""
+        WITH e AS (
+            SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings
+        ),
+        d AS (
+            SELECT label, t.i AS pos, avg(ev[t.i]) AS m
+            FROM e, unnest(generate_series(1, len(ev))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT label, list(ROUND(m, 6) ORDER BY pos) AS centroid
+            FROM d GROUP BY 1
+        ),
+        nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM e GROUP BY 1),
+        base AS (SELECT nv.label, n_vecs, centroid FROM nv JOIN c USING (label)),
+        pairs AS (
+            SELECT a.label, a.n_vecs, a.centroid,
+                   b.label AS nearest_label,
+                   ROUND(
+                       list_aggregate(list_transform(generate_series(1, len(a.centroid)),
+                                                     i -> a.centroid[i] * b.centroid[i]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(a.centroid, x -> x * x), 'sum'))
+                          * sqrt(list_aggregate(list_transform(b.centroid, x -> x * x), 'sum'))),
+                       6) AS nearest_cos
+            FROM base a JOIN base b ON a.label <> b.label
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                         ORDER BY nearest_cos DESC, nearest_label) AS rn
+            FROM pairs
+        )
+        SELECT label, n_vecs, nearest_label, nearest_cos, centroid
+        FROM r WHERE rn = 1
+        ORDER BY label
+    """,
+    covers="per-label embedding centroids + nearest-centroid diagnostic (class prototypes)",
+    tags=("similarity", "training"),
+    min_rows=5,
+)
+def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb, "label", "embedding")
+    return similarity.nearest_centroid_labels(cents).orderBy("label")
+
+
+@register(
+    "x95_token_vocab",
+    # Tokenizer-prep vocabulary table: tf/df per token, frequency rank
+    # and the cumulative corpus-coverage share up to each rank.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        ),
+        v AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM t WHERE token <> '' GROUP BY 1
+        )
+        SELECT token, tf, df,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INT) AS rank,
+               ROUND(SUM(tf) OVER (ORDER BY tf DESC, token
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / SUM(tf) OVER (), 6) AS cum_share
+        FROM v
+        ORDER BY rank
+    """,
+    covers="corpus token-frequency vocabulary with cumulative coverage (tokenizer prep)",
+    tags=("text", "training"),
+    min_rows=20,
+)
+def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.token_vocabulary(docs, "doc_id", "text").orderBy("rank")

@@ -229,3 +229,27 @@ def test_ivf_partitioned_layout_prunes_probe_scan(spark, sf_dir, tmp_path):
     # corpus, and exactly the rows of the probed cells.
     expect = corpus.filter(F.col("ivf_cell").isin([0, 1, 2])).count()
     assert probed.count() == expect < emb.count()
+
+
+def test_label_centroids_exact_means_and_counts(spark):
+    from skoltexter_by_ai_spark.operators.similarity import (
+        label_centroids,
+        nearest_centroid_labels,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [3.0, 0.0]),
+            (3, "b", [0.0, 2.0]),
+            (4, "c", [1.0, 1.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    cents = {r.label: (r.n_vecs, r.centroid) for r in label_centroids(df, "label", "embedding").collect()}
+    assert cents == {"a": (2, [2.0, 0.0]), "b": (1, [0.0, 2.0]), "c": (1, [1.0, 1.0])}
+    near = {r.label: (r.nearest_label, r.nearest_cos) for r in
+            nearest_centroid_labels(label_centroids(df, "label", "embedding")).collect()}
+    # c ([1,1]) is equidistant (cos 0.707107) from a and b -> label tie-break picks a.
+    assert near["a"][0] == "c" and near["b"][0] == "c"
+    assert near["c"] == ("a", 0.707107)

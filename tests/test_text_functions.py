@@ -313,3 +313,22 @@ def test_cluster_aware_split_never_splits_a_cluster(spark, sf_dir):
     assert leaky.count() == 0
     # And the split is non-degenerate: more than one split value used.
     assert out.select("split").distinct().count() >= 2
+
+
+def test_token_vocabulary_counts_rank_and_coverage(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import token_vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    rows = {r.token: r for r in token_vocabulary(df, "doc_id", "text").collect()}
+    assert rows["a"].tf == 3 and rows["a"].df == 2 and rows["a"].rank == 1
+    assert rows["b"].tf == 1 and rows["b"].df == 1
+    assert rows["c"].tf == 1 and rows["c"].df == 1
+    # b/c tie on tf -> token tie-break: b rank 2, c rank 3.
+    assert rows["b"].rank == 2 and rows["c"].rank == 3
+    assert rows["a"].cum_share == 0.6
+    assert rows["c"].cum_share == 1.0
+    # The all-whitespace doc contributes no tokens at all.
+    assert sum(r.tf for r in rows.values()) == 5
