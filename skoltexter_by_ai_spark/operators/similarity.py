@@ -481,3 +481,33 @@ def nearest_centroid_labels(
             "centroid",
         )
     )
+
+
+def label_outliers(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    min_cos: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Label-noise screen: each vector's cosine to its OWN label's
+    centroid, flagging vectors below ``min_cos`` as suspect — the
+    standard first pass for mislabeled-sample triage in a training
+    set. Returns ``(id, label, cos_to_centroid, is_outlier)``.
+
+    The centroid table (:func:`label_centroids`, labels × dims sized)
+    broadcasts onto a narrow scan of the vectors — one pass over the
+    data beyond the centroid aggregation itself; no pairwise work.
+    """
+    cents = label_centroids(df, label_col, vec_col, round_to=round_to)
+    joined = df.select(
+        F.col(id_col), F.col(label_col).alias("label"), F.col(vec_col).alias("__v")
+    ).join(F.broadcast(cents.select("label", "centroid")), "label")
+    cos = F.round(cosine(F.col("__v"), F.col("centroid")), round_to)
+    return joined.select(
+        F.col(id_col),
+        "label",
+        cos.alias("cos_to_centroid"),
+        (cos < min_cos).alias("is_outlier"),
+    )

@@ -1289,3 +1289,43 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.token_vocabulary(docs, "doc_id", "text").orderBy("rank")
+
+
+@register(
+    "x96_label_outliers",
+    # Label-noise screen: cosine of every vector to its own label's
+    # centroid (rounded per the suite convention), outliers below 0.
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings
+        ),
+        d AS (
+            SELECT label, t.i AS pos, avg(ev[t.i]) AS m
+            FROM e, unnest(generate_series(1, len(ev))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        c AS (SELECT label, list(ROUND(m, 6) ORDER BY pos) AS cent FROM d GROUP BY 1),
+        s AS (
+            SELECT vec_id, e.label,
+                   ROUND(
+                       list_aggregate(list_transform(generate_series(1, len(ev)),
+                                                     i -> ev[i] * cent[i]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum'))
+                          * sqrt(list_aggregate(list_transform(cent, x -> x * x), 'sum'))),
+                       6) AS cos_to_centroid
+            FROM e JOIN c USING (label)
+        )
+        SELECT vec_id, label, cos_to_centroid, cos_to_centroid < 0.0 AS is_outlier
+        FROM s
+        ORDER BY vec_id
+    """,
+    covers="label-noise screen: cosine to own-label centroid, outlier flags",
+    tags=("similarity", "training", "curation"),
+    min_rows=50,
+)
+def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_outliers(
+        emb, "vec_id", "label", "embedding", min_cos=0.0
+    ).orderBy("vec_id")

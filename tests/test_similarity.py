@@ -253,3 +253,22 @@ def test_label_centroids_exact_means_and_counts(spark):
     # c ([1,1]) is equidistant (cos 0.707107) from a and b -> label tie-break picks a.
     assert near["a"][0] == "c" and near["b"][0] == "c"
     assert near["c"] == ("a", 0.707107)
+
+
+def test_label_outliers_flags_below_threshold(spark):
+    from skoltexter_by_ai_spark.operators.similarity import label_outliers
+
+    # Label "a": two aligned vectors and one pointing the opposite way.
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [1.0, 0.1]),
+            (3, "a", [-1.0, 0.0]),
+            (4, "b", [0.0, 1.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in label_outliers(df, "vec_id", "label", "embedding", min_cos=0.0).collect()}
+    assert out[1].is_outlier is False and out[2].is_outlier is False
+    assert out[3].is_outlier is True and out[3].cos_to_centroid < 0
+    assert out[4].is_outlier is False and out[4].cos_to_centroid == 1.0
