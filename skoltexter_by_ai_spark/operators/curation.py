@@ -101,6 +101,7 @@ def group_cap(
     group_col: str,
     id_col: str,
     cap: int,
+    precut: bool = False,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group — the C4/RefinedWeb-style
     "cap documents per domain" curation step that stops a handful of
@@ -116,18 +117,41 @@ def group_cap(
 
     Scale: one shuffle on ``group_col`` (window row_number ≤ cap).
     The window partition is the whole group, so a single pathological
-    mega-domain serializes onto one task; for corpora where a domain
-    can exceed ~10M rows, cut first with a per-group hash THRESHOLD
-    (rank-``cap`` order statistic of the draw via
-    :mod:`~skoltexter_by_ai_spark.operators.quantiles`-style
-    selection, then ``key <= threshold``) and let this exact cap
-    handle the bounded remainder.
+    mega-domain serializes onto one task; ``precut=True`` bounds it:
+    the per-group rank-``cap`` order statistic of the draw (EXACT,
+    bounded-state selection via
+    :func:`~skoltexter_by_ai_spark.operators.quantiles.grouped_kth_smallest`
+    on the draw's 32-bit integer form) becomes a hash threshold, and
+    only rows at or under it — at most ``cap`` plus threshold-value
+    ties, ≈cap — reach the exact window. Output is IDENTICAL with and
+    without the pre-cut (every window winner's draw is ≤ the
+    threshold by construction); the pre-cut pays ~2 extra counting
+    passes, so turn it on when groups can be mega-sized.
     """
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
-    w = Window.partitionBy(group_col).orderBy(
-        sample_key(group_col, id_col), F.col(id_col)
-    )
+    key = sample_key(group_col, id_col)
+    if precut and cap > 0:
+        from skoltexter_by_ai_spark.operators.quantiles import grouped_kth_smallest
+
+        # The first-8-hex md5 prefix as an integer: conv() preserves
+        # the hex string's lexicographic order for fixed-width input,
+        # so filtering on the integer form keeps exactly the window
+        # path's candidates.
+        key_long = F.conv(key, 16, 10).cast("long")
+        kth = grouped_kth_smallest(df, [group_col], key_long, cap - 1).withColumnRenamed(
+            group_col, "__g"
+        )
+        # LEFT + null-keep: a group without a threshold row (NULL group
+        # key — equi-joins inside the selection machinery skip those)
+        # passes through uncut and is capped by the window exactly as
+        # in the direct path.
+        df = (
+            df.join(kth, F.col(group_col).eqNullSafe(F.col("__g")), "left")
+            .filter((key_long <= F.col("__kth")) | F.col("__kth").isNull())
+            .drop("__g", "__kth")
+        )
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)

@@ -91,6 +91,7 @@ def grouped_exact_quantiles(
     persist_base: bool = False,
     guard_msg: str | None = None,
     seed_accuracy: int | None = 1_000,
+    ranks: list[int] | None = None,
 ) -> DataFrame:
     """Exact interpolated quantiles of ``value_long`` per group.
 
@@ -123,6 +124,13 @@ def grouped_exact_quantiles(
     (None disables seeding; caller-provided ``stats`` implies
     unseeded since the sketch rides the stats pass). Seeds are an
     accelerator only — results are exact regardless.
+
+    ``ranks`` switches to RANK-SELECTION mode (pass ``probs=[]``):
+    instead of interpolated quantiles, return the exact k-th smallest
+    value per group for each 0-based rank (clamped into [0, n−1]) as
+    ``(*group_cols, __k, __vk)`` with ``__vk`` still a LONG — no
+    interpolation, no double conversion. Same bounded passes; used by
+    ``group_cap``'s mega-group pre-cut.
     """
     if not group_cols:
         # Global quantiles: run the grouped machinery over one
@@ -139,11 +147,17 @@ def grouped_exact_quantiles(
             persist_base=persist_base,
             guard_msg=guard_msg,
             seed_accuracy=seed_accuracy,
+            ranks=ranks,
         )
         if return_stats:
             return res[0].drop("__all"), res[1].drop("__all")
         return res.drop("__all")
-    if not probs:
+    if ranks is not None:
+        if probs:
+            raise ValueError("pass either probs or ranks, not both")
+        if not ranks or any(k < 0 for k in ranks):
+            raise ValueError(f"ranks must be non-empty and >= 0: {ranks}")
+    elif not probs:
         raise ValueError("probs must be non-empty")
     if any(p < 0.0 or p > 1.0 for p in probs):
         raise ValueError(f"probs must be within [0, 1]: {probs}")
@@ -174,7 +188,9 @@ def grouped_exact_quantiles(
     # (vs log_nbuckets(range) passes from [min, max]). Correctness
     # never depends on the sketch: a rank outside its bracket lands in
     # an overflow bucket below and just costs one extra pass.
-    seeded = stats is None and seed_accuracy is not None
+    # Rank mode has no probs to sketch around; it runs unseeded (the
+    # second pass is width-1 for any 2^32-ish domain anyway).
+    seeded = stats is None and seed_accuracy is not None and ranks is None
     # Caller-provided stats may carry a per-group [__slo, __shi] seed
     # bracket (applied to every rank of the group) — robust_zscore's
     # MAD round derives one from the median round's exact quartiles.
@@ -231,32 +247,54 @@ def grouped_exact_quantiles(
 
     # (group, prob) → position and the two bracketing ranks, each
     # carrying its seed bracket (posexplode tracks the prob's index
-    # into the flat [lo0, hi0, lo1, hi1, …] sketch array).
-    per_p = stats.select(
-        *group_cols,
-        "__n",
-        *(["__gk"] if seeded else []),
-        *(["__slo", "__shi"] if stats_seeded else []),
-        F.posexplode(F.array(*[F.lit(float(p)) for p in probs])).alias("__i", "__p"),
-    ).withColumn("__pos", F.col("__p") * (F.col("__n") - 1).cast("double"))
-    if seeded:
-        slo = F.col("__gk")[F.col("__i") * 2].cast("long")
-        shi = F.col("__gk")[F.col("__i") * 2 + 1].cast("long")
-    elif stats_seeded:
-        slo = F.col("__slo").cast("long")
-        shi = F.col("__shi").cast("long")
+    # into the flat [lo0, hi0, lo1, hi1, …] sketch array). In rank
+    # mode the requested rank IS the position (clamped into the
+    # group's [0, n−1]) and brackets both point at it.
+    if ranks is not None:
+        per_p = stats.select(
+            *group_cols,
+            "__n",
+            *(["__slo", "__shi"] if stats_seeded else []),
+            F.posexplode(F.array(*[F.lit(int(k)) for k in ranks])).alias("__i", "__p"),
+        )
+        k_eff = F.least(
+            F.greatest(F.col("__p").cast("long"), F.lit(0)), F.col("__n") - 1
+        )
+        per_p = per_p.select(
+            *group_cols,
+            "__p",
+            F.lit(None).cast("double").alias("__pos"),
+            k_eff.alias("__k1"),
+            k_eff.alias("__k2"),
+            (F.col("__slo").cast("long") if stats_seeded else F.lit(None).cast("long")).alias("__slo"),
+            (F.col("__shi").cast("long") if stats_seeded else F.lit(None).cast("long")).alias("__shi"),
+        )
     else:
-        slo = F.lit(None).cast("long")
-        shi = F.lit(None).cast("long")
-    per_p = per_p.select(
-        *group_cols,
-        "__p",
-        "__pos",
-        F.floor("__pos").cast("long").alias("__k1"),
-        F.ceil("__pos").cast("long").alias("__k2"),
-        slo.alias("__slo"),
-        shi.alias("__shi"),
-    )
+        per_p = stats.select(
+            *group_cols,
+            "__n",
+            *(["__gk"] if seeded else []),
+            *(["__slo", "__shi"] if stats_seeded else []),
+            F.posexplode(F.array(*[F.lit(float(p)) for p in probs])).alias("__i", "__p"),
+        ).withColumn("__pos", F.col("__p") * (F.col("__n") - 1).cast("double"))
+        if seeded:
+            slo = F.col("__gk")[F.col("__i") * 2].cast("long")
+            shi = F.col("__gk")[F.col("__i") * 2 + 1].cast("long")
+        elif stats_seeded:
+            slo = F.col("__slo").cast("long")
+            shi = F.col("__shi").cast("long")
+        else:
+            slo = F.lit(None).cast("long")
+            shi = F.lit(None).cast("long")
+        per_p = per_p.select(
+            *group_cols,
+            "__p",
+            "__pos",
+            F.floor("__pos").cast("long").alias("__k1"),
+            F.ceil("__pos").cast("long").alias("__k2"),
+            slo.alias("__slo"),
+            shi.alias("__shi"),
+        )
 
     # Distinct ranks to locate (ranks shared between probs dedupe,
     # widening to the union of their seed brackets). Every rank also
@@ -265,7 +303,7 @@ def grouped_exact_quantiles(
     kc = per_p.select(
         *group_cols, F.col("__k1").alias("__k"), "__slo", "__shi"
     ).unionByName(per_p.select(*group_cols, F.col("__k2").alias("__k"), "__slo", "__shi"))
-    ranks = (
+    targets = (
         kc.groupBy(*group_cols, "__k")
         .agg(F.min("__slo").alias("__slo"), F.max("__shi").alias("__shi"))
         .join(stats.select(*group_cols, "__min", "__max"), group_cols)
@@ -291,12 +329,12 @@ def grouped_exact_quantiles(
     # single-point SEED bracket ([lo == hi] from the sketch) is not
     # proof and must go through one histogram pass, whose overflow
     # buckets reopen it if the true rank value lies outside.
-    closed = ranks.filter(F.col("__gmin") >= F.col("__gmax"))
+    closed = targets.filter(F.col("__gmin") >= F.col("__gmax"))
     # No eager checkpoint here: ranks derive from the (checkpointed)
     # stats through count-sized frames, so pass 1 recomputes them for
     # pennies inside its own job instead of paying a separate one;
     # the per-pass refined checkpoints still cut loop lineage.
-    open_t = ranks.filter(F.col("__gmin") < F.col("__gmax"))
+    open_t = targets.filter(F.col("__gmin") < F.col("__gmax"))
     cum_w = (
         Window.partitionBy(*group_cols, "__k")
         .orderBy("__b")
@@ -385,6 +423,16 @@ def grouped_exact_quantiles(
     v2 = vals.select(
         *group_cols, F.col("__k").alias("__k2"), F.col("__vk").alias("__v2")
     )
+    if ranks is not None:
+        # Rank mode: the located value IS the answer — stay in LONG.
+        out = per_p.join(F.broadcast(v1), [*group_cols, "__k1"]).select(
+            *group_cols,
+            F.col("__p").cast("long").alias("__k"),
+            F.col("__v1").alias("__vk"),
+        )
+        if return_stats:
+            return out, stats
+        return out
     out = (
         # (groups × ranks)-sized frames: broadcast so no stats-less
         # planner ever SMJs the interpolation join.
@@ -453,3 +501,23 @@ def exact_quantile_bounds(
         for i, p in enumerate(probs)
     ]
     return q.groupBy(*group_cols).agg(*cols)
+
+
+def grouped_kth_smallest(
+    df: DataFrame,
+    group_cols: list[str],
+    value_long: Column,
+    k: int,
+    nbuckets: int = 8192,
+) -> DataFrame:
+    """Per-group EXACT k-th smallest value (0-based; clamped to the
+    group's last rank when k ≥ n). Returns ``(*group_cols, __kth)``
+    with ``__kth`` a LONG. Same bounded-state machinery as the
+    quantiles — counts only, no value collection, ≲2 histogram passes
+    for any 2^32-ish domain. This is the selection primitive behind
+    ``group_cap``'s mega-group pre-cut.
+    """
+    res = grouped_exact_quantiles(
+        df, group_cols, value_long, [], ranks=[k], nbuckets=nbuckets
+    )
+    return res.select(*group_cols, F.col("__vk").alias("__kth"))

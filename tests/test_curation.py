@@ -314,3 +314,41 @@ def test_group_cap_selection_is_deterministic_and_membership_stable(spark):
     # only ADDS rows (prefix property of hash order).
     c = sorted(r.doc_id for r in group_cap(df, "source", "doc_id", cap=20).collect())
     assert set(a).issubset(set(c))
+
+
+def test_group_cap_precut_identical_to_direct_path(spark):
+    """precut=True must produce EXACTLY the direct window result — the
+    rank-cap hash threshold keeps every window winner by construction
+    (incl. groups smaller than the cap, and NULL group keys, which
+    have no threshold row and pass through uncut)."""
+    from skoltexter_by_ai_spark.operators.curation import group_cap
+
+    rows = [(i, f"src{i % 4}") for i in range(80)] + [(100, None), (101, None), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    direct = {
+        (r.source, r.doc_id) for r in group_cap(df, "source", "doc_id", cap=2).collect()
+    }
+    pre = {
+        (r.source, r.doc_id)
+        for r in group_cap(df, "source", "doc_id", cap=2, precut=True).collect()
+    }
+    assert direct == pre and len(direct) == 4 * 2 + 2
+    # Under-cap groups survive whole through the pre-cut too.
+    small = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, source string")
+    assert group_cap(small, "source", "doc_id", cap=10, precut=True).count() == 2
+
+
+def test_group_cap_precut_bounds_window_input(spark):
+    """The pre-cut's purpose: rows reaching the exact window are ~cap
+    per group, not the whole group."""
+    from skoltexter_by_ai_spark.operators.curation import group_cap
+    from skoltexter_by_ai_spark.operators.curation import sample_key
+    from skoltexter_by_ai_spark.operators.quantiles import grouped_kth_smallest
+
+    df = spark.createDataFrame([(i, "s") for i in range(500)], "doc_id long, source string")
+    key_long = F.conv(sample_key("source", "doc_id"), 16, 10).cast("long")
+    kth = grouped_kth_smallest(df, ["source"], key_long, 9)
+    survivors = df.join(kth, "source").filter(key_long <= F.col("__kth")).count()
+    assert survivors == 10  # exactly cap (no hash ties at this size)
+    out = group_cap(df, "source", "doc_id", cap=10, precut=True)
+    assert out.count() == 10

@@ -347,3 +347,19 @@ def test_seeded_bisection_closes_in_one_pass(spark, grid_df):
         seed_accuracy=None,
     ).collect()
     assert q.LAST_PASS_COUNTS[-1] == 2
+
+
+def test_grouped_kth_smallest_exact_and_clamped(spark):
+    from skoltexter_by_ai_spark.operators.quantiles import grouped_kth_smallest
+
+    df = spark.createDataFrame(
+        [("A", v) for v in [30.0, 10.0, 20.0, 20.0, 50.0]] + [("B", 7.0)],
+        "g string, v double",
+    )
+    vl = F.col("v").cast("long")
+    got = {r.g: r["__kth"] for r in grouped_kth_smallest(df, ["g"], vl, 2).collect()}
+    assert got == {"A": 20, "B": 7}  # duplicates count as separate ranks; B clamps to n-1
+    got0 = {r.g: r["__kth"] for r in grouped_kth_smallest(df, ["g"], vl, 0).collect()}
+    assert got0 == {"A": 10, "B": 7}
+    got_hi = {r.g: r["__kth"] for r in grouped_kth_smallest(df, ["g"], vl, 99).collect()}
+    assert got_hi == {"A": 50, "B": 7}
