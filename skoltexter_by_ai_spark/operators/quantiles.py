@@ -330,11 +330,11 @@ def grouped_exact_quantiles(
     # proof and must go through one histogram pass, whose overflow
     # buckets reopen it if the true rank value lies outside.
     closed = targets.filter(F.col("__gmin") >= F.col("__gmax"))
-    # No eager checkpoint here: ranks derive from the (checkpointed)
-    # stats through count-sized frames, so pass 1 recomputes them for
-    # pennies inside its own job instead of paying a separate one;
-    # the per-pass refined checkpoints still cut loop lineage.
-    open_t = targets.filter(F.col("__gmin") < F.col("__gmax"))
+    # Eager: the loop references open_t three times per pass (isEmpty,
+    # the distinct ranges, the counts join) — measured faster to pin
+    # the count-sized frame once than to recompute its small shuffle
+    # inside every reference (A/B at sf0.1: ~0.5-1 s on x72).
+    open_t = targets.filter(F.col("__gmin") < F.col("__gmax")).localCheckpoint(eager=True)
     cum_w = (
         Window.partitionBy(*group_cols, "__k")
         .orderBy("__b")
