@@ -363,3 +363,35 @@ def test_grouped_kth_smallest_exact_and_clamped(spark):
     assert got0 == {"A": 10, "B": 7}
     got_hi = {r.g: r["__kth"] for r in grouped_kth_smallest(df, ["g"], vl, 99).collect()}
     assert got_hi == {"A": 50, "B": 7}
+
+
+def test_property_kth_smallest_matches_sorted(spark):
+    """Property check: the bisection's rank-selection mode must equal
+    Python's sorted()[k] on random duplicate-heavy groups."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from skoltexter_by_ai_spark.operators.quantiles import grouped_kth_smallest
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("AB"), st.integers(-1000, 1000)),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(0, 45),
+    )
+    def check(rows, k):
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r.g: r["__kth"]
+            for r in grouped_kth_smallest(df, ["g"], F.col("v"), k).collect()
+        }
+        want = {}
+        for g in {g for g, _ in rows}:
+            vals = sorted(v for gg, v in rows if gg == g)
+            want[g] = vals[min(k, len(vals) - 1)]
+        assert got == want
+
+    check()
