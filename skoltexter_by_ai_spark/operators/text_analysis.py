@@ -256,3 +256,68 @@ def token_vocabulary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 5
+) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information — collocation
+    mining over the corpus: which token pairs co-occur far more than
+    their unigram frequencies predict (the classic signal for phrase
+    detection / tokenizer merge candidates).
+
+    ``pmi = ln( (c_ab / N_bigrams) / ((c_a / N_tokens)·(c_b / N_tokens)) )``
+    with counts over ADJACENT pairs only — linear in corpus size,
+    never the quadratic all-pairs window. Output:
+    ``(tok_a, tok_b, pair_count, pmi)`` for pairs with
+    ``pair_count >= min_count``, pmi rounded to 6.
+
+    Scale: the bigram expansion is a shuffle-free ``zip_with`` over
+    shifted token slices (same codegen-friendly shape as the shingler);
+    one (pair) shuffle and one (token) shuffle with map-side partials;
+    the scalar totals broadcast. State is vocabulary-bounded.
+    """
+    toks = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+    shifted = F.slice(
+        F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))
+    )
+    pairs_arr = F.slice(
+        F.zip_with(F.col("__t"), shifted, lambda x, y: F.struct(x.alias("a"), y.alias("b"))),
+        F.lit(1),
+        F.greatest(F.size("__t") - 1, F.lit(0)),
+    )
+    bg = toks.select(F.explode(pairs_arr).alias("__p")).select(
+        F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b")
+    )
+    pair_counts = bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("pair_count"))
+    uni = (
+        toks.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("__c"))
+    )
+    totals = pair_counts.agg(F.sum("pair_count").alias("__npairs")).crossJoin(
+        uni.agg(F.sum("__c").alias("__ntoks"))
+    )
+    ca = uni.select(F.col("tok").alias("tok_a"), F.col("__c").alias("__ca"))
+    cb = uni.select(F.col("tok").alias("tok_b"), F.col("__c").alias("__cb"))
+    return (
+        pair_counts.filter(F.col("pair_count") >= min_count)
+        .join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("__npairs"))
+                    / (
+                        (F.col("__ca") / F.col("__ntoks"))
+                        * (F.col("__cb") / F.col("__ntoks"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

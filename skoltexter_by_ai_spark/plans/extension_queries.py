@@ -1329,3 +1329,50 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_outliers(
         emb, "vec_id", "label", "embedding", min_cos=0.0
     ).orderBy("vec_id")
+
+
+@register(
+    "x97_bigram_pmi",
+    # Collocation mining: adjacent-bigram PMI against unigram
+    # expectations — phrase/merge-candidate detection for tokenizer
+    # training. Same ln/round conventions both engines.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT toks[s.i] AS tok_a, toks[s.i + 1] AS tok_b
+            FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS s(i)
+        ),
+        pc AS (
+            SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS pair_count
+            FROM bg GROUP BY 1, 2
+        ),
+        uc AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT SUM(pair_count) FROM pc) AS npairs,
+                   (SELECT SUM(c) FROM uc) AS ntoks
+        )
+        SELECT tok_a, tok_b, pair_count,
+               ROUND(LN((pair_count / npairs)
+                        / ((ca.c / ntoks) * (cb.c / ntoks))), 6) AS pmi
+        FROM pc
+        JOIN uc ca ON pc.tok_a = ca.tok
+        JOIN uc cb ON pc.tok_b = cb.tok
+        CROSS JOIN tot
+        WHERE pair_count >= 5
+        ORDER BY tok_a, tok_b
+    """,
+    covers="adjacent-bigram PMI collocation mining (phrase / merge-candidate detection)",
+    tags=("text", "training"),
+    min_rows=50,
+)
+def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bigram_pmi(docs, "doc_id", "text", min_count=5).orderBy(
+        "tok_a", "tok_b"
+    )

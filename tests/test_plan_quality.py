@@ -356,6 +356,7 @@ _INTENTIONAL_NESTED_LOOP = {
     "x90_curation_pipeline",    # broadcast n-docs scalar via quality chain
     "x92_peak_concurrency",     # broadcast 1-row peak aggregate
     "x94_label_centroids",      # broadcast labels^2 centroid pairs (label != label)
+    "x97_bigram_pmi",           # broadcast 1-row totals scalar
 }
 
 

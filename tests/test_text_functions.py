@@ -332,3 +332,23 @@ def test_token_vocabulary_counts_rank_and_coverage(spark):
     assert rows["c"].cum_share == 1.0
     # The all-whitespace doc contributes no tokens at all.
     assert sum(r.tf for r in rows.values()) == 5
+
+
+def test_bigram_pmi_exact_value(spark):
+    import math
+
+    from skoltexter_by_ai_spark.operators.text_analysis import bigram_pmi
+
+    # Corpus: "a b" x3 and "a c" x1 -> bigrams: (a,b) x3, (a,c) x1.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    out = {(r.tok_a, r.tok_b): r for r in bigram_pmi(df, "doc_id", "text", min_count=1).collect()}
+    assert set(out) == {("a", "b"), ("a", "c")}
+    r = out[("a", "b")]
+    assert r.pair_count == 3
+    # N_bigrams=4, N_tokens=8, c_a=4, c_b=3:
+    # pmi = ln((3/4) / ((4/8)*(3/8))) = ln(4)
+    assert r.pmi == round(math.log(4.0), 6)
+    assert out[("a", "c")].pmi == round(math.log((1 / 4) / ((4 / 8) * (1 / 8))), 6)
