@@ -1338,7 +1338,12 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training. Same ln/round conventions both engines.
     oracle="""
         WITH t AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            -- list_filter mirrors tokens()' empty-token removal, so a
+            -- whitespace-only document contributes nothing to either
+            -- the pair or the unigram totals in BOTH engines.
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
             FROM documents
         ),
         bg AS (
