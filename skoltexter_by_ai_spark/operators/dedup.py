@@ -344,20 +344,23 @@ def dedup_clusters(
     rewrite's inner joins silently required endpoints ⊆ ids).
     """
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    nodes = (
-        ids.select(F.col(id_col).alias("id"))
-        .unionByName(e.select(F.col("a").alias("id")))
-        .unionByName(e.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    # Pin the edge list BEFORE iterating: `pairs` is typically the
-    # whole near-dup candidate pipeline, and without a checkpoint every
-    # iteration's join + convergence probe would recompute it from the
-    # source (measured 5x wall on x20 once bench timed builders).
+    # Pin the edge list BEFORE anything reads it: `pairs` is typically
+    # the whole near-dup candidate pipeline, and without a checkpoint
+    # every iteration's join + convergence probe would recompute it from
+    # the source (measured 5x wall on x20 once bench timed builders).
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
+    )
+    # Extra endpoints come from the CHECKPOINTED symmetric edge list —
+    # `edges` contains every endpoint in its `a` column, and deriving
+    # them from `e` would evaluate the candidate pipeline a second time
+    # (ADVICE r4).
+    nodes = (
+        ids.select(F.col(id_col).alias("id"))
+        .unionByName(edges.select(F.col("a").alias("id")))
+        .distinct()
     )
     labels = nodes.select("id", F.col("id").alias("cluster")).localCheckpoint()
     for _ in range(max_iter):

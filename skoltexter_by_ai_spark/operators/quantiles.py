@@ -55,9 +55,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # Diagnostic: histogram passes used by the most recent
-# grouped_exact_quantiles calls (appended per call). Tests assert the
-# seeded path closes in one pass; not part of the public API.
+# grouped_exact_quantiles calls (appended per call, capped to the last
+# _PASS_COUNT_KEEP so long-lived sessions never grow it unboundedly).
+# Single-threaded test-only diagnostics — concurrent callers interleave
+# their appends, so pass-count assertions are only meaningful when the
+# test drives the calls serially. Not part of the public API.
 LAST_PASS_COUNTS: list[int] = []
+_PASS_COUNT_KEEP = 64
 
 # When a candidate range is at most this wide, the pass uses WIDTH 1
 # (one bucket per value) and closes the rank outright. The histogram
@@ -163,6 +167,11 @@ def grouped_exact_quantiles(
         raise ValueError(f"probs must be within [0, 1]: {probs}")
     if nbuckets < 2:
         raise ValueError("nbuckets must be >= 2")
+    # 0 would divide-by-zero in the bracket probs; a negative value
+    # would silently INVERT the brackets (p - 3/acc > p), defeating the
+    # seeding with an obscure extra-pass failure mode (ADVICE r4).
+    if seed_accuracy is not None and seed_accuracy < 1:
+        raise ValueError(f"seed_accuracy must be None or >= 1: {seed_accuracy}")
 
     # The narrow (group, value) projection is read once per refinement
     # pass. Re-scanning a pruned columnar source per pass is cheap and
@@ -409,6 +418,7 @@ def grouped_exact_quantiles(
             )
 
     LAST_PASS_COUNTS.append(n_passes)
+    del LAST_PASS_COUNTS[:-_PASS_COUNT_KEEP]
     # Everything downstream reads only the checkpointed small frames,
     # so the cached projection can go immediately.
     if persist_base:

@@ -252,13 +252,14 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1
         )
         SELECT l_orderkey, l_linenumber, l.l_returnflag,
+               CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
                m.med AS grp_median, d.mad AS grp_mad,
                ROUND((CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad, 6) AS robust_z
         FROM lineitem l
         JOIN med m ON l.l_returnflag = m.l_returnflag
         JOIN mad d ON l.l_returnflag = d.l_returnflag
         WHERE l_orderkey <= 2000
-        ORDER BY l_orderkey, l_linenumber, l.l_returnflag, robust_z
+        ORDER BY l_orderkey, l_linenumber, l.l_returnflag, robust_z, l_extendedprice
     """,
     covers="robust z-score: per-group median/MAD standardization (outlier-insensitive scaling)",
     tags=("training", "curation", "olap"),
@@ -281,16 +282,22 @@ def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
             "grp_median",
             "grp_mad",
             "robust_z",
         )
         # (l_orderkey, l_linenumber) is NOT unique on the fixture;
-        # (flag, robust_z) tiebreaks make the order total — robust_z is
-        # strictly monotone in the (unprojected) price within a flag
-        # group, and median/MAD are functions of the flag, so tied rows
-        # are identical (SURVEY §2.3 rule b).
-        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "robust_z")
+        # (flag, robust_z, price) tiebreaks make the order total
+        # UNCONDITIONALLY: robust_z is strictly monotone in price
+        # within a flag group when the group's MAD is nonzero, and the
+        # trailing price key covers the MAD = 0 case (robust_z NULL for
+        # the whole group), so totality no longer depends on the
+        # fixture (ADVICE r4). median/MAD are functions of the flag, so
+        # tied rows are identical (SURVEY §2.3 rule b).
+        .orderBy(
+            "l_orderkey", "l_linenumber", "l_returnflag", "robust_z", "l_extendedprice"
+        )
     )
 
 

@@ -138,9 +138,18 @@ def final_order_by_columns(sql: str) -> list[str] | None:
     totality gate (SURVEY §2.3 rule b)."""
     import re
 
+    # Blank out quoted literals and `--` comments (length-preserving,
+    # so indices into the original text stay valid) before the depth
+    # scan — a paren or ORDER BY inside a string/comment must not skew
+    # where the final top-level ORDER BY is located (ADVICE r4).
+    scrubbed = re.sub(
+        r"'(?:[^']|'')*'|--[^\n]*",
+        lambda m: " " * len(m.group(0)),
+        sql,
+    )
     depth = 0
     idx = None
-    for m in re.finditer(r"\(|\)|ORDER BY", sql, flags=re.I):
+    for m in re.finditer(r"\(|\)|ORDER\s+BY", scrubbed, flags=re.I):
         tok = m.group(0)
         if tok == "(":
             depth += 1

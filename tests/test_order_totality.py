@@ -35,6 +35,21 @@ _QUERIES = all_queries()
 _ORACLE_QUERIES = sorted(n for n, s in _QUERIES.items() if s.oracle is not None)
 
 
+def test_final_order_by_parser_ignores_literals_and_comments():
+    """The ORDER BY locator must not be fooled by parens/keywords in
+    string literals or -- comments, and must accept ORDER\\n  BY
+    (ADVICE r4)."""
+    sql = (
+        "SELECT a, ') order by b' AS lit  -- trailing ( paren comment\n"
+        "FROM t\nORDER\n  BY a DESC, b"
+    )
+    assert final_order_by_columns(sql) == ["a", "b"]
+    # ORDER BY inside a subquery (depth > 0) is not the final one.
+    assert final_order_by_columns(
+        "SELECT * FROM (SELECT a FROM t ORDER BY a) s"
+    ) is None
+
+
 @pytest.mark.parametrize("name", _ORACLE_QUERIES)
 def test_emitted_order_matches_oracle(spark, sf_dir, name):
     spec = _QUERIES[name]

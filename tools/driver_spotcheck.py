@@ -39,6 +39,11 @@ def main() -> int:
         help="sample seed; default rotates daily so repeated runs walk the registry",
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="driver's t2 scale")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to check instead of a random sample",
+    )
     args = ap.parse_args()
     seed = args.seed if args.seed is not None else int(time.time() // 86400)
 
@@ -65,7 +70,13 @@ def main() -> int:
     queries = ep.queries()
     oracles = ep.oracle_sql()
     specs = all_queries()
-    names = random.Random(seed).sample(sorted(queries), min(args.n, len(queries)))
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            ap.error(f"unknown query names: {unknown}")
+    else:
+        names = random.Random(seed).sample(sorted(queries), min(args.n, len(queries)))
 
     results: dict[str, str] = {}
     failed = False
