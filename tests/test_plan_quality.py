@@ -326,6 +326,25 @@ def test_market_share_single_fact_shuffle(spark):
     assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan
 
 
+def test_bigram_pmi_never_forces_vocabulary_broadcast(spark):
+    # x97: the unigram count tables are vocabulary-sized (10^8 tokens
+    # on an open-web corpus) and must NOT carry a broadcast hint — with
+    # auto-broadcast off, the only surviving BroadcastExchange is the
+    # 1-row totals scalar; the token-key joins must degrade to shuffle
+    # joins (VERDICT r4 item 1: a forced vocabulary broadcast is a
+    # driver OOM at 100 TB).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_build(spark, "x97_bigram_pmi"))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
 def test_chunking_is_narrow_single_exchange(spark):
     # x88: tokenize -> sequence -> explode -> slice must stay narrow —
     # the only allowed exchange is the declared ORDER BY. An extra
