@@ -96,6 +96,7 @@ def grouped_exact_quantiles(
     guard_msg: str | None = None,
     seed_accuracy: int | None = 1_000,
     ranks: list[int] | None = None,
+    extra_sketch_probs: list[float] | None = None,
 ) -> DataFrame:
     """Exact interpolated quantiles of ``value_long`` per group.
 
@@ -129,6 +130,16 @@ def grouped_exact_quantiles(
     unseeded since the sketch rides the stats pass). Seeds are an
     accelerator only — results are exact regardless.
 
+    ``extra_sketch_probs`` appends additional probabilities to the GK
+    sketch run by the stats pass (requires the seeded path); their
+    values land at the END of the returned stats' ``__gk`` array,
+    after the ``2·len(probs)`` per-prob brackets. They cost nothing
+    extra (the sketch state is shared) and let a caller harvest cheap
+    approximate order statistics to seed a FOLLOW-UP call's brackets
+    — robust_zscore's MAD round does exactly that, so its median
+    round no longer has to close exact quartiles it only needed as
+    seeds.
+
     ``ranks`` switches to RANK-SELECTION mode (pass ``probs=[]``):
     instead of interpolated quantiles, return the exact k-th smallest
     value per group for each 0-based rank (clamped into [0, n−1]) as
@@ -152,6 +163,7 @@ def grouped_exact_quantiles(
             guard_msg=guard_msg,
             seed_accuracy=seed_accuracy,
             ranks=ranks,
+            extra_sketch_probs=extra_sketch_probs,
         )
         if return_stats:
             return res[0].drop("__all"), res[1].drop("__all")
@@ -200,6 +212,16 @@ def grouped_exact_quantiles(
     # Rank mode has no probs to sketch around; it runs unseeded (the
     # second pass is width-1 for any 2^32-ish domain anyway).
     seeded = stats is None and seed_accuracy is not None and ranks is None
+    if extra_sketch_probs:
+        if not seeded:
+            raise ValueError(
+                "extra_sketch_probs requires the seeded path "
+                "(no caller stats, seed_accuracy set, prob mode)"
+            )
+        if any(p < 0.0 or p > 1.0 for p in extra_sketch_probs):
+            raise ValueError(
+                f"extra_sketch_probs must be within [0, 1]: {extra_sketch_probs}"
+            )
     # Caller-provided stats may carry a per-group [__slo, __shi] seed
     # bracket (applied to every rank of the group) — robust_zscore's
     # MAD round derives one from the median round's exact quartiles.
@@ -208,6 +230,8 @@ def grouped_exact_quantiles(
     for p in probs:
         bracket_probs.append(max(0.0, p - 3.0 / seed_accuracy) if seeded else 0.0)
         bracket_probs.append(min(1.0, p + 3.0 / seed_accuracy) if seeded else 1.0)
+    if seeded and extra_sketch_probs:
+        bracket_probs.extend(extra_sketch_probs)
 
     if stats is None:
         aggs = [
@@ -246,13 +270,19 @@ def grouped_exact_quantiles(
             *(["__gk"] if seeded else []),
         ).localCheckpoint(eager=True)
     else:
+        # Pin the provided stats too: callers typically hand in a frame
+        # DERIVED from a previous round's interpolation joins (e.g.
+        # robust_zscore's dstats), and per_p/targets/counts below each
+        # reference it — without a checkpoint that small-but-deep chain
+        # (several broadcast builds) re-evaluates on every reference,
+        # measured ~0.4 s per histogram round on x72 at sf0.1.
         stats = stats.select(
             *group_cols,
             "__n",
             "__min",
             "__max",
             *(["__slo", "__shi"] if stats_seeded else []),
-        )
+        ).localCheckpoint(eager=True)
 
     # (group, prob) → position and the two bracketing ranks, each
     # carrying its seed bracket (posexplode tracks the prob's index
@@ -351,39 +381,62 @@ def grouped_exact_quantiles(
     )
     n_passes = 0
     for _ in range(max_passes):
-        if open_t.isEmpty():  # driver sees a boolean, never values
+        # One tiny probe on the checkpointed frame doubles as the
+        # emptiness check AND the fast-path test: NULL max width means
+        # no open targets remain.
+        wmax = open_t.agg(F.max(F.col("__hi") - F.col("__lo"))).first()[0]
+        if wmax is None:  # driver sees one number, never values
             break
         n_passes += 1
-        # Histogram each DISTINCT candidate range once — ranks sharing
-        # a range (e.g. both [min, max] unseeded) dedupe, avoiding a
-        # ranks× row amplification on the full-range pass. All range
-        # arithmetic stays in LONG `div` — a double division would lose
-        # integer precision past 2^53. Rows OUTSIDE the candidate range
-        # fold into two overflow buckets (-1 below, nbuckets above), so
-        # the cumulative count is the GLOBAL rank — no running `below`
-        # state to thread through passes, and a rank that escapes its
-        # seeded range is caught by the overflow bucket and re-opened
-        # on the untried side.
-        ranges = (
-            open_t.select(*group_cols, "__lo", "__hi")
-            .distinct()
-            .withColumn(
-                "__width",
+        if wmax <= _EXACT_RANGE_CAP:
+            # FUSED width-1 pass (the typical seeded case: every open
+            # bracket closes this pass unless a seed missed): __k and
+            # the group bounds ride the ONE open_t broadcast, so the
+            # ranges-dedup and the second counts join disappear — the
+            # rank count per group is small (2 per prob), so the row
+            # amplification the dedup prevented is immaterial here.
+            j = base.join(
+                F.broadcast(open_t), [*group_cols]
+            ).withColumn("__width", F.lit(1).cast("long"))
+            counts = j.groupBy(
+                *group_cols, "__k", "__lo", "__hi", "__width", "__gmin", "__gmax",
                 F.expr(
-                    f"CASE WHEN __hi - __lo <= {_EXACT_RANGE_CAP}L THEN 1L "
-                    f"ELSE (__hi - __lo) div {nbuckets} + 1L END"
-                ),
+                    f"CASE WHEN __v < __lo THEN -1L WHEN __v > __hi THEN {_OVERFLOW_HI}L "
+                    "ELSE __v - __lo END"
+                ).alias("__b"),
+            ).agg(F.count("*").alias("__c"))
+        else:
+            # Histogram each DISTINCT candidate range once — ranks
+            # sharing a range (e.g. both [min, max] unseeded) dedupe,
+            # avoiding a ranks× row amplification on the full-range
+            # pass. All range arithmetic stays in LONG `div` — a double
+            # division would lose integer precision past 2^53. Rows
+            # OUTSIDE the candidate range fold into two overflow
+            # buckets (-1 below, above the bucket ids), so the
+            # cumulative count is the GLOBAL rank — no running `below`
+            # state to thread through passes, and a rank that escapes
+            # its seeded range is caught by the overflow bucket and
+            # re-opened on the untried side.
+            ranges = (
+                open_t.select(*group_cols, "__lo", "__hi")
+                .distinct()
+                .withColumn(
+                    "__width",
+                    F.expr(
+                        f"CASE WHEN __hi - __lo <= {_EXACT_RANGE_CAP}L THEN 1L "
+                        f"ELSE (__hi - __lo) div {nbuckets} + 1L END"
+                    ),
+                )
             )
-        )
-        j = base.join(F.broadcast(ranges), [*group_cols])
-        hist = j.groupBy(
-            *group_cols, "__lo", "__hi", "__width",
-            F.expr(
-                f"CASE WHEN __v < __lo THEN -1L WHEN __v > __hi THEN {_OVERFLOW_HI}L "
-                "ELSE (__v - __lo) div __width END"
-            ).alias("__b"),
-        ).agg(F.count("*").alias("__c"))
-        counts = hist.join(F.broadcast(open_t), [*group_cols, "__lo", "__hi"])
+            j = base.join(F.broadcast(ranges), [*group_cols])
+            hist = j.groupBy(
+                *group_cols, "__lo", "__hi", "__width",
+                F.expr(
+                    f"CASE WHEN __v < __lo THEN -1L WHEN __v > __hi THEN {_OVERFLOW_HI}L "
+                    "ELSE (__v - __lo) div __width END"
+                ).alias("__b"),
+            ).agg(F.count("*").alias("__c"))
+            counts = hist.join(F.broadcast(open_t), [*group_cols, "__lo", "__hi"])
         cum = counts.withColumn("__cum", F.sum("__c").over(cum_w))
         picked = cum.filter(
             (F.col("__cum") >= F.col("__k") + 1)
