@@ -566,6 +566,287 @@ def exact_quantile_bounds(
     return q.groupBy(*group_cols).agg(*cols)
 
 
+def grouped_median_mad(
+    df: DataFrame,
+    group_col: str,
+    value_long: Column,
+    guard: Column | None = None,
+    seed_accuracy: int = 1_000,
+    guard_msg: str | None = None,
+    slack: int = 4,
+) -> tuple[DataFrame, bool] | None:
+    """Exact per-group median AND MAD from ONE scan of ``df`` past the
+    stats pass (VERDICT r4 item 4: "one combined base scan can serve
+    both rounds' histograms").
+
+    The two-round bisection pays two histogram scans plus two rounds
+    of scaffolding because the MAD's deltas depend on the median. But
+    the stats-pass GK sketch already pins WHERE everything lives:
+    the median inside its bracket ``[m_lo, m_hi]``, and the MAD —
+    bracketed by quartile spread — inside a delta band ``[dlo, dhi]``
+    whose v-preimage is two windows around the quartiles. So ONE
+    histogram pass collects width-1 value counts over three narrow
+    windows (median / low-quartile / high-quartile bands), and both
+    order statistics close from those count tables without touching
+    the data again:
+
+    - median: global rank = window's below-count + running count;
+    - MAD: every row with ``|2v − m2| ∈ [dlo, dhi]`` lies in the two
+      quartile windows (coverage by construction), rows left of the
+      low window or right of the high window have delta > dhi, and
+      unmapped interior rows have delta < dlo — so for any candidate
+      t in the band, ``count(delta ≤ t) = n − outer − mapped(>t)``
+      is exact.
+
+    Returns ``(gstats, ok)`` where gstats has one row per group:
+    ``(group_col, __m2, __d1, __d2)`` — ``__m2`` = v@k1 + v@k2 (the
+    exact median on the doubled grid, a LONG) and ``__d1``/``__d2``
+    the delta order statistics at the median ranks (half-grid LONGs);
+    ``ok=False`` means some group's picks fell outside its windows
+    (a sketch miss — possible, never silent) and the caller must
+    fall back to the generic two-round path. Returns ``None`` when
+    the windows exceed the width-1 budget (fast path unavailable).
+
+    Scale: the window tables are (3 × groups) rows broadcast onto the
+    scan; per-group count-table size is bounded by the window budget
+    (≤ ``_EXACT_RANGE_CAP``), the same bound as a width-1 bisection
+    pass; the driver sees two COUNT probes and one width probe, never
+    values.
+    """
+    if seed_accuracy < 1:
+        raise ValueError(f"seed_accuracy must be >= 1: {seed_accuracy}")
+    g = group_col
+    d3 = 3.0 / seed_accuracy
+    base = df.select(
+        F.col(g),
+        value_long.alias("__v"),
+        (guard if guard is not None else F.lit(True)).alias("__ok"),
+    ).filter(F.col("__v").isNotNull())
+
+    # probs: median bracket, inner quartiles (biased toward the
+    # median), outer quartiles (biased away) — see robust_zscore for
+    # the bracket-validity argument.
+    probs = [0.5 - d3, 0.5 + d3, 0.25 + d3, 0.75 - d3, 0.25 - d3, 0.75 + d3]
+    stats = base.groupBy(g).agg(
+        F.count("__v").alias("__n"),
+        F.min("__v").alias("__min"),
+        F.max("__v").alias("__max"),
+        F.bool_and(F.coalesce(F.col("__ok"), F.lit(False))).alias("__all_ok"),
+        F.approx_percentile(
+            "__v", F.array(*[F.lit(p) for p in probs]), F.lit(int(seed_accuracy))
+        ).alias("__gk"),
+    )
+    guarded_min = F.col("__min") + F.coalesce(
+        F.assert_true(
+            F.col("__all_ok"),
+            guard_msg
+            or (
+                "grouped_median_mad: guard failed — values are not "
+                "exactly representable on the caller's integer grid"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    stats = stats.select(
+        g, "__n", guarded_min.alias("__min"), "__max", "__gk"
+    ).localCheckpoint(eager=True)
+
+    s = F.lit(int(slack)).cast("long")
+    # Window geometry, all LONG arithmetic (`div` truncation direction
+    # is absorbed by the ± slack; window edges are never load-bearing —
+    # a pick outside its window is DETECTED and falls back):
+    # - W0 (median window): the GK median bracket ± slack;
+    # - delta band [dlo, dhi]: conservative over every median position
+    #   inside the bracket, from inner/outer quartile surrogates;
+    # - W1/W2 (quartile windows): the v-preimages of the delta band,
+    #   unioned over the median bracket, merged into one window when
+    #   they touch (tiny-IQR groups) so in-range buckets stay disjoint
+    #   and no value is double-counted. An empty W2 is [max+1, max].
+    spec = (
+        stats.withColumns(
+            {
+                "__mlo": F.col("__gk")[0].cast("long"),
+                "__mhi": F.col("__gk")[1].cast("long"),
+                "__q1i": F.col("__gk")[2].cast("long"),
+                "__q3i": F.col("__gk")[3].cast("long"),
+                "__q1o": F.col("__gk")[4].cast("long"),
+                "__q3o": F.col("__gk")[5].cast("long"),
+            }
+        )
+        .withColumns(
+            {
+                "__dlo": F.greatest(
+                    F.lit(0).cast("long"),
+                    2 * F.least(F.col("__mlo") - F.col("__q1i"), F.col("__q3i") - F.col("__mhi")) - s,
+                ),
+                "__dhi": 2 * F.greatest(F.col("__mhi") - F.col("__q1o"), F.col("__q3o") - F.col("__mlo")) + s,
+            }
+        )
+        .withColumns(
+            {
+                "__w0l": F.greatest(F.col("__mlo") - s, F.col("__min")),
+                "__w0h": F.least(F.col("__mhi") + s, F.col("__max")),
+                "__ral": F.greatest(F.expr("(2*__mlo - __dhi) div 2") - s, F.col("__min")),
+                "__rah": F.least(F.expr("(2*__mhi - __dlo) div 2") + s, F.col("__max")),
+                "__rbl": F.greatest(F.expr("(2*__mlo + __dlo) div 2") - s, F.col("__min")),
+                "__rbh": F.least(F.expr("(2*__mhi + __dhi) div 2") + s, F.col("__max")),
+            }
+        )
+        .withColumn("__merge", F.col("__rah") >= F.col("__rbl") - 1)
+        .withColumns(
+            {
+                "__w1l": F.col("__ral"),
+                "__w1h": F.when(F.col("__merge"), F.col("__rbh")).otherwise(F.col("__rah")),
+                "__w2l": F.when(F.col("__merge"), F.col("__max") + 1).otherwise(F.col("__rbl")),
+                "__w2h": F.when(F.col("__merge"), F.col("__max")).otherwise(F.col("__rbh")),
+            }
+        )
+        .withColumns(
+            {
+                "__k1": F.expr("(__n - 1) div 2"),
+                "__k2": F.expr("__n div 2"),
+                "__width": F.greatest(F.lit(0).cast("long"), F.col("__w0h") - F.col("__w0l") + 1)
+                + F.greatest(F.lit(0).cast("long"), F.col("__w1h") - F.col("__w1l") + 1)
+                + F.greatest(F.lit(0).cast("long"), F.col("__w2h") - F.col("__w2l") + 1),
+            }
+        )
+    )
+    wmax = spec.agg(F.max("__width")).first()[0]
+    if wmax is not None and wmax > _EXACT_RANGE_CAP:
+        return None  # caller falls back to the generic two-round path
+
+    def _w(wid: int, lo: str, hi: str) -> Column:
+        return F.struct(
+            F.lit(wid).cast("int").alias("__wid"),
+            F.col(lo).alias("__wl"),
+            F.col(hi).alias("__wh"),
+        )
+
+    windows = spec.select(
+        g,
+        F.explode(
+            F.array(_w(0, "__w0l", "__w0h"), _w(1, "__w1l", "__w1h"), _w(2, "__w2l", "__w2h"))
+        ).alias("__w"),
+    ).select(g, "__w.__wid", "__w.__wl", "__w.__wh")
+
+    # THE one data pass: width-1 value counts per window, with below/
+    # above overflow buckets so every row is accounted somewhere.
+    hist = (
+        base.join(F.broadcast(windows), [g])
+        .groupBy(
+            g,
+            "__wid",
+            "__wl",
+            F.expr(
+                f"CASE WHEN __v < __wl THEN -1L WHEN __v > __wh THEN {_OVERFLOW_HI}L "
+                "ELSE __v - __wl END"
+            ).alias("__b"),
+        )
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = spec.select(g, F.explode(F.array("__k1", "__k2")).alias("__k")).distinct()
+    expected_nk = F.when(F.col("__k1") == F.col("__k2"), 1).otherwise(2)
+
+    # Median: global rank = below-count (-1 bucket) + running count.
+    cum_w0 = (
+        Window.partitionBy(g)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c0 = hist.filter(F.col("__wid") == 0).withColumn("__cum", F.sum("__c").over(cum_w0))
+    cand0 = c0.filter((F.col("__b") >= 0) & (F.col("__b") != _OVERFLOW_HI))
+    picked_m = cand0.join(ranks, g).filter(
+        (F.col("__cum") >= F.col("__k") + 1) & (F.col("__cum") - F.col("__c") <= F.col("__k"))
+    )
+    medstats = (
+        picked_m.groupBy(g)
+        .agg(
+            F.min(F.col("__wl") + F.col("__b")).alias("__v1"),
+            F.max(F.col("__wl") + F.col("__b")).alias("__v2"),
+            F.countDistinct("__k").alias("__nk"),
+        )
+        .join(spec.select(g, "__k1", "__k2"), g)
+        .filter(F.col("__nk") == expected_nk)
+        .select(g, (F.col("__v1") + F.col("__v2")).alias("__m2"))
+        .localCheckpoint(eager=True)
+    )
+
+    # MAD: map the quartile windows' value counts to deltas on the
+    # doubled grid; cum(t) = n − outer − mapped(>t) is exact for any
+    # candidate in the delta band (see docstring).
+    din = hist.filter(
+        F.col("__wid").isin(1, 2) & (F.col("__b") >= 0) & (F.col("__b") != _OVERFLOW_HI)
+    )
+    dmap = (
+        din.join(F.broadcast(medstats), g)
+        .groupBy(g, F.abs(2 * (F.col("__wl") + F.col("__b")) - F.col("__m2")).alias("__d"))
+        .agg(F.sum("__c").alias("__c"))
+    )
+    outs = hist.groupBy(g).agg(
+        F.sum(F.when((F.col("__wid") == 1) & (F.col("__b") == -1), F.col("__c"))).alias("__below"),
+        F.sum(
+            F.when((F.col("__wid") == 1) & (F.col("__b") == _OVERFLOW_HI), F.col("__c"))
+        ).alias("__ab1"),
+        F.sum(
+            F.when((F.col("__wid") == 2) & (F.col("__b") == _OVERFLOW_HI), F.col("__c"))
+        ).alias("__ab2"),
+    )
+    meta = (
+        spec.select(g, "__n", "__dlo", "__dhi", "__merge")
+        .join(outs, g, "left")
+        .select(
+            g,
+            "__n",
+            "__dlo",
+            "__dhi",
+            (
+                F.coalesce("__below", F.lit(0))
+                + F.when(F.col("__merge"), F.coalesce("__ab1", F.lit(0))).otherwise(
+                    F.coalesce("__ab2", F.lit(0))
+                )
+            ).alias("__outer"),
+        )
+    )
+    sfx_w = (
+        Window.partitionBy(g)
+        .orderBy(F.col("__d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cd = (
+        dmap.withColumn("__sfx", F.sum("__c").over(sfx_w))
+        .join(F.broadcast(meta), g)
+        .withColumn("__cum", F.col("__n") - F.col("__outer") - (F.col("__sfx") - F.col("__c")))
+    )
+    picked_d = cd.join(ranks, g).filter(
+        (F.col("__cum") >= F.col("__k") + 1)
+        & (F.col("__cum") - F.col("__c") <= F.col("__k"))
+        & (F.col("__d") >= F.col("__dlo"))
+        & (F.col("__d") <= F.col("__dhi"))
+    )
+    madstats = (
+        picked_d.groupBy(g)
+        .agg(
+            F.min("__d").alias("__d1"),
+            F.max("__d").alias("__d2"),
+            F.countDistinct("__k").alias("__nk"),
+        )
+        .join(spec.select(g, "__k1", "__k2"), g)
+        .filter(F.col("__nk") == expected_nk)
+        .select(g, "__d1", "__d2")
+    )
+    gstats = medstats.join(madstats, g).localCheckpoint(eager=True)
+    # Completeness probe: every non-NULL-keyed group must have closed
+    # BOTH order statistics inside its windows; anything else is a
+    # sketch miss and the caller reruns generically. NULL group keys
+    # drop at the first equi-join in both paths (same dropout the
+    # generic machinery has), so they are excluded from the check.
+    expected = stats.filter(F.col(g).isNotNull()).count()
+    ok = gstats.count() == expected
+    return gstats, ok
+
+
 def grouped_kth_smallest(
     df: DataFrame,
     group_cols: list[str],

@@ -349,6 +349,77 @@ def test_seeded_bisection_closes_in_one_pass(spark, grid_df):
     assert q.LAST_PASS_COUNTS[-1] == 2
 
 
+def test_robust_zscore_fused_equals_generic_property(spark):
+    """The one-scan fused median+MAD must be row-identical to the
+    generic two-round bisection on random shapes: duplicates,
+    negatives, NULLs, odd/even group sizes, singletons."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["A", "B", None]),
+                st.one_of(st.none(), st.integers(-10**6, 10**6).map(lambda c: c / 100.0)),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        cols = ["g", "v", "grp_median", "grp_mad", "robust_z"]
+        a = [
+            tuple(r)
+            for r in robust_zscore(df, "v", "g", fused=True)
+            .select(cols)
+            .orderBy("g", "v")
+            .collect()
+        ]
+        b = [
+            tuple(r)
+            for r in robust_zscore(df, "v", "g", fused=False)
+            .select(cols)
+            .orderBy("g", "v")
+            .collect()
+        ]
+        assert a == b
+
+    check()
+
+
+def test_robust_zscore_fused_sabotaged_sketch_falls_back(spark, monkeypatch):
+    """A garbage GK sketch must never produce a wrong answer: the
+    fused path's completeness probe detects the miss and the generic
+    two-round bisection reruns (visible as LAST_PASS_COUNTS growth)."""
+    from pyspark.sql import functions as SF
+
+    import skoltexter_by_ai_spark.operators.quantiles as q
+
+    real = SF.approx_percentile
+
+    def fake_approx_percentile(col, percs, acc):
+        # Collapse every bracket onto the group minimum: the median
+        # window misses the true median for any non-constant group.
+        import pyspark.sql.functions as SF2
+
+        n = 6  # grouped_median_mad's fixed prob count
+        return SF2.array(*[SF2.min(col) for _ in range(n)])
+
+    monkeypatch.setattr(SF, "approx_percentile", fake_approx_percentile)
+    df = spark.createDataFrame(
+        [("A", float(i)) for i in range(1, 102)], "g string, v double"
+    )
+    q.LAST_PASS_COUNTS.clear()
+    rows = robust_zscore(df, "v", "g").select("v", "grp_median", "grp_mad", "robust_z").collect()
+    med = {r.v: (r.grp_median, r.grp_mad, r.robust_z) for r in rows}
+    assert med[51.0] == (51.0, 25.0, 0.0)
+    assert med[101.0] == (51.0, 25.0, 2.0)
+    # The generic fallback actually ran (two bisection rounds appended).
+    assert len(q.LAST_PASS_COUNTS) == 2
+
+
 def test_grouped_kth_smallest_exact_and_clamped(spark):
     from skoltexter_by_ai_spark.operators.quantiles import grouped_kth_smallest
 
