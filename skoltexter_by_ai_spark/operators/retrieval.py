@@ -1,0 +1,138 @@
+"""Full-text retrieval operators: BM25 keyword search and corpus
+language-model scoring.
+
+Reference parity: the reference's query surface is substring search
+over a scanned corpus (SURVEY §2.2 Q-a, ``src`` query paths); these
+are the scale-path extensions a user of that surface reaches for next
+— ranked keyword retrieval and statistical fluency scoring — built as
+pure DataFrame compositions (zero UDFs, everything inside whole-stage
+codegen).
+
+Scale shape:
+
+- :func:`bm25_topk` never explodes full documents: the query-term
+  filter runs INSIDE the token array (``F.filter``) so only matching
+  occurrences reach the one (doc, term) aggregation shuffle. The
+  document-frequency table is query-term-bounded and the corpus stats
+  are one row — both broadcast. The final top-k plans as
+  TakeOrderedAndProject (per-partition heaps), never a global sort.
+- :func:`unigram_logprob` joins the exploded token stream against the
+  corpus unigram table on the token key WITHOUT a forced broadcast
+  (an open-web vocabulary is unbounded — the x97 lesson); AQE still
+  broadcasts when the vocabulary is actually small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators.dedup import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against a bag of query terms.
+
+    Per matched (document, term): ``idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl))`` with the Lucene idf
+    ``ln((N − df + 0.5)/(df + 0.5) + 1)``; the document score is the
+    sum over matched terms, rounded to 6 places.
+
+    Output: ``(id_col, n_terms, score)`` — top ``top_k`` by
+    ``(score desc, id)`` (the id tiebreak keeps the order total).
+    ``N``/``avgdl`` are computed over the FULL corpus (standard BM25),
+    including documents matching no term.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    term_arr = F.array(*[F.lit(t) for t in query_terms])
+    toks = tokens(text_col)
+    # One corpus pass for N/avgdl (1 row, broadcast); matching docs
+    # keep only their query-term hits — the full token stream is never
+    # exploded.
+    stats = df.agg(
+        F.count("*").alias("__n"),
+        F.avg(F.size(toks).cast("double")).alias("__avgdl"),
+    )
+    hits = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__dl"),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("__hits"),
+    ).filter(F.size("__hits") > 0)
+    tf = (
+        hits.select(id_col, "__dl", F.explode("__hits").alias("__term"))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    # tf is one row per (doc, term), so a plain count is the document
+    # frequency; the table is bounded by len(query_terms).
+    dfreq = tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("__tf") * (k1 + 1.0)
+        / (
+            F.col("__tf")
+            + k1 * (1.0 - b + b * F.col("__dl").cast("double") / F.col("__avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.round(F.sum("__s"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    maximum-likelihood unigram model — the classic cheap fluency /
+    typicality score (a KenLM-shaped signal without an external model):
+    documents full of corpus-rare tokens score low, boilerplate scores
+    high. Useful as a quality-filter feature next to
+    :func:`~skoltexter_by_ai_spark.operators.text_analysis.quality_score`.
+
+    ``mean_logprob = (1/|d|) Σ_t ln(c(t) / N_tokens)`` over the
+    document's tokens (every token has c ≥ 1 by construction — the
+    model is estimated on the same corpus, so no smoothing term is
+    needed). Output: ``(id_col, n_tokens, mean_logprob)`` for
+    documents with at least one token, rounded to 6.
+
+    Scale: one (token) count shuffle (vocabulary-bounded state), one
+    token-key join of the exploded stream against that table with NO
+    forced broadcast (AQE broadcasts when small), one (doc) rollup
+    with map-side partials.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    counts = toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__nt"))
+    return (
+        toks.join(counts, "__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("__c").cast("double") / F.col("__nt"))), 6
+            ).alias("mean_logprob"),
+        )
+    )

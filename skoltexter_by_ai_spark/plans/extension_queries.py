@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skoltexter_by_ai_spark.operators import dedup, similarity, text_analysis
+from skoltexter_by_ai_spark.operators import dedup, retrieval, similarity, text_analysis
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -1388,3 +1388,77 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.bigram_pmi(docs, "doc_id", "text", min_count=5).orderBy(
         "tok_a", "tok_b"
     )
+
+
+_BM25_TERMS = ("spark", "hash", "vector", "window")
+
+
+@register(
+    "x98_bm25_topk",
+    # Ranked keyword retrieval: Okapi BM25 (k1=1.2, b=0.75, Lucene
+    # idf) over the corpus, top-10 by (score desc, id). Same ln/round
+    # conventions in both engines; N/avgdl over the FULL corpus.
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter({_TOKS}, x -> x <> '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   AVG(CAST(len(toks) AS DOUBLE)) AS avgdl
+            FROM d
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                         unnest(toks) AS term FROM d)
+            WHERE term IN ('spark', 'hash', 'vector', 'window')
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               ROUND(SUM(
+                   LN((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN s
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    covers="BM25 ranked keyword retrieval (full-text search over the corpus)",
+    tags=("text", "search"),
+    min_rows=10,
+)
+def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, "doc_id", "text", list(_BM25_TERMS), top_k=10)
+
+
+@register(
+    "x99_unigram_logprob",
+    # Corpus-LM fluency scoring: mean unigram log-probability per
+    # document under the corpus's own ML unigram model — the cheap
+    # KenLM-shaped typicality feature of quality-filter pipelines.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(list_filter({_TOKS}, x -> x <> '')) AS tok
+            FROM documents
+        ),
+        c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        tot AS (SELECT SUM(c) AS nt FROM c)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(LN(CAST(c AS DOUBLE) / nt)), 6) AS mean_logprob
+        FROM t JOIN c USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    covers="per-document mean unigram log-probability (corpus-LM fluency / typicality score)",
+    tags=("text", "training", "curation"),
+    min_rows=50,
+)
+def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")

@@ -326,6 +326,33 @@ def test_market_share_single_fact_shuffle(spark):
     assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan
 
 
+def test_bm25_takeordered_and_no_shuffle_join(spark):
+    # x98: the final top-k must be TakeOrderedAndProject (per-partition
+    # heaps), and the df/stats sides must broadcast — shuffling the
+    # (doc, term) stream to meet a query-term-bounded table would be
+    # the bug.
+    plan = _plan(_build(spark, "x98_bm25_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_unigram_logprob_never_forces_vocabulary_broadcast(spark):
+    # x99: the corpus unigram table is vocabulary-sized and must not
+    # carry a broadcast hint (the x97 lesson) — with auto-broadcast
+    # off, only the 1-row total survives as a BroadcastExchange and
+    # the token join degrades to a shuffle join.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(_build(spark, "x99_unigram_logprob"))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
 def test_token_vocabulary_has_no_partitionless_window(spark):
     # x95: rank/coverage must come from the two-phase prefix-sum shape
     # (per-range-partition windows keyed on __pid), never a global
@@ -390,6 +417,8 @@ _INTENTIONAL_NESTED_LOOP = {
     "x92_peak_concurrency",     # broadcast 1-row peak aggregate
     "x94_label_centroids",      # broadcast labels^2 centroid pairs (label != label)
     "x97_bigram_pmi",           # broadcast 1-row totals scalar
+    "x98_bm25_topk",            # broadcast 1-row N/avgdl corpus stats
+    "x99_unigram_logprob",      # broadcast 1-row token-total scalar
 }
 
 

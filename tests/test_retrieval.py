@@ -1,0 +1,64 @@
+"""BM25 search + corpus-LM scoring (operators.retrieval)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from skoltexter_by_ai_spark.operators.retrieval import bm25_topk, unigram_logprob
+
+
+def _bm25_term(tf, dfq, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_bm25_exact_values_and_ranking(spark):
+    # doc 1: "spark spark join" (dl 3), doc 2: "join hash" (dl 2),
+    # doc 3: "other words here" (dl 3, no match). N=3, avgdl=8/3.
+    df = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "join hash"), (3, "other words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bm25_topk(df, "doc_id", "text", ["spark", "hash", "join"]).collect()}
+    n, avgdl = 3, 8 / 3
+    want1 = _bm25_term(2, 1, n, 3, avgdl) + _bm25_term(1, 2, n, 3, avgdl)
+    want2 = _bm25_term(1, 2, n, 2, avgdl) + _bm25_term(1, 1, n, 2, avgdl)
+    assert rows[1].n_terms == 2 and rows[1].score == round(want1, 6)
+    assert rows[2].n_terms == 2 and rows[2].score == round(want2, 6)
+    assert 3 not in rows  # no matching term, no row
+    # Term frequency on a rare term dominates: doc 1 (tf=2 on df-1
+    # 'spark') outranks doc 2 (tf=1 on df-1 'hash', shorter length).
+    assert rows[1].score > rows[2].score
+
+
+def test_bm25_top_k_cap_and_validation(spark):
+    df = spark.createDataFrame(
+        [(i, "spark x") for i in range(20)], "doc_id long, text string"
+    )
+    out = bm25_topk(df, "doc_id", "text", ["spark"], top_k=5).collect()
+    # All scores tie; the doc_id tiebreak makes the emitted top-5 the
+    # smallest ids (total order).
+    assert [r.doc_id for r in out] == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(df, "doc_id", "text", [])
+    with pytest.raises(ValueError, match="top_k"):
+        bm25_topk(df, "doc_id", "text", ["spark"], top_k=0)
+
+
+def test_unigram_logprob_exact(spark):
+    # Corpus: tokens a a a b -> P(a)=3/4, P(b)=1/4.
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a"), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    lp_a, lp_b = math.log(3 / 4), math.log(1 / 4)
+    assert rows[1].n_tokens == 3
+    assert rows[1].mean_logprob == round((2 * lp_a + lp_b) / 3, 6)
+    assert rows[2].n_tokens == 1 and rows[2].mean_logprob == round(lp_a, 6)
+    # Whitespace-only documents contribute no tokens and get no row.
+    assert 3 not in rows
+    # The all-common doc is more "typical" than the one with the rare token.
+    assert rows[2].mean_logprob > rows[1].mean_logprob
