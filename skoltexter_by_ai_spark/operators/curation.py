@@ -159,6 +159,44 @@ def group_cap(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source rebalancing: keep each row of source
+    ``s`` with probability ``(n_s / n_min)^(alpha−1)`` — the
+    multilingual/multi-source mixing rule (XLM-R / mT5 style) that
+    flattens a size-skewed corpus toward uniform as ``alpha → 0``
+    while leaving it untouched at ``alpha = 1``. The smallest source
+    keeps everything; a source 100× larger keeps ``100^(alpha−1)`` of
+    its rows.
+
+    Deterministic: membership is a pure function of (source, id) via
+    the md5 draw (:func:`sample_key`), reproducible across engines and
+    re-runs; the keep rate is rounded to 6 places in BOTH engines so a
+    libm ``pow`` ulp difference cannot flip a draw at the boundary.
+
+    Output: input columns + ``n_source`` (source row count) +
+    ``keep_rate``. Scale: one tiny source-count aggregation broadcast
+    back onto a narrow filter over the scan — no data shuffle.
+    """
+    if alpha <= 0.0 or alpha > 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    counts = df.groupBy(source_col).agg(F.count("*").cast("bigint").alias("n_source"))
+    nmin = counts.agg(F.min("n_source").alias("__nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col,
+        "n_source",
+        F.round(
+            F.pow(F.col("n_source").cast("double") / F.col("__nmin"), alpha - 1.0), 6
+        ).alias("keep_rate"),
+    )
+    u = F.conv(sample_key(source_col, id_col), 16, 10).cast("double") / float(HEX_SPACE)
+    return df.join(F.broadcast(rates), source_col).filter(u < F.col("keep_rate"))
+
+
 def weighted_sample(
     df: DataFrame,
     strata_col: str,

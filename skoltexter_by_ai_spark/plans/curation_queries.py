@@ -484,3 +484,40 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return group_cap(docs, "source", "doc_id", cap=10).orderBy("doc_id")
+
+
+@register(
+    "x100_temperature_mix",
+    # Temperature-based source rebalancing (XLM-R/mT5 mixing rule):
+    # keep each row of source s with probability (n_s/n_min)^(a-1),
+    # a=0.5 — flattens size skew toward uniform. The keep rate is
+    # rounded to 6 in BOTH engines so a libm pow ulp cannot flip a
+    # boundary draw; the draw itself is the exact md5/2^32 grid.
+    oracle="""
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+            FROM documents GROUP BY 1
+        ),
+        m AS (SELECT MIN(n_source) AS nmin FROM c),
+        r AS (
+            SELECT source, n_source,
+                   ROUND(POW(CAST(n_source AS DOUBLE) / nmin, -0.5), 6) AS keep_rate
+            FROM c CROSS JOIN m
+        )
+        SELECT doc_id, d.source, n_source, keep_rate
+        FROM documents d JOIN r USING (source)
+        WHERE CAST('0x' || substr(md5(d.source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 < keep_rate
+        ORDER BY doc_id
+    """,
+    covers="temperature-based source rebalancing (multilingual/multi-source mixing rule)",
+    tags=("training", "curation"),
+    min_rows=100,
+)
+def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.curation import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_resample(docs, "source", "doc_id", alpha=0.5).select(
+        "doc_id", "source", "n_source", "keep_rate"
+    ).orderBy("doc_id")

@@ -352,3 +352,31 @@ def test_group_cap_precut_bounds_window_input(spark):
     assert survivors == 10  # exactly cap (no hash ties at this size)
     out = group_cap(df, "source", "doc_id", cap=10, precut=True)
     assert out.count() == 10
+
+
+def test_temperature_resample_rates_and_determinism(spark):
+    """Smallest source keeps everything (rate 1.0); a k-times larger
+    source keeps ~k^(alpha-1); alpha=1 keeps every row; membership is
+    a pure function of (source, id) so re-runs agree row-for-row."""
+    from skoltexter_by_ai_spark.operators.curation import temperature_resample
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "source", "doc_id", alpha=0.5)
+    rates = {r.source: r.keep_rate for r in out.select("source", "keep_rate").distinct().collect()}
+    assert rates["small"] == 1.0
+    assert rates["big"] == 0.5  # (400/100)^(-0.5)
+    n_big = out.filter(F.col("source") == "big").count()
+    assert 150 <= n_big <= 250  # ~200 expected at rate 0.5
+    # n_source rides along.
+    assert {r.n_source for r in out.filter(F.col("source") == "big").select("n_source").distinct().collect()} == {400}
+    # alpha=1: identity mix.
+    assert temperature_resample(df, "source", "doc_id", alpha=1.0).count() == 500
+    # Deterministic: same ids on a re-run.
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(r.doc_id for r in temperature_resample(df, "source", "doc_id", alpha=0.5).select("doc_id").collect())
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, "source", "doc_id", alpha=0.0)

@@ -52,6 +52,18 @@ TARGETS: dict[str, list[str]] = {
     "skoltexter_by_ai_spark/operators/enrich.py": [
         "tests/test_enrich.py",
     ],
+    # The bounded-state selection machinery (VERDICT r4 item 6): the
+    # rank-selection mode, overflow-bucket refinement, fused
+    # median+MAD windows and the group_cap precut are branch logic a
+    # fixture without mega-groups/NULL keys can let slip past the
+    # oracle — the property/sabotage tests here are the killers.
+    "skoltexter_by_ai_spark/operators/quantiles.py": [
+        "tests/test_quantiles.py",
+    ],
+    "skoltexter_by_ai_spark/operators/curation.py": [
+        "tests/test_curation.py",
+        "tests/test_quantiles.py",
+    ],
 }
 
 _CMP_FLIP = {
