@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-first coalescing (the Spark docs' recommended production
+        # setting): respect advisoryPartitionSizeInBytes instead of
+        # inflating tiny shuffles to defaultParallelism tasks — at
+        # cluster scale this right-sizes reducers; at bench scale it
+        # stops count-sized internal frames from paying 32-task
+        # scheduling overhead per stage.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
