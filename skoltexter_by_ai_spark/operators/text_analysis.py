@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from skoltexter_by_ai_spark.operators.dedup import normalized_text, tokens
+from skoltexter_by_ai_spark.operators.dedup import normalized_text, tokens, word_shingles
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Ordered dict ⇒ deterministic tie-breaking (first language wins ties).
@@ -311,6 +311,132 @@ def token_vocabulary(
             ),
         )
         .select("token", "tf", "df", "rank", "cum_share")
+    )
+
+
+def boilerplate_share(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_df: int = 2,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Per-document boilerplate score: the fraction of a document's
+    distinct word ``n``-grams that occur in at least ``min_df``
+    documents of the corpus (the document itself included).
+
+    The intra-corpus companion to the cross-corpus contamination scan
+    (:func:`~skoltexter_by_ai_spark.operators.curation.ngram_contamination`):
+    navigation chrome, license headers, and templated listings share
+    their n-grams with many other documents, so a high share marks a
+    document as mostly boilerplate — the span-level signal behind the
+    "remove repeated substrings" step of training-data curation
+    pipelines, without materializing any doc×doc pair.
+
+    Output: (``id_col``, ``n_shingles``, ``boilerplate_share``), share
+    rounded to 6 places; documents with fewer than ``n`` tokens have
+    zero shingles and share 0.0.
+
+    Scale posture: text is projected to (id, shingle) immediately and
+    never shuffled. Because shingles are distinct WITHIN a document,
+    document frequency is a plain ``count(*)`` per shingle — map-side
+    partial aggregation, no ``countDistinct``. One shuffle keyed on
+    the shingle builds the frequency table, the occurrences re-join it
+    on the same key (AQE broadcasts it when small), and one shuffle on
+    the id re-aggregates — linear end to end, state bounded by the
+    shingle vocabulary. ``hash_shingles=True`` shuffles 8-byte
+    ``xxhash64`` keys instead of strings (the at-scale form; not in
+    the declared query because DuckDB cannot reproduce xxhash64).
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1: {min_df}")
+    sh = word_shingles(F.col(text_col), n)
+    if hash_shingles:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    occ = df.select(F.col(id_col), sh.alias("__shs")).select(
+        id_col, F.explode("__shs").alias("__sh")
+    )
+    counts = occ.groupBy("__sh").agg(F.count("*").alias("__df"))
+    agg = (
+        occ.join(counts, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.when(F.col("__df") >= min_df, 1).otherwise(0)).alias("__nb"),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.round(
+            F.coalesce(F.col("__nb") / F.col("__n"), F.lit(0.0)), 6
+        ).alias("boilerplate_share"),
+    )
+
+
+def source_shingle_overlap(
+    df: DataFrame, group_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard between corpus slices (sources,
+    domains, snapshots) — the corpus-mix audit view: which ingest
+    sources are near-copies of each other, which are disjoint.
+
+    For every unordered pair of ``group_col`` values: the number of
+    distinct word ``n``-grams they share, each side's distinct-shingle
+    count, and Jaccard similarity (rounded to 6). Only pairs sharing
+    at least one shingle appear.
+
+    Scale posture: the group cardinality is a DIMENSION (dozens of
+    sources), so per-shingle group sets are dimension-bounded arrays
+    and the output is at most |groups|² rows. One shuffle dedups
+    (group, shingle), a second keys on the shingle to build its sorted
+    group set; ordered pairs expand inside the row (|groups|²-bounded
+    ``transform``×``transform``), and the final per-pair count
+    aggregates with map-side partials. The per-group size table joins
+    back twice — |groups| rows, AQE broadcasts it. Text never
+    shuffles; no doc×doc or shingle×shingle product anywhere.
+    """
+    d = (
+        df.select(F.col(group_col).alias("__g"), word_shingles(F.col(text_col), n).alias("__shs"))
+        .select("__g", F.explode("__shs").alias("__sh"))
+        .distinct()
+    )
+    sizes = d.groupBy("__g").agg(F.count("*").alias("__n"))
+    gs = F.sort_array(F.collect_set("__g"))
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__gs"),
+                lambda a: F.transform(
+                    F.col("__gs"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    inter = (
+        d.groupBy("__sh")
+        .agg(gs.alias("__gs"))
+        .select(F.explode(pairs).alias("__p"))
+        .groupBy(F.col("__p.a").alias("source_a"), F.col("__p.b").alias("source_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("__g").alias("source_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__g").alias("source_b"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -521,3 +521,78 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_resample(docs, "source", "doc_id", alpha=0.5).select(
         "doc_id", "source", "n_source", "keep_rate"
     ).orderBy("doc_id")
+
+
+@register(
+    "x101_boilerplate_share",
+    # Intra-corpus boilerplate scoring: fraction of each document's
+    # distinct 3-gram shingles that appear in >= 2 documents (itself
+    # included). Shingle df is a plain count(*) because shingles are
+    # distinct within a document. Sub-3-token documents keep share 0.
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, {_duck_shingles(3).replace("toks", _TOKS)} AS shs
+            FROM documents
+        ),
+        occ AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+        cnt AS (SELECT sh, COUNT(*) AS df FROM occ GROUP BY 1),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS nb
+            FROM occ JOIN cnt USING (sh) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_shingles,
+               ROUND(COALESCE(nb * 1.0 / n, 0.0), 6) AS boilerplate_share
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id
+    """,
+    covers="intra-corpus boilerplate share: per-doc fraction of corpus-repeated n-grams",
+    tags=("training", "curation", "text"),
+    min_rows=400,
+)
+def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import boilerplate_share
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_share(docs, "doc_id", "text", n=3, min_df=2).orderBy("doc_id")
+
+
+@register(
+    "x102_source_overlap",
+    # Corpus-mix audit: pairwise distinct-bigram Jaccard between
+    # ingest sources. Pair order is lexicographic (source_a < source_b
+    # — ASCII source names, so binary and NOCASE collations agree).
+    oracle=f"""
+        WITH s AS (
+            SELECT source, {_duck_shingles(2).replace("toks", _TOKS)} AS shs
+            FROM documents
+        ),
+        d AS (SELECT DISTINCT source, unnest(shs) AS sh FROM s),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM d a JOIN d b USING (sh)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.source = source_a
+        JOIN sz sb ON sb.source = source_b
+        ORDER BY source_a, source_b
+    """,
+    covers="source-pair shingle Jaccard matrix (corpus-mix overlap audit)",
+    tags=("training", "curation", "text"),
+    min_rows=3,
+)
+def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import source_shingle_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_shingle_overlap(docs, "source", "text", n=2).orderBy(
+        "source_a", "source_b"
+    )

@@ -419,6 +419,7 @@ _INTENTIONAL_NESTED_LOOP = {
     "x97_bigram_pmi",           # broadcast 1-row totals scalar
     "x98_bm25_topk",            # broadcast 1-row N/avgdl corpus stats
     "x99_unigram_logprob",      # broadcast 1-row token-total scalar
+    "x100_temperature_mix",     # broadcast 1-row n_min scalar onto source counts
 }
 
 

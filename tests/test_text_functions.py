@@ -397,3 +397,68 @@ def test_bigram_pmi_exact_value(spark):
     # pmi = ln((3/4) / ((4/8)*(3/8))) = ln(4)
     assert r.pmi == round(math.log(4.0), 6)
     assert out[("a", "c")].pmi == round(math.log((1 / 4) / ((4 / 8) * (1 / 8))), 6)
+
+
+def test_boilerplate_share_exact_values(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import boilerplate_share
+
+    # n=2 shingles: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {x y},
+    # doc4 has one token -> no shingles. Only "a b" occurs in >= 2
+    # docs, so doc1 and doc2 each have share 1/2.
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in boilerplate_share(df, "doc_id", "text", n=2, min_df=2).collect()
+    }
+    assert rows[1].n_shingles == 2 and rows[1].boilerplate_share == 0.5
+    assert rows[2].n_shingles == 2 and rows[2].boilerplate_share == 0.5
+    assert rows[3].n_shingles == 1 and rows[3].boilerplate_share == 0.0
+    # Shingle-less doc survives with zero share, not a dropped row.
+    assert rows[4].n_shingles == 0 and rows[4].boilerplate_share == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_df"):
+        boilerplate_share(df, "doc_id", "text", min_df=0)
+
+
+def test_boilerplate_share_hashed_matches_string_form(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import boilerplate_share
+
+    data = [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{(i + 2) % 7} end{i}") for i in range(60)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    plain = sorted(
+        tuple(r) for r in boilerplate_share(df, "doc_id", "text", n=2).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in boilerplate_share(df, "doc_id", "text", n=2, hash_shingles=True).collect()
+    )
+    assert plain == hashed
+
+
+def test_source_shingle_overlap_exact(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import source_shingle_overlap
+
+    # s1 {a b, b c}; s2 {a b, b d}; s3 {z z} (disjoint from both).
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "a b c"),
+            (2, "s2", "a b d"),
+            (3, "s2", "a b"),
+            (4, "s3", "z z z"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in source_shingle_overlap(df, "source", "text", n=2).collect()
+    }
+    # Only the sharing pair appears; s3 shares nothing.
+    assert set(rows) == {("s1", "s2")}
+    r = rows[("s1", "s2")]
+    assert r.n_common == 1 and r.n_a == 2 and r.n_b == 2
+    assert r.jaccard == round(1 / 3, 6)
