@@ -440,6 +440,62 @@ def source_shingle_overlap(
     )
 
 
+def source_token_divergence(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-slice unigram-distribution diagnostics: Shannon entropy of
+    each group's token distribution and its KL divergence from the
+    whole-corpus distribution — the data-mixing audit numbers ("how
+    diverse is this source, how far does it drift from the mix") that
+    temperature/weight tuning reads.
+
+    ``entropy_s = −Σ_t p_st·ln p_st`` and
+    ``kl_corpus_s = Σ_t p_st·ln(p_st / q_t)`` with ``p_st`` the token
+    share within group ``s`` and ``q_t`` the corpus-wide share. KL is
+    always finite here because every group token is by construction in
+    the corpus distribution (q_t > 0 wherever p_st > 0).
+
+    Output: (``group_col``, ``n_tokens``, ``vocab_size``, ``entropy``,
+    ``kl_corpus``), entropy/KL rounded to 6.
+
+    Scale posture: the exploded token stream aggregates ONCE into the
+    (group, token) count table — the only data-sized shuffle, with
+    map-side partials. That table (|groups|×|vocab|-bounded, the
+    operator's inherent state) is pinned with one eager
+    ``localCheckpoint`` because three derivations read it (per-group
+    totals, corpus token counts, and the final join) — without the pin
+    the explode+count lineage would re-run per reference. Corpus token
+    counts join back on the token key UNHINTED (vocabulary-sized — the
+    x97 lesson); the per-group totals and the 1-row grand total are
+    dimension-bounded broadcasts.
+    """
+    st = df.select(
+        F.col(group_col).alias("__g"), F.explode(tokens(text_col)).alias("__tok")
+    )
+    c = (
+        st.groupBy("__g", "__tok")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint()
+    )
+    per_g = c.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    per_t = c.groupBy("__tok").agg(F.sum("__c").alias("__ct"))
+    total = c.agg(F.sum("__c").alias("__nn"))
+    p = F.col("__c") / F.col("__ng")
+    q = F.col("__ct") / F.col("__nn")
+    return (
+        c.join(per_t, "__tok")
+        .join(F.broadcast(per_g), "__g")
+        .crossJoin(F.broadcast(total))
+        .groupBy(F.col("__g").alias(group_col), F.col("__ng").alias("n_tokens"))
+        .agg(
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_corpus"),
+        )
+        .select(group_col, "n_tokens", "vocab_size", "entropy", "kl_corpus")
+    )
+
+
 def bigram_pmi(
     df: DataFrame, id_col: str, text_col: str, min_count: int = 5
 ) -> DataFrame:

@@ -596,3 +596,41 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_shingle_overlap(docs, "source", "text", n=2).orderBy(
         "source_a", "source_b"
     )
+
+
+@register(
+    "x103_source_divergence",
+    # Data-mixing audit: per-source unigram entropy + KL divergence
+    # from the corpus distribution. Empty tokens are filtered in the
+    # oracle because string_split_regex('') yields [''] where the
+    # engine's tokens() yields []. Both engines round the float sums
+    # to 6 places (same guard as x99's mean log-prob).
+    oracle=f"""
+        WITH t AS (
+            SELECT source, unnest({_TOKS}) AS tok FROM documents
+        ),
+        c AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM t WHERE tok <> '' GROUP BY 1, 2
+        ),
+        g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1),
+        v AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM c GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM c)
+        SELECT c.source, g.n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               ROUND(-SUM((c * 1.0 / n_tokens) * ln(c * 1.0 / n_tokens)), 6) AS entropy,
+               ROUND(SUM((c * 1.0 / n_tokens)
+                         * ln((c * 1.0 / n_tokens) / (ct * 1.0 / nn))), 6) AS kl_corpus
+        FROM c JOIN g USING (source) JOIN v USING (tok) CROSS JOIN n
+        GROUP BY c.source, g.n_tokens
+        ORDER BY source
+    """,
+    covers="per-source unigram entropy + KL-from-corpus (data-mixing diagnostics)",
+    tags=("training", "curation", "text"),
+    min_rows=10,
+)
+def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import source_token_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_token_divergence(docs, "source", "text").orderBy("source")

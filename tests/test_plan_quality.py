@@ -420,6 +420,7 @@ _INTENTIONAL_NESTED_LOOP = {
     "x98_bm25_topk",            # broadcast 1-row N/avgdl corpus stats
     "x99_unigram_logprob",      # broadcast 1-row token-total scalar
     "x100_temperature_mix",     # broadcast 1-row n_min scalar onto source counts
+    "x103_source_divergence",   # broadcast 1-row corpus-total scalar
 }
 
 

@@ -462,3 +462,28 @@ def test_source_shingle_overlap_exact(spark):
     r = rows[("s1", "s2")]
     assert r.n_common == 1 and r.n_a == 2 and r.n_b == 2
     assert r.jaccard == round(1 / 3, 6)
+
+
+def test_source_token_divergence_exact(spark):
+    import math
+
+    from skoltexter_by_ai_spark.operators.text_analysis import source_token_divergence
+
+    # s1: tokens {a:2, b:1} (n=3); s2: {b:2} (n=2).
+    # Corpus: {a:2, b:3}, N=5 -> q_a=0.4, q_b=0.6.
+    df = spark.createDataFrame(
+        [(1, "s1", "a a b"), (2, "s2", "b b")],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.source: r for r in source_token_divergence(df, "source", "text").collect()
+    }
+    r1, r2 = rows["s1"], rows["s2"]
+    assert r1.n_tokens == 3 and r1.vocab_size == 2
+    assert r2.n_tokens == 2 and r2.vocab_size == 1
+    e1 = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    kl1 = 2 / 3 * math.log((2 / 3) / 0.4) + 1 / 3 * math.log((1 / 3) / 0.6)
+    assert r1.entropy == round(e1, 6) and r1.kl_corpus == round(kl1, 6)
+    # A single-token source has zero entropy; its KL is ln(1/q_b).
+    assert r2.entropy == -0.0 or r2.entropy == 0.0
+    assert r2.kl_corpus == round(math.log(1 / 0.6), 6)

@@ -173,6 +173,18 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    # A hard kill (SIGKILL / session timeout) mid-run can strand a
+    # mutant in the real source file with its .mutbak beside it —
+    # restore any such leftovers before doing anything else so a
+    # stranded mutant can never masquerade as real source.
+    for rel in TARGETS:
+        path = os.path.join(REPO, rel)
+        backup = path + ".mutbak"
+        if os.path.exists(backup):
+            print(f"restoring stale mutant backup: {rel}", file=sys.stderr)
+            shutil.copyfile(backup, path)
+            os.remove(backup)
+
     targets = {
         rel: tf
         for rel, tf in TARGETS.items()
