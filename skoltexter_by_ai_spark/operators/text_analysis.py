@@ -564,3 +564,53 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    expect_lang: str = "en",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Per-source cumulative survival through the standard curation
+    gates — the "where do my documents die" report a pipeline owner
+    reads before touching mixture weights. Gates apply in order:
+
+    1. length band (10 ≤ whitespace tokens ≤ 10 000),
+    2. language match (``lang_col == expect_lang``; skipped when
+       ``lang_col`` is None),
+    3. quality heuristic (:func:`quality_score` ≥ ``min_quality``).
+
+    Output per source: ``n_docs``, ``n_len_ok``, ``n_lang_ok``,
+    ``n_kept`` (cumulative counts), ``tokens_in`` / ``tokens_kept``
+    (the token yield the budget planner needs), and ``keep_rate``
+    (n_kept / n_docs, rounded to 6).
+
+    Scale posture: ONE pass — a narrow projection computing the gate
+    predicates feeds a conditional aggregation with map-side partials;
+    the only shuffle is |sources|-sized. No joins, no windows, no
+    second scan for the token totals.
+    """
+    n_tok = token_count(text_col)
+    len_ok = (n_tok >= 10) & (n_tok <= 10_000)
+    lang_ok = len_ok & (F.col(lang_col) == expect_lang) if lang_col else len_ok
+    q_ok = lang_ok & (quality_score(text_col) >= min_quality)
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return (
+        df.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(len_ok, one).otherwise(zero)).alias("n_len_ok"),
+            F.sum(F.when(lang_ok, one).otherwise(zero)).alias("n_lang_ok"),
+            F.sum(F.when(q_ok, one).otherwise(zero)).alias("n_kept"),
+            F.sum(n_tok).alias("tokens_in"),
+            F.sum(F.when(q_ok, n_tok).otherwise(zero)).alias("tokens_kept"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6),
+        )
+    )

@@ -634,3 +634,59 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_token_divergence(docs, "source", "text").orderBy("source")
+
+
+@register(
+    "x106_curation_funnel",
+    # Pipeline-owner report: cumulative gate survival per source —
+    # length band, metadata language match, quality heuristic — plus
+    # the token yield. ONE scan with conditional aggregation; the only
+    # shuffle is |sources|-sized. The quality formula is x08's (already
+    # value-proven against this oracle); both engines round the final
+    # rate to 6.
+    oracle=f"""
+        WITH t AS (
+            SELECT source,
+                   lang,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                   CASE WHEN len({_TOKS}) > 0 THEN
+                       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> list_contains(['the','a','and','of','to','is','in','it','that','for'], x)))
+                            AS DOUBLE) / len({_TOKS})
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                   ELSE 0.0 END AS p_ratio
+            FROM documents),
+        g AS (
+            SELECT source, n_tok,
+                   (n_tok >= 10 AND n_tok <= 10000) AS len_ok,
+                   (n_tok >= 10 AND n_tok <= 10000 AND lang = 'en') AS lang_ok,
+                   (n_tok >= 10 AND n_tok <= 10000 AND lang = 'en'
+                    AND ROUND(0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0
+                                          WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+                              + 0.3 * least(stop_ratio * 5.0, 1.0)
+                              + 0.3 * (1.0 - least(p_ratio * 5.0, 1.0)), 6) >= 0.5) AS q_ok
+            FROM t)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+               CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+               CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_in,
+               CAST(SUM(CASE WHEN q_ok THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+               ROUND(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS keep_rate
+        FROM g
+        GROUP BY source
+        ORDER BY source
+    """,
+    covers="per-source curation-funnel survival + token yield (one-scan conditional agg)",
+    tags=("training", "curation", "text"),
+    min_rows=10,
+)
+def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_funnel(docs, "source", "text", lang_col="lang").orderBy("source")

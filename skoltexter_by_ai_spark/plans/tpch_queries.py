@@ -25,9 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skoltexter_by_ai_spark.plans.analytics_queries import (
+    _DISC_H,
+    _PRICE_CENTS,
     _REV,
     _REV4,
     _bp_floor,
+    _price_cents_col,
     _rev4_col,
     _rev_col,
 )
@@ -646,3 +649,118 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         (bal_cents.cast("double") / 100).alias("acctbal"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "x104_forecast_revenue",
+    # TPC-H Q6 shape: the canonical scan-only query — every predicate
+    # lands in PushedFilters on the parquet scan and the aggregate runs
+    # entirely in whole-stage codegen with no join or wide shuffle at
+    # all (one exchange for the 7-row year rollup). At 100 TB this is
+    # the query where pushdown + column pruning ARE the plan: only 4 of
+    # lineitem's 11 columns are read. Discount revenue sums as exact
+    # scaled integers (cents × discount-hundredths), divided back once.
+    oracle=f"""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               COUNT(*) AS n_items,
+               CAST(SUM({_PRICE_CENTS} * {_DISC_H}) AS DOUBLE) / 10000
+                   AS forecast_revenue
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        GROUP BY 1
+        ORDER BY yr
+    """,
+    covers="TPC-H Q6: scan-only multi-predicate aggregate, full pushdown",
+    tags=("analytics", "tpch"),
+    min_rows=3,
+)
+def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(_price_cents_col() * disc_h).cast("double") / 10000).alias(
+                "forecast_revenue"
+            ),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "x105_waiting_suppliers",
+    # TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    # finished multi-supplier order ("late" adapted to this fixture's
+    # columns: shipped >60 days after the order date — the fixture has
+    # no commit/receipt dates). The EXISTS decorrelates to a left-semi
+    # self-join and the NOT EXISTS to a left-anti self-join, all three
+    # keyed on l_orderkey — at 100 TB the three lineitem passes share
+    # one hash-partitioning on orderkey, so AQE reuses the exchange
+    # instead of re-shuffling the biggest fact twice. The |suppliers|-
+    # sized name table broadcasts onto the aggregated output.
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+    """,
+    covers="TPC-H Q21: EXISTS + NOT EXISTS lineitem self-joins (semi/anti), top waiters",
+    tags=("analytics", "tpch"),
+    min_rows=5,
+)
+def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("s_k"))
+    has_other = late.join(
+        others,
+        (late.l_orderkey == others.o_k) & (late.l_suppkey != others.s_k),
+        "left_semi",
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("lo_k"), F.col("l_suppkey").alias("ls_k")
+    )
+    sole_late = has_other.join(
+        late_others,
+        (has_other.l_orderkey == late_others.lo_k)
+        & (has_other.l_suppkey != late_others.ls_k),
+        "left_anti",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )

@@ -435,3 +435,51 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _INTENTIONAL_NESTED_LOOP:
             unexpected[name] = "BroadcastNestedLoopJoin"
     assert not unexpected, unexpected
+
+
+def test_forecast_revenue_scan_only_full_pushdown(spark):
+    # x104 (Q6 shape): every predicate must reach the parquet scan,
+    # only the 4 referenced columns may be read, and there is no join —
+    # the whole query is scan + partial/final aggregate.
+    plan = _plan(_build(spark, "x104_forecast_revenue"))
+    # The plan printer truncates long PushedFilters lists, so don't
+    # require the closing bracket.
+    m = re.search(r"PushedFilters: \[([^\n]*)", plan)
+    assert m, f"no PushedFilters in scan:\n{plan}"
+    assert "l_discount" in m.group(1) and "l_quantity" in m.group(1), m.group(1)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, read_cols
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan
+
+
+def test_waiting_suppliers_semi_anti_and_broadcast_names(spark):
+    # x105 (Q21 shape): the EXISTS must plan as a semi join and the
+    # NOT EXISTS as an anti join (never row-exploding inner joins),
+    # the lineitem scans must read only the 3 needed columns, and the
+    # supplier name table must ride a broadcast onto the aggregate.
+    plan = _plan(_build(spark, "x105_waiting_suppliers"))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        if "l_orderkey" in cols:
+            assert cols <= {"l_orderkey", "l_suppkey", "l_shipdate"}, cols
+
+
+def test_curation_funnel_single_scan_single_agg(spark):
+    # x106: all gates + token yields must compile into ONE conditional
+    # aggregation over ONE documents scan — no joins, no windows, no
+    # per-gate re-scan.
+    plan = _plan(_build(spark, "x106_curation_funnel"))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan

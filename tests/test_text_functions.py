@@ -487,3 +487,39 @@ def test_source_token_divergence_exact(spark):
     # A single-token source has zero entropy; its KL is ln(1/q_b).
     assert r2.entropy == -0.0 or r2.entropy == 0.0
     assert r2.kl_corpus == round(math.log(1 / 0.6), 6)
+
+
+def test_curation_funnel_exact(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import curation_funnel
+
+    # d1: 12 en tokens with stopwords -> survives every gate.
+    # d2: too short (3 tokens) -> dies at the length gate.
+    # d3: right length but lang=de -> dies at the language gate.
+    good = "the cat and the dog ran to the park for a while"
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "en", good),
+            (2, "s1", "en", "too short here"),
+            (3, "s1", "de", good),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    r = curation_funnel(df, "source", "text", lang_col="lang").collect()[0]
+    assert r.n_docs == 3
+    assert r.n_len_ok == 2  # d1 + d3 pass the length band
+    assert r.n_lang_ok == 1  # d3 dies on lang
+    assert r.n_kept == 1  # d1's quality: len 1.0, stopwords saturate
+    assert r.tokens_in == 12 + 3 + 12
+    assert r.tokens_kept == 12
+    assert r.keep_rate == round(1 / 3, 6)
+
+
+def test_curation_funnel_no_lang_gate(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import curation_funnel
+
+    good = "the cat and the dog ran to the park for a while"
+    df = spark.createDataFrame(
+        [(1, "s1", "de", good)], "doc_id long, source string, lang string, text string"
+    )
+    r = curation_funnel(df, "source", "text").collect()[0]
+    assert r.n_lang_ok == 1 and r.n_kept == 1  # lang gate skipped
