@@ -380,3 +380,46 @@ def test_temperature_resample_rates_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         temperature_resample(df, "source", "doc_id", alpha=0.0)
+
+
+def test_stratified_sample_threshold_boundary_is_exclusive(spark):
+    """Mutation pin for the keep predicate: a row whose md5 draw equals
+    the threshold EXACTLY must be excluded (strict <) — P[key < t] ==
+    fraction only holds with the exclusive compare."""
+    import hashlib
+
+    key = hashlib.md5(b"s:7").hexdigest()[:8]
+    frac = int(key, 16) / curation.HEX_SPACE  # threshold == this row's key
+    assert curation.fraction_threshold(frac) == key
+    df = spark.createDataFrame([(7, "s")], ["id", "stratum"])
+    assert curation.stratified_sample(df, "stratum", frac, "id").count() == 0
+    # One notch above the key, the row is kept.
+    frac_up = (int(key, 16) + 1) / curation.HEX_SPACE
+    assert curation.stratified_sample(df, "stratum", frac_up, "id").count() == 1
+
+
+def test_contamination_overlap_frac_rounds_to_six(spark):
+    """Mutation pin for the overlap rounding: a 1-of-3 shingle overlap
+    must surface as round(1/3, 6) exactly."""
+    train = spark.createDataFrame([(1, "a b c x y")], ["doc_id", "text"])
+    evals = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    rows = curation.ngram_contamination(train, evals, n=3, min_overlap=0.3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.shared_ngrams, r.eval_ngrams) == (1, 3)
+    assert r.overlap_frac == round(1 / 3, 6)
+
+
+def test_winsorize_bounds_round_to_six_on_both_paths(spark):
+    """Mutation pin for the bound rounding in the percentile and
+    approx_percentile fallbacks: sevenths interpolate/land on
+    non-terminating decimals, so a mis-rounded bound differs at the
+    7th digit."""
+    df = spark.createDataFrame([(float(i) / 7,) for i in range(10)], "v double")
+    for kwargs in ({"scale": None}, {"approx_accuracy": 100}):
+        r = curation.winsorize(df, "v", lower=0.05, upper=0.95, **kwargs).collect()[0]
+        assert r["v_lo"] == round(r["v_lo"], 6), kwargs
+        assert r["v_hi"] == round(r["v_hi"], 6), kwargs
+    # Percentile path interpolates 0.45 * (1/7) — pin the exact 6-digit cut.
+    exact = curation.winsorize(df, "v", lower=0.05, upper=0.95, scale=None).collect()[0]
+    assert exact["v_lo"] == round(0.45 * (1 / 7), 6) == 0.064286

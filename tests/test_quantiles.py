@@ -466,3 +466,60 @@ def test_property_kth_smallest_matches_sorted(spark):
         assert got == want
 
     check()
+
+
+def test_probs_validation_rejects_out_of_range(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match=r"within \[0, 1\]"):
+        grouped_exact_quantiles(df, [], F.col("v").cast("long"), [1.5]).collect()
+
+
+def test_overflow_reopen_boundary_pass_count(spark, monkeypatch):
+    """Mutation pin for the overflow-high reopen bound: when the seed
+    bracket tops out one BELOW the true target, the reopened range must
+    start at exactly hi+1 so the target closes on the very next pass
+    (2 total). A looser bound (hi+2) still converges — the overflow
+    buckets self-correct — but costs an extra pass, which this pins."""
+    from pyspark.sql import functions as SF
+
+    import skoltexter_by_ai_spark.operators.quantiles as q
+
+    def fake_approx_percentile(col, percs, acc):
+        # Both brackets collapse onto the minimum (0): the p=0.01
+        # target (value 1) sits at EXACTLY bracket-hi + 1.
+        return SF.array(*[SF.min(col) for _ in range(2)])
+
+    monkeypatch.setattr(SF, "approx_percentile", fake_approx_percentile)
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    q.LAST_PASS_COUNTS.clear()
+    out = {
+        r["__p"]: r["__q"]
+        for r in grouped_exact_quantiles(
+            df, [], F.col("v").cast("long"), [0.01]
+        ).collect()
+    }
+    assert out == {0.01: 1.0}
+    assert q.LAST_PASS_COUNTS == [2]
+    q.LAST_PASS_COUNTS.clear()
+
+
+def test_fused_happy_path_never_falls_back(spark):
+    """Mutation pin for the fused median+MAD internals (window ids,
+    completeness probe): on clean data the fused path must succeed
+    WITHOUT the generic bisection fallback — any internal mix-up
+    trips the probe and shows up here as LAST_PASS_COUNTS growth."""
+    import skoltexter_by_ai_spark.operators.quantiles as q
+
+    df = spark.createDataFrame(
+        [("A", float(i)) for i in range(1, 102)]
+        + [("B", float(i)) for i in range(10)],
+        "g string, v double",
+    )
+    q.LAST_PASS_COUNTS.clear()
+    rows = robust_zscore(df, "v", "g", fused=True).select(
+        "g", "v", "grp_median", "grp_mad"
+    ).collect()
+    m = {(r.g, r.v): (r.grp_median, r.grp_mad) for r in rows}
+    assert m[("A", 51.0)] == (51.0, 25.0)
+    assert m[("B", 0.0)] == (4.5, 2.5)
+    assert q.LAST_PASS_COUNTS == []  # fused really took the fused path
