@@ -145,12 +145,50 @@ def mutate(tree: ast.AST, index: int) -> ast.AST:
     return tree
 
 
-def run_pytest(test_files: list[str], timeout: int) -> bool:
+def _module_summary(sites, picked, killed, survivors) -> dict:
+    return {
+        "sites": len(sites),
+        "tested": len(picked),
+        "killed": killed,
+        "survived": len(survivors),
+        "survivors": survivors,
+    }
+
+
+def make_sandbox() -> str:
+    """Copy the package + tests into a temp dir and run every mutant
+    THERE — the real tree is never touched, so a hard kill can't
+    strand a mutant in real source, and unrelated work (bench runs,
+    other test sessions) can proceed concurrently without importing a
+    mutated module."""
+    import tempfile
+
+    box = tempfile.mkdtemp(prefix="mutgate_")
+    for entry in ("skoltexter_by_ai_spark", "tests"):
+        shutil.copytree(
+            os.path.join(REPO, entry),
+            os.path.join(box, entry),
+            ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.mutbak"),
+        )
+    for entry in ("pytest.ini", "__spark_entry__.py"):
+        src = os.path.join(REPO, entry)
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(box, entry))
+    return box
+
+
+def run_pytest(sandbox: str, test_files: list[str], timeout: int) -> bool:
     """True when the scoped suite PASSES (mutant survived)."""
+    env = dict(os.environ)
+    # Spark's Python workers resolve imports via PYTHONPATH, not the
+    # driver's sys.path — point both at the sandbox so mapInPandas /
+    # pandas_udf stages import the MUTATED copy too.
+    env["PYTHONPATH"] = sandbox
     try:
         proc = subprocess.run(
             [sys.executable, "-m", "pytest", "-x", "-q", "-p", "no:cacheprovider", *test_files],
-            cwd=REPO,
+            cwd=sandbox,
+            env=env,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
             timeout=timeout,
@@ -199,29 +237,29 @@ def main() -> int:
     if args.max_mutants:
         per_file_budget = max(1, args.max_mutants // len(targets))
 
-    for rel, test_files in targets.items():
-        path = os.path.join(REPO, rel)
-        src = open(path).read()
-        tree = ast.parse(src)
-        sites = enumerate_sites(tree)
-        picked = list(range(len(sites)))
-        if per_file_budget and len(picked) > per_file_budget:
-            stride = len(picked) / per_file_budget
-            picked = [int(i * stride) for i in range(per_file_budget)]
-        if args.list:
-            summary[rel] = {"sites": len(sites), "picked": [sites[i][1] for i in picked]}
-            continue
+    sandbox = None if args.list else make_sandbox()
+    try:
+        for rel, test_files in targets.items():
+            path = os.path.join(REPO, rel)
+            src = open(path).read()
+            tree = ast.parse(src)
+            sites = enumerate_sites(tree)
+            picked = list(range(len(sites)))
+            if per_file_budget and len(picked) > per_file_budget:
+                stride = len(picked) / per_file_budget
+                picked = [int(i * stride) for i in range(per_file_budget)]
+            if args.list:
+                summary[rel] = {"sites": len(sites), "picked": [sites[i][1] for i in picked]}
+                continue
 
-        survivors: list[str] = []
-        killed = 0
-        backup = path + ".mutbak"
-        shutil.copyfile(path, backup)
-        try:
+            survivors: list[str] = []
+            killed = 0
+            box_path = os.path.join(sandbox, rel)
             for i in picked:
                 mutated = ast.unparse(mutate(ast.parse(src), i))
-                with open(path, "w") as fh:
+                with open(box_path, "w") as fh:
                     fh.write(mutated)
-                if run_pytest(test_files, args.timeout):
+                if run_pytest(sandbox, test_files, args.timeout):
                     survivors.append(sites[i][1])
                 else:
                     killed += 1
@@ -230,18 +268,15 @@ def main() -> int:
                     f"{'SURVIVED' if survivors and survivors[-1] == sites[i][1] else 'killed'}",
                     file=sys.stderr,
                 )
-        finally:
-            shutil.copyfile(backup, path)
-            os.remove(backup)
-        summary[rel] = {
-            "sites": len(sites),
-            "tested": len(picked),
-            "killed": killed,
-            "survived": len(survivors),
-            "survivors": survivors,
-        }
-        total_tested += len(picked)
-        total_killed += killed
+            # Restore the sandbox copy for the next target module.
+            with open(box_path, "w") as fh:
+                fh.write(src)
+            summary[rel] = _module_summary(sites, picked, killed, survivors)
+            total_tested += len(picked)
+            total_killed += killed
+    finally:
+        if sandbox is not None:
+            shutil.rmtree(sandbox, ignore_errors=True)
 
     if args.list:
         print(json.dumps(summary, indent=1))
