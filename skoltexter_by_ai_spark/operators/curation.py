@@ -688,3 +688,32 @@ def validate_expectations(
     return wide.selectExpr(
         f"stack({len(names)}, {stack_expr}) as (rule, n_violations)", "__n_rows"
     ).select("rule", "n_violations", F.col("__n_rows").alias("n_rows"))
+
+
+def epoch_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic epoch shuffling + shard assignment: every row
+    draws ``md5(epoch:id)`` and lands in shard ``draw32 % n_shards``
+    — the data-ordering primitive behind reproducible training runs
+    (same epoch → identical order and shard layout on ANY cluster
+    size or retry; next epoch → a fresh, equally uniform permutation).
+    Adds ``__draw`` (the 8-hex draw, the within-shard sort key) and
+    ``shard``.
+
+    Scale posture: a pure narrow projection — no shuffle at all here.
+    The writer then does ONE repartition on ``shard`` (+ optional
+    in-partition sort by ``__draw``), which is the minimum any global
+    permutation costs. Never uses ``rand()``: task retries would
+    re-deal the epoch.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    draw = sample_key(F.lit(int(epoch)).cast("string"), id_col)
+    d32 = F.conv(draw, 16, 10).cast("long")
+    return df.withColumn("__draw", draw).withColumn(
+        "shard", (d32 % n_shards).cast("bigint")
+    )

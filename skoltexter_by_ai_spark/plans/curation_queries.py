@@ -690,3 +690,46 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curation_funnel(docs, "source", "text", lang_col="lang").orderBy("source")
+
+
+@register(
+    "x107_epoch_shard_balance",
+    # Reproducible-training primitive: deterministic epoch shuffling
+    # (md5(epoch:id) draw) + shard assignment, reported as the
+    # per-shard doc/token balance a pipeline owner checks before a
+    # run. The assignment itself is a narrow projection; only the
+    # |shards|-sized report aggregates.
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 8 AS shard,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tok
+            FROM documents)
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM a
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    covers="deterministic epoch shuffle + shard assignment, per-shard balance report",
+    tags=("training", "curation"),
+    min_rows=8,
+)
+def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import epoch_shards
+    from skoltexter_by_ai_spark.operators.text_analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        epoch_shards(docs, "doc_id", n_shards=8, epoch=1)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )

@@ -423,3 +423,17 @@ def test_winsorize_bounds_round_to_six_on_both_paths(spark):
     # Percentile path interpolates 0.45 * (1/7) — pin the exact 6-digit cut.
     exact = curation.winsorize(df, "v", lower=0.05, upper=0.95, scale=None).collect()[0]
     assert exact["v_lo"] == round(0.45 * (1 / 7), 6) == 0.064286
+
+
+def test_epoch_shards_deterministic_and_epoch_sensitive(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    a1 = {r.id: (r.shard, r["__draw"]) for r in curation.epoch_shards(df, "id", 4, epoch=0).collect()}
+    a2 = {r.id: (r.shard, r["__draw"]) for r in curation.epoch_shards(df, "id", 4, epoch=0).collect()}
+    b = {r.id: (r.shard, r["__draw"]) for r in curation.epoch_shards(df, "id", 4, epoch=1).collect()}
+    assert a1 == a2  # same epoch: identical deal on re-run
+    assert a1 != b  # next epoch: a different permutation
+    # Every shard id is in range and populated at n >> shards.
+    shards = {s for s, _ in a1.values()}
+    assert shards == {0, 1, 2, 3}
+    with pytest.raises(ValueError, match="n_shards"):
+        curation.epoch_shards(df, "id", 0)
