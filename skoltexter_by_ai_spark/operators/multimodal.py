@@ -10,11 +10,13 @@ extension for training-data pipelines. Design:
 - ingestion uses the built-in ``binaryFile`` source (pushdown on path
   glob + file pruning; at 100 TB the listing is partitioned by the
   directory layout);
-- real codecs (PIL / libav) are NOT available in this container, so
-  decode is pluggable: a deterministic pure-numpy "FAKM" container
-  codec exercises the full plumbing (schema, batching, partitioning),
-  and unknown formats raise ``NotImplementedError`` with a clear
-  message — the Spark-side dataflow is identical either way.
+- decode is pluggable behind :func:`decode_media`: WAV, netpbm
+  PGM/PPM and uncompressed 24-bit BMP decode FOR REAL via the
+  stdlib/numpy (no PIL needed), the deterministic pure-numpy "FAKM"
+  container exercises the plumbing in tests, and formats that
+  genuinely need an external codec (JPEG/PNG/MP4 — PIL/libav are
+  absent from this container) raise ``NotImplementedError`` with a
+  clear message — the Spark-side dataflow is identical either way.
 
 Every operator is DataFrame-in / DataFrame-out and keeps the binary
 payload out of shuffles where possible (metadata-only projections).
@@ -101,6 +103,103 @@ def fakm_decode(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     return kind, width, height, n_frames, sample_rate, data[_HDR_LEN:]
 
 
+# --- real stdlib codecs --------------------------------------------------------
+# WAV (the `wave` stdlib module), netpbm PGM/PPM (binary P5/P6), and
+# uncompressed 24-bit BMP need no external library, so those decode
+# FOR REAL; JPEG/PNG/MP4 genuinely require PIL/libav (absent from this
+# container) and keep the honest NotImplementedError. Images normalize
+# to a grayscale u8 plane (integer BT.601 luma for RGB inputs), audio
+# to its raw PCM bytes — the same payload contract FAKM uses, so every
+# downstream stage (resize, features, frames) is codec-agnostic.
+
+
+def _decode_wav(data: bytes) -> tuple[str, int, int, int, int, bytes]:
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        n = w.getnframes()
+        return "audio", 0, 0, n, w.getframerate(), w.readframes(n)
+
+
+def _decode_pnm(data: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Binary netpbm: P5 (grayscale) / P6 (RGB, converted to luma)."""
+    import re
+
+    import numpy as np
+
+    # Header: magic, then 3 decimal tokens (w, h, maxval) separated by
+    # whitespace/comments, then ONE whitespace byte before the raster.
+    m = re.match(rb"(P[56])\s(?:\s*(?:#[^\n]*\n)?)*", data)
+    toks, pos = [], m.end(1)
+    while len(toks) < 3:
+        t = re.compile(rb"\s*(?:#[^\n]*\n\s*)*(\d+)").match(data, pos)
+        toks.append(int(t.group(1)))
+        pos = t.end()
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters are not supported")
+    raster = np.frombuffer(data, dtype=np.uint8, offset=pos + 1)
+    if m.group(1) == b"P5":
+        plane = raster[: w * h]
+    else:
+        rgb = raster[: w * h * 3].reshape(h, w, 3).astype(np.uint32)
+        plane = ((299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000).astype(np.uint8)
+    return "image", w, h, 0, 0, plane.tobytes()
+
+
+def _decode_bmp(data: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Uncompressed 24-bit BMP (BGR rows, 4-byte padded, bottom-up)."""
+    import numpy as np
+
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp, comp = struct.unpack_from("<HI", data, 28)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP is supported (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, offset=off, count=stride * h)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.uint32)
+    plane = ((299 * bgr[..., 2] + 587 * bgr[..., 1] + 114 * bgr[..., 0]) // 1000).astype(np.uint8)
+    if flip:
+        plane = plane[::-1]
+    return "image", w, h, 0, 0, plane.tobytes()
+
+
+def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Unified decode: (kind, width, height, n_frames, sample_rate,
+    payload). FAKM, WAV, PGM/PPM and 24-bit BMP decode for real;
+    anything else raises ``NotImplementedError`` naming the missing
+    dependency — the honest stub boundary for JPEG/PNG/MP4."""
+    data = bytes(data)
+    if data[:4] == _MAGIC:
+        return fakm_decode(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _decode_wav(data)
+    if data[:2] in (b"P5", b"P6"):
+        return _decode_pnm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    raise NotImplementedError(
+        "this format needs a real codec library (PIL for JPEG/PNG, libav "
+        "for video), which is not installed; WAV, PGM/PPM, 24-bit BMP and "
+        "the FAKM container decode natively"
+    )
+
+
+def _format_of(data: bytes) -> str:
+    data = bytes(data)
+    if data[:4] == _MAGIC:
+        return "fakm"
+    if data[:4] == b"RIFF":
+        return "wav"
+    if data[:2] in (b"P5", b"P6"):
+        return "pnm"
+    return "bmp"
+
+
 def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """Ingest a directory of media files via the ``binaryFile`` source.
 
@@ -122,6 +221,8 @@ def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame
 def decode_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
     """Populate ``kind`` + ``meta`` by decoding headers (mapInPandas).
 
+    Real codecs where stdlib suffices (WAV/PGM/PPM/BMP) + FAKM.
+
     Only headers are parsed — payload bytes pass through untouched, so
     the stage is CPU-light and keeps its input partitioning.
     """
@@ -134,9 +235,9 @@ def decode_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
         for pdf in batches:
             kinds, metas = [], []
             for data in pdf[data_col]:
-                kind, w, h, n, sr, _ = fakm_decode(bytes(data))
+                kind, w, h, n, sr, _ = decode_media(data)
                 kinds.append(kind)
-                metas.append({"format": "fakm", "width": w, "height": h, "n_frames": n, "sample_rate": sr})
+                metas.append({"format": _format_of(data), "width": w, "height": h, "n_frames": n, "sample_rate": sr})
             pdf = pdf.copy()
             pdf["kind"] = kinds
             pdf["meta"] = metas
@@ -170,7 +271,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             ids, datas = [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                kind, w, h, n, sr, payload = fakm_decode(bytes(data))
+                kind, w, h, n, sr, payload = decode_media(data)
                 if kind != "image":
                     continue
                 img = np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
@@ -210,7 +311,7 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                kind, w, h, n, sr, payload = fakm_decode(bytes(data))
+                kind, w, h, n, sr, payload = decode_media(data)
                 if kind != "video":
                     continue
                 plane = w * h
@@ -247,7 +348,7 @@ def extract_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                kind, w, h, n, sr, payload = fakm_decode(bytes(data))
+                kind, w, h, n, sr, payload = decode_media(data)
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
                 hist = np.histogram(arr, bins=n_bins, range=(0, 256))[0] if arr.size else np.zeros(n_bins)
                 feats = [float(arr.mean()) if arr.size else 0.0, float(arr.std()) if arr.size else 0.0]

@@ -76,3 +76,81 @@ def test_extract_features_exact(spark, media_dir):
     assert feats.features[0] == pytest.approx(sum(img) / 8)
     # histogram bins [0,64),[64,128),[128,192),[192,256]
     assert feats.features[2:] == [2, 2, 2, 2]
+
+
+@pytest.fixture()
+def real_media_dir(tmp_path):
+    """REAL formats, produced without any codec library: a stdlib WAV,
+    a binary PGM (with a header comment), and a bottom-up 24-bit BMP."""
+    import struct
+    import wave
+
+    d = tmp_path / "real"
+    d.mkdir()
+    # WAV: 8 mono 16-bit frames at 8 kHz.
+    with wave.open(str(d / "tone.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<8h", *range(0, 800, 100)))
+    # PGM: 3x2 grayscale, pixels 10..60.
+    (d / "gray.pgm").write_bytes(b"P5\n# a comment\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60]))
+    # BMP: 2x2 24-bit, bottom-up, stride padded to 8. Rows written
+    # bottom row first: bottom=(blue, green), top=(red, white).
+    px_bottom = bytes([255, 0, 0]) + bytes([0, 255, 0]) + b"\x00\x00"  # B,G + pad
+    px_top = bytes([0, 0, 255]) + bytes([255, 255, 255]) + b"\x00\x00"
+    pixels = px_bottom + px_top
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    )
+    (d / "tiny.bmp").write_bytes(header + pixels)
+    return str(d)
+
+
+def test_real_wav_decodes_via_stdlib(spark, real_media_dir):
+    df = mm.decode_meta(mm.read_media_dir(spark, real_media_dir, glob="*.wav"))
+    r = df.collect()[0]
+    assert r.kind == "audio"
+    assert r.meta.format == "wav"
+    assert r.meta.sample_rate == 8000 and r.meta.n_frames == 8
+
+
+def test_real_pgm_decodes_and_resizes(spark, real_media_dir):
+    df = mm.read_media_dir(spark, real_media_dir, glob="*.pgm")
+    meta = mm.decode_meta(df).collect()[0]
+    assert (meta.kind, meta.meta.format) == ("image", "pnm")
+    assert (meta.meta.width, meta.meta.height) == (3, 2)
+    out = mm.resize_images(df, width=1, height=1).collect()[0]
+    kind, w, h, n, sr, payload = mm.decode_media(out.data)
+    assert (w, h, payload) == (1, 1, bytes([10]))  # nearest = top-left
+
+
+def test_real_bmp_decodes_luma_and_flips(spark, real_media_dir):
+    df = mm.read_media_dir(spark, real_media_dir, glob="*.bmp")
+    meta = mm.decode_meta(df).collect()[0]
+    assert (meta.kind, meta.meta.format) == ("image", "bmp")
+    assert (meta.meta.width, meta.meta.height) == (2, 2)
+    # Direct decode: top row first after the bottom-up flip.
+    kind, w, h, n, sr, payload = mm.decode_media((df.collect()[0]).data)
+    # BT.601 luma: red=76 (299*255//1000... integer), white=255, blue=76? no:
+    # blue -> 114*255//... computed below from the formula directly.
+    top = [(299 * 255) // 1000, (299 * 255 + 587 * 255 + 114 * 255) // 1000]
+    bottom = [(114 * 255) // 1000, (587 * 255) // 1000]
+    assert list(payload) == top + bottom
+
+
+def test_real_features_on_wav(spark, real_media_dir):
+    df = mm.read_media_dir(spark, real_media_dir, glob="*.wav")
+    r = mm.extract_features(df).collect()[0]
+    assert r.kind == "audio" and r.n_bytes == 16  # 8 frames x 2 bytes
+
+
+def test_jpeg_still_raises_honest_stub(spark, tmp_path):
+    d = tmp_path / "jpg"
+    d.mkdir()
+    (d / "x.jpg").write_bytes(b"\xff\xd8\xff\xe0notreallyjpeg")
+    df = mm.read_media_dir(spark, str(d), glob="*.jpg")
+    with pytest.raises(Exception, match="codec library|NotImplemented"):
+        mm.decode_meta(df).collect()
