@@ -394,3 +394,26 @@ def test_user_ema_null_only_first_batch_seeds_with_first_value(spark, tmp_path):
     }
     assert u1[0].ema == pytest.approx(batch[1].ema, rel=1e-12)
     assert u2.ema == pytest.approx(batch[2].ema, rel=1e-12)
+
+
+def test_curation_funnel_stream_matches_batch(spark, tmp_path):
+    """The curation funnel is a stateless conditional aggregation, so
+    the SAME operator runs on a document stream (complete mode) — the
+    training-ingest shape: report gate survival as documents land."""
+    from skoltexter_by_ai_spark.operators.text_analysis import curation_funnel
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", d / "part-0.parquet")
+    batch_docs = load_table(spark, SF, "documents")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    )
+    out = streaming.run_to_memory(
+        curation_funnel(stream_docs, "source", "text", lang_col="lang"),
+        "t_funnel",
+        str(tmp_path / "ckpt"),
+        "complete",
+    )
+    batch = curation_funnel(batch_docs, "source", "text", lang_col="lang")
+    assert _rows(out, "source") == _rows(batch, "source")
