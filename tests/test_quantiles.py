@@ -523,3 +523,24 @@ def test_fused_happy_path_never_falls_back(spark):
     assert m[("A", 51.0)] == (51.0, 25.0)
     assert m[("B", 0.0)] == (4.5, 2.5)
     assert q.LAST_PASS_COUNTS == []  # fused really took the fused path
+
+
+def test_fused_constant_group_closes_in_window(spark):
+    """Mutation pin for the bucket-0 candidate boundary: a CONSTANT
+    group collapses both selection windows to a single bucket — bucket
+    id 0 — so any off-by-one that excludes the first bucket silently
+    degrades the whole fused pass to the generic fallback."""
+    import skoltexter_by_ai_spark.operators.quantiles as q
+
+    df = spark.createDataFrame(
+        [("A", 7.0)] * 20 + [("B", float(i)) for i in range(1, 11)],
+        "g string, v double",
+    )
+    q.LAST_PASS_COUNTS.clear()
+    rows = robust_zscore(df, "v", "g", fused=True).select(
+        "g", "v", "grp_median", "grp_mad", "robust_z"
+    ).collect()
+    m = {(r.g, r.v): (r.grp_median, r.grp_mad, r.robust_z) for r in rows}
+    assert m[("A", 7.0)] == (7.0, 0.0, None)  # zero MAD -> NULL z
+    assert m[("B", 3.0)] == (5.5, 2.5, -1.0)
+    assert q.LAST_PASS_COUNTS == []  # closed inside the seeded windows
