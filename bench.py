@@ -121,7 +121,12 @@ def main() -> None:
     full = dict(result, queries=timings, failures=failures or None)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        # BENCH_LOCAL.json is the committed sf0.1 record — don't let a
+        # smoke run at another scale factor clobber it; those go to a
+        # scale-suffixed file instead.
+        default_run = sf_dir.rstrip("/").endswith("sf0.1")
+        name = "BENCH_LOCAL.json" if default_run else f"BENCH_LOCAL_sf{_sf_from_dir(sf_dir)}.json"
+        with open(os.path.join(here, name), "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: the stdout line still carries everything

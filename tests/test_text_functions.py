@@ -523,3 +523,15 @@ def test_curation_funnel_no_lang_gate(spark):
     )
     r = curation_funnel(df, "source", "text").collect()[0]
     assert r.n_lang_ok == 1 and r.n_kept == 1  # lang gate skipped
+
+
+def test_boilerplate_share_single_pass_equals_join_path(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import boilerplate_share
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(map(tuple, boilerplate_share(docs, "doc_id", "text").collect()))
+    b = sorted(
+        map(tuple, boilerplate_share(docs, "doc_id", "text", single_pass=True).collect())
+    )
+    assert a and a == b
