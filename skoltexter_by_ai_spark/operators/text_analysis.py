@@ -629,3 +629,91 @@ def curation_funnel(
             F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6),
         )
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    end_marker: str = "</w>",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE tokenizer training: learn ``n_merges`` merge
+    rules from the corpus, exactly as the classic algorithm does —
+    repeatedly merge the most frequent adjacent symbol pair — but with
+    every counting pass distributed.
+
+    Returns the ordered merge table ``[(left, right, pair_count)]``;
+    ties break deterministically on (count desc, left, right), so the
+    result is reproducible on any cluster layout.
+
+    Scale posture: the loop never touches the corpus after ONE initial
+    aggregation. Real BPE trains on the WORD-FREQUENCY table, not the
+    raw text: the corpus aggregates once into (word, count) —
+    vocabulary-sized, the same state bound as x95 — and each of the
+    ``n_merges`` iterations is (a) an in-row zip_with pair expansion +
+    count-weighted aggregation over that table, (b) ONE (pair, count)
+    row collected to the driver (bounded: one row per iteration), and
+    (c) an in-row ``aggregate`` fold applying the merge left-to-right.
+    Symbol arrays are re-checkpointed every ``checkpoint_every``
+    iterations so lineage depth stays bounded. At open-web scale you
+    would feed this a sample — the algorithm is identical.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0: {n_merges}")
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").alias("__c"))
+        .select(
+            "__c",
+            F.concat(
+                F.split(F.col("__w"), ""), F.array(F.lit(end_marker))
+            ).alias("__sym"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        pairs = words.select(
+            "__c",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__sym"), 1, F.size("__sym") - 1),
+                    F.slice(F.col("__sym"), 2, F.size("__sym") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("__p"),
+        ).filter(F.size(F.col("__sym")) >= 2)
+        top = (
+            pairs.groupBy("__p")
+            .agg(F.sum("__c").alias("__n"))
+            .orderBy(F.desc("__n"), F.col("__p.l"), F.col("__p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["__p"]["l"], top[0]["__p"]["r"], top[0]["__n"]
+        merges.append((left, right, int(cnt)))
+        joined = left + right
+        # Left-to-right merge fold: append each symbol, replacing the
+        # accumulated tail when (tail, current) == (left, right). Pure
+        # JVM expression — no UDF.
+        sym = F.col("__sym")
+        folded = F.aggregate(
+            sym,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = words.select("__c", folded.alias("__sym"))
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges

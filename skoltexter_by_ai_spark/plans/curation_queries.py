@@ -733,3 +733,28 @@ def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "x108_bpe_merge_table",
+    # Distributed BPE tokenizer training (merge learning). Iterative
+    # with driver-bounded state (one (pair, count) row per round), so
+    # it is NOT SQL-expressible as one query — rows-only here; the
+    # REAL verification is tests/test_text_functions.py, which proves
+    # the learned merge sequence equals a pure-Python classic-BPE
+    # reference EXACTLY (tie-breaks included) on both a hand corpus
+    # and the sf0.001 fixture.
+    oracle=None,
+    covers="distributed BPE merge learning over the word-frequency table",
+    tags=("training", "text", "tokenizer"),
+    min_rows=6,
+)
+def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", 6)
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")

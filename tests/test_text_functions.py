@@ -535,3 +535,71 @@ def test_boilerplate_share_single_pass_equals_join_path(spark):
         map(tuple, boilerplate_share(docs, "doc_id", "text", single_pass=True).collect())
     )
     assert a and a == b
+
+
+def _ref_bpe(word_counts, n_merges, end="</w>"):
+    """Pure-Python classic BPE (the exact algorithm, driver-side)."""
+    words = {tuple(list(w) + [end]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r, cnt))
+        new = {}
+        for sym, c in words.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            t = tuple(out)
+            new[t] = new.get(t, 0) + c
+        words = new
+    return merges
+
+
+def test_learn_bpe_merges_matches_reference_exactly(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower lowest"), (2, "new newer newest new new")],
+        "doc_id long, text string",
+    )
+    counts = {}
+    for _, t in df.collect():
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    expect = _ref_bpe(counts, 8)
+    got = learn_bpe_merges(df, "text", 8)
+    assert got == expect
+
+
+def test_learn_bpe_merges_matches_reference_on_fixture(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    counts = {}
+    for r in docs.select("text").collect():
+        for w in r.text.split():
+            counts[w] = counts.get(w, 0) + 1
+    expect = _ref_bpe(counts, 6)
+    got = learn_bpe_merges(docs, "text", 6)
+    assert len(got) == 6 and got == expect
+
+
+def test_learn_bpe_merges_validates_and_handles_exhaustion(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe_merges(df, "text", -1)
+    # "ab</w>" has 2 mergeable pairs; asking for more stops early.
+    got = learn_bpe_merges(df, "text", 10)
+    assert [m[:2] for m in got] == [("a", "b"), ("ab", "</w>")]
