@@ -717,3 +717,76 @@ def learn_bpe_merges(
         if (i + 1) % checkpoint_every == 0:
             words = words.localCheckpoint()
     return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Apply a learned BPE merge table: segment each document into
+    subword tokens and report the piece count — token accounting under
+    the REAL tokenizer instead of the whitespace proxy.
+
+    Output: (``id_col``, ``n_pieces``, ``pieces`` array<string>).
+
+    Scale posture: a real merge table has 10^4–10^5 ranked rules, far
+    past what nested Column expressions can encode, so this is the one
+    place the BPE pair uses Python — an Arrow-batched ``mapInPandas``
+    stage (never row-at-a-time) carrying the broadcast-small ranks
+    dict. Narrow map-only pass, no shuffle; the standard
+    lowest-rank-first merge loop runs per distinct word in the batch
+    with a per-batch word cache (Zipf makes the cache hit rate high).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    out_schema = StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            StructField("n_pieces", LongType()),
+            StructField("pieces", ArrayType(StringType())),
+        ]
+    )
+
+    def seg_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        sym = list(word) + [end_marker]
+        while len(sym) > 1:
+            best, best_i = None, -1
+            for i in range(len(sym) - 1):
+                rk = ranks.get((sym[i], sym[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best, best_i = rk, i
+            if best is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        cache[word] = sym
+        return sym
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cache: dict = {}
+            ids, ns, pieces = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                out: list[str] = []
+                for w in (text or "").split():
+                    out.extend(seg_word(w, cache))
+                ids.append(did)
+                ns.append(len(out))
+                pieces.append(out)
+            yield pd.DataFrame({id_col: ids, "n_pieces": ns, "pieces": pieces})
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

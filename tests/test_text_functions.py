@@ -603,3 +603,50 @@ def test_learn_bpe_merges_validates_and_handles_exhaustion(spark):
     # "ab</w>" has 2 mergeable pairs; asking for more stops early.
     got = learn_bpe_merges(df, "text", 10)
     assert [m[:2] for m in got] == [("a", "b"), ("ab", "</w>")]
+
+
+def test_bpe_segment_matches_in_order_application(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        bpe_segment,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower lowest"), (2, "new newer newest new low")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(df, "text", 8)
+
+    def apply_in_order(text):
+        out = []
+        for w in text.split():
+            sym = list(w) + ["</w>"]
+            for l, r, _ in merges:
+                i, new = 0, []
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(sym[i])
+                        i += 1
+                sym = new
+            out.extend(sym)
+        return out
+
+    got = {r.doc_id: (r.n_pieces, list(r.pieces)) for r in bpe_segment(df, "doc_id", "text", merges).collect()}
+    for did, text in df.collect():
+        expect = apply_in_order(text)
+        assert got[did] == (len(expect), expect), did
+    # Learned-vocab accounting really compresses vs characters.
+    assert all(n < len(t.replace(" ", "")) for (n, _), (_, t) in zip(got.values(), df.collect()))
+
+
+def test_bpe_segment_empty_and_unknown_tokens(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import bpe_segment
+
+    df = spark.createDataFrame([(1, ""), (2, "zzz")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in bpe_segment(df, "doc_id", "text", [("a", "b", 1)]).collect()}
+    assert rows[1].n_pieces == 0 and list(rows[1].pieces) == []
+    # No applicable merge: falls back to characters + end marker.
+    assert list(rows[2].pieces) == ["z", "z", "z", "</w>"]
