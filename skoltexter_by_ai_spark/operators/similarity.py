@@ -165,6 +165,31 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id as :func:`lsh_bucket`, computed with one
+    numpy GEMM per Arrow batch instead of ``len(planes)`` interpreted
+    higher-order dot products per row (measured ~40x on the
+    near-dup path; same rationale as ``embedding_near_dups``'s
+    multi-table variant). float64 both sides, ``>= 0`` sign
+    convention identical to :func:`lsh_bucket`.
+    """
+    from pyspark.sql.types import LongType
+
+    n_planes = len(planes)
+
+    @F.pandas_udf(LongType())
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes_m = np.asarray(planes, dtype=np.float64)  # (P, dim)
+        mat = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        signs = (mat @ planes_m.T) >= 0.0  # (rows, P)
+        weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    return bucket_of(vec_col)
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.8,
@@ -397,11 +422,14 @@ def lsh_ann_topk(
     making the prefilter a partition-pruned scan instead of a full pass.
     """
     planes = hyperplanes(dim, n_planes, seed)
-    corpus = embeddings.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    # GEMM bucketing on BOTH sides — the same float64 arithmetic must
+    # assign the query and the corpus their buckets, or a plane dot
+    # near zero could land the two formulations on different sides.
+    corpus = embeddings.withColumn("__bucket", lsh_bucket_gemm(F.col(vec_col), planes))
     q = query.select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("__qbucket"),
+        lsh_bucket_gemm(F.col(vec_col), planes).alias("__qbucket"),
     )
     return (
         corpus.join(F.broadcast(q))
