@@ -46,8 +46,11 @@ def tokens(col: Column | str) -> Column:
     return F.array_remove(F.split(trimmed, r"\s+"), "")
 
 
-def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
-    """Distinct n-word shingles (space-joined) of a token ARRAY column.
+def shingles_from_tokens(toks: Column, n: int = 2, distinct: bool = True) -> Column:
+    """n-word shingles (space-joined) of a token ARRAY column —
+    distinct by default; ``distinct=False`` keeps every POSITION's
+    shingle (one per token-window), for span-level operators that
+    count repeated positions rather than set membership.
 
     Built by ``zip_with``-ing the token array against shifted slices of
     itself (one slice per extra gram word), then truncating the
@@ -68,7 +71,8 @@ def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
         # skips NULLs, leaving partial grams in the tail — truncated below.
         grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws(" ", x, y))
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.array_distinct(F.slice(grams, F.lit(1), k))
+    sliced = F.slice(grams, F.lit(1), k)
+    return F.array_distinct(sliced) if distinct else sliced
 
 
 def word_shingles(col: Column | str, n: int = 2) -> Column:

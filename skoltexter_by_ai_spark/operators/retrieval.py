@@ -136,3 +136,57 @@ def unigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]],
+    id_col: str,
+    rrf_k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of bounded ranked lists — the standard
+    hybrid-retrieval combiner (keyword BM25 + embedding cosine, or any
+    N retrievers): ``rrf(d) = Σ_r 1 / (rrf_k + rank_r(d))`` over the
+    rankings that contain ``d`` (Cormack et al., SIGIR 2009 — public
+    formulation; rrf_k=60 is the conventional constant).
+
+    ``rankings`` is a list of ``(df, score_col, rank_name)``; each
+    frame is a retriever's candidate list carrying ``id_col`` and a
+    score. Ranks are assigned here as ``row_number`` over
+    ``(score desc, id)`` so ties are deterministic and the fusion is
+    engine-reproducible. Output: ``(id_col, <rank_name>..., rrf_score)``
+    top ``top_k`` by ``(rrf_score desc, id)``; absent-from-a-list
+    contributes 0 and keeps a NULL rank.
+
+    Scale posture: inputs are top-k candidate lists by contract —
+    bounded, usually already on the driver's side of a
+    TakeOrderedAndProject — so the unpartitioned ``row_number`` window
+    and the full-outer joins all operate on k-sized frames. The
+    retrievers bound the work; fusion never touches the corpus.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    from pyspark.sql.window import Window
+
+    fused: DataFrame | None = None
+    rank_names: list[str] = []
+    for df, score_col, rank_name in rankings:
+        if rank_name in rank_names:
+            raise ValueError(f"duplicate rank_name {rank_name!r}")
+        rank_names.append(rank_name)
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        r = df.select(F.col(id_col), F.row_number().over(w).alias(rank_name))
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    score: F.Column | None = None
+    for rank_name in rank_names:
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_name)), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    return (
+        fused.select(id_col, *rank_names, F.round(score, 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), id_col)
+        .limit(top_k)
+    )

@@ -12,7 +12,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from skoltexter_by_ai_spark.operators.dedup import normalized_text, tokens, word_shingles
+from skoltexter_by_ai_spark.operators.dedup import (
+    normalized_text,
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Ordered dict ⇒ deterministic tie-breaking (first language wins ties).
@@ -834,3 +839,135 @@ def bpe_segment(
             yield pd.DataFrame({id_col: ids, "n_pieces": ns, "pieces": pieces})
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span share: the fraction of a document's
+    token POSITIONS whose ``n``-gram also occurs in at least
+    ``min_docs`` distinct documents (itself included).
+
+    The positional companion to :func:`boilerplate_share` (which is
+    set-valued over distinct shingles): this is the signal behind
+    span-level dedup of training corpora — "what fraction of this
+    document is text that literally repeats across documents" — à la
+    the exact-substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), with fixed-width
+    n-grams standing in for suffix-array maximal matches so the whole
+    computation stays one linear DataFrame pipeline.
+
+    Output: ``(id_col, n_spans, n_dup_spans, dup_share)``; documents
+    with fewer than ``n`` tokens have 0 spans and share 0.0.
+
+    Scale posture: text projects to (id, positional shingle) and never
+    shuffles again. Cross-document frequency needs DISTINCT docs per
+    shingle (a doc repeating its own n-gram must not self-promote), so
+    the stream dedupes on (shingle, doc) — one shuffle, then a
+    count per shingle with map-side partials. The positional stream
+    joins the >= min_docs shingle set on the shingle key (no forced
+    broadcast; AQE broadcasts when genuinely small) and re-aggregates
+    per document. Linear end to end; state bounded by the shingle
+    vocabulary.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1: {min_docs}")
+    sh = shingles_from_tokens(tokens(text_col), n, distinct=False)
+    base = df.select(F.col(id_col), sh.alias("__shs"))
+    pos = base.select(id_col, F.explode("__shs").alias("__sh"))
+    hot = (
+        pos.select("__sh", id_col)
+        .distinct()
+        .groupBy("__sh")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__sh")
+    )
+    dup = pos.join(hot, "__sh").groupBy(id_col).agg(
+        F.count("*").alias("__ndup")
+    )
+    return (
+        base.select(id_col, F.size("__shs").alias("__n"))
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.col("__n").cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("__ndup"), F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            F.round(
+                F.when(
+                    F.col("__n") > 0,
+                    F.coalesce(F.col("__ndup"), F.lit(0)) / F.col("__n"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_share"),
+        )
+    )
+
+
+def vocab_weight_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    bias: float = 0.0,
+) -> DataFrame:
+    """Linear bag-of-words quality classifier with a fixed vocabulary
+    weight table — the fastText-shaped filter of training-data
+    pipelines (CCNet / GPT-3-style "quality classifier") reduced to
+    its deterministic core: ``score = bias + (Σ_t tf(t)·w(t)) / |d|``
+    over the weighted vocabulary, ``prob = σ(score)``.
+
+    Output: ``(id_col, n_tokens, score, prob, label)`` — score/prob
+    rounded to 6, ``label = 1`` iff prob >= 0.5 (tokenless documents
+    score exactly ``bias``). Weights are data, not code: swap the
+    table, keep the plan.
+
+    Scale posture: the token stream filters to weighted terms INSIDE
+    the token array (``F.filter``) before exploding, so only vocabulary
+    hits reach the one (doc, term) aggregation shuffle; the weight
+    table is len(weights) rows and broadcast. One final (doc) rollup.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    spark = df.sparkSession
+    term_arr = F.array(*[F.lit(t) for t in weights])
+    w_tbl = F.broadcast(
+        spark.createDataFrame(
+            list(weights.items()), "__term string, __w double"
+        )
+    )
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__dl"),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("__hits"),
+    )
+    raw = (
+        base.filter(F.size("__hits") > 0)
+        .select(id_col, "__dl", F.explode("__hits").alias("__term"))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count("*").alias("__tf"))
+        .join(w_tbl, "__term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__tf") * F.col("__w")).alias("__raw"))
+    )
+    score = F.lit(float(bias)) + F.when(
+        F.col("__dl") > 0, F.coalesce(F.col("__raw"), F.lit(0.0)) / F.col("__dl")
+    ).otherwise(F.lit(0.0))
+    return base.select(id_col, "__dl").join(raw, id_col, "left").select(
+        id_col,
+        F.col("__dl").cast("bigint").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
+        F.when(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) >= 0.5, F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("label"),
+    )

@@ -758,3 +758,121 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count bigint"
     ).orderBy("rank")
+
+
+@register(
+    "x110_duplicate_spans",
+    # Span-level dedup signal: fraction of each document's token
+    # POSITIONS whose 5-gram occurs in >= 2 distinct documents —
+    # positional (non-distinct) shingles, cross-document frequency by
+    # DISTINCT doc so self-repetition never promotes a span.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 0)),
+                       i -> array_to_string(toks[i:i+4], ' ')) AS shs
+            FROM t
+        ),
+        pos AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+        hot AS (
+            SELECT sh FROM (
+                SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY 1
+            ) WHERE nd >= 2
+        ),
+        dup AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ndup
+            FROM pos JOIN hot USING (sh) GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(len(shs) AS BIGINT) AS n_spans,
+               CAST(COALESCE(ndup, 0) AS BIGINT) AS n_dup_spans,
+               ROUND(CASE WHEN len(shs) > 0
+                          THEN COALESCE(ndup, 0) * CAST(1.0 AS DOUBLE) / len(shs)
+                          ELSE 0.0 END, 6) AS dup_share
+        FROM s LEFT JOIN dup USING (doc_id)
+        ORDER BY doc_id
+    """,
+    covers="duplicated-span share: positional n-gram cross-document repetition (span-level dedup signal)",
+    tags=("training", "curation", "dedup", "text"),
+    min_rows=400,
+)
+def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2).orderBy(
+        "doc_id"
+    )
+
+
+# Exact-binary weights: every tf*w product and their per-document sum
+# are exact in IEEE double regardless of aggregation order, so the
+# score is bit-identical across engines and partitionings.
+_X111_WEIGHTS = {
+    "spark": 2.0,
+    "fast": 1.0,
+    "window": 1.5,
+    "slow": -2.0,
+    "batch": -0.5,
+    "the": -1.0,
+}
+
+
+@register(
+    "x111_vocab_classifier",
+    # fastText-shaped linear quality classifier: per-document
+    # score = (sum tf(t)*w(t)) / n_tokens over a fixed weight
+    # vocabulary, prob = sigmoid(score), label = prob >= 0.5.
+    # Weights are exact binary fractions (see _X111_WEIGHTS) so the
+    # float pipeline is deterministic before the final round.
+    oracle=f"""
+        WITH w(term, w) AS (VALUES
+            ('spark', CAST(2.0 AS DOUBLE)), ('fast', CAST(1.0 AS DOUBLE)),
+            ('window', CAST(1.5 AS DOUBLE)), ('slow', CAST(-2.0 AS DOUBLE)),
+            ('batch', CAST(-0.5 AS DOUBLE)), ('the', CAST(-1.0 AS DOUBLE))
+        ),
+        d AS (
+            SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            WHERE term IN ('spark', 'fast', 'window', 'slow', 'batch', 'the')
+            GROUP BY 1, 2
+        ),
+        raw AS (
+            SELECT doc_id, SUM(tf * w) AS raw
+            FROM tf JOIN w USING (term) GROUP BY 1
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(0.0 AS DOUBLE) + CASE WHEN len(toks) > 0
+                        THEN COALESCE(raw, 0.0) / len(toks)
+                        ELSE 0.0 END AS s
+            FROM d LEFT JOIN raw USING (doc_id)
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(s, 6) AS score,
+               ROUND(CAST(1.0 AS DOUBLE) / (1.0 + EXP(-s)), 6) AS prob,
+               CAST(CASE WHEN CAST(1.0 AS DOUBLE) / (1.0 + EXP(-s)) >= 0.5
+                         THEN 1 ELSE 0 END AS INT) AS label
+        FROM scored
+        ORDER BY doc_id
+    """,
+    covers="linear bag-of-words quality classifier over a fixed weight vocabulary (fastText-shaped filter)",
+    tags=("training", "curation", "text"),
+    min_rows=400,
+)
+def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        vocab_weight_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_weight_classifier(
+        docs, "doc_id", "text", _X111_WEIGHTS, bias=0.0
+    ).orderBy("doc_id")

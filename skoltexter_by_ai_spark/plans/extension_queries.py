@@ -1462,3 +1462,103 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x109_hybrid_rrf",
+    # Hybrid retrieval: BM25 keyword top-20 (x98's scoring, same
+    # constants) fused with embedding-cosine top-20 (query = vec_id 0,
+    # x13's cosine conventions) by reciprocal rank fusion,
+    # rrf = sum over lists of 1/(60 + rank). Ranks are row_number over
+    # (score desc, id) in both engines; absent-from-a-list keeps a
+    # NULL rank and contributes 0. doc_id/vec_id share an id space by
+    # fixture construction (document embeddings).
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   AVG(CAST(len(toks) AS DOUBLE)) AS avgdl
+            FROM d
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                         unnest(toks) AS term FROM d)
+            WHERE term IN ('spark', 'hash', 'vector', 'window')
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM tf GROUP BY 1),
+        bm AS (
+            SELECT doc_id,
+                   ROUND(SUM(
+                       LN((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN s
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        ),
+        bmr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+                       AS rank_bm25
+            FROM bm
+        ),
+        q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ),
+        e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        cs AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(
+                       list_aggregate(list_transform(generate_series(1, len(ev)),
+                                                     i -> ev[i] * qv[i]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum'))
+                          * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))),
+                       6) AS cos_sim
+            FROM e, q
+            ORDER BY cos_sim DESC, doc_id
+            LIMIT 20
+        ),
+        csr AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+                       AS rank_cos
+            FROM cs
+        )
+        SELECT doc_id, rank_bm25, rank_cos,
+               ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_bm25), 0.0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_cos), 0.0),
+                     6) AS rrf_score
+        FROM bmr FULL JOIN csr USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10
+    """,
+    covers="hybrid retrieval: reciprocal-rank fusion of BM25 and embedding-cosine candidate lists",
+    tags=("text", "search", "similarity"),
+    min_rows=10,
+)
+def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = retrieval.bm25_topk(
+        docs, "doc_id", "text", list(_BM25_TERMS), top_k=20
+    )
+    cos = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).withColumnRenamed("vec_id", "doc_id")
+    return retrieval.rrf_fuse(
+        [(bm, "score", "rank_bm25"), (cos, "cos_sim", "rank_cos")],
+        "doc_id",
+        rrf_k=60,
+        top_k=10,
+    )

@@ -421,6 +421,7 @@ _INTENTIONAL_NESTED_LOOP = {
     "x99_unigram_logprob",      # broadcast 1-row token-total scalar
     "x100_temperature_mix",     # broadcast 1-row n_min scalar onto source counts
     "x103_source_divergence",   # broadcast 1-row corpus-total scalar
+    "x109_hybrid_rrf",          # composes x98's stats scalar + x05's query vector
 }
 
 

@@ -62,3 +62,50 @@ def test_unigram_logprob_exact(spark):
     assert 3 not in rows
     # The all-common doc is more "typical" than the one with the rare token.
     assert rows[2].mean_logprob > rows[1].mean_logprob
+
+
+def test_rrf_fuse_exact_fusion_and_null_ranks(spark):
+    from skoltexter_by_ai_spark.operators.retrieval import rrf_fuse
+
+    # List A ranks: 10 (0.9), 20 (0.8), 30 (0.7); list B: 20 (0.99),
+    # 40 (0.5). Doc 20 is in both; 10/30 only in A; 40 only in B.
+    a = spark.createDataFrame(
+        [(10, 0.9), (20, 0.8), (30, 0.7)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame([(20, 0.99), (40, 0.5)], "doc_id long, s double")
+    rows = {
+        r.doc_id: r
+        for r in rrf_fuse(
+            [(a, "s", "rank_a"), (b, "s", "rank_b")], "doc_id", rrf_k=60, top_k=10
+        ).collect()
+    }
+    assert rows[20].rank_a == 2 and rows[20].rank_b == 1
+    assert rows[20].rrf_score == round(1 / 62 + 1 / 61, 6)
+    assert rows[10].rank_a == 1 and rows[10].rank_b is None
+    assert rows[10].rrf_score == round(1 / 61, 6)
+    assert rows[40].rank_a is None and rows[40].rank_b == 2
+    # Doc 20 (two lists) beats every single-list doc.
+    ordered = rrf_fuse(
+        [(a, "s", "rank_a"), (b, "s", "rank_b")], "doc_id"
+    ).collect()
+    assert ordered[0].doc_id == 20
+
+
+def test_rrf_fuse_score_ties_break_on_id_and_topk_caps(spark):
+    from skoltexter_by_ai_spark.operators.retrieval import rrf_fuse
+
+    # Equal scores: ranks assigned by (score desc, id), so id 1 gets
+    # rank 1. Two docs with the same single-list rank in different
+    # lists tie on rrf_score and order by id.
+    a = spark.createDataFrame([(1, 0.5), (2, 0.5)], "doc_id long, s double")
+    b = spark.createDataFrame([(9, 0.5)], "doc_id long, s double")
+    out = rrf_fuse([(a, "s", "ra"), (b, "s", "rb")], "doc_id", top_k=2).collect()
+    assert [r.doc_id for r in out] == [1, 9]  # both 1/61; 2 is 1/62
+    assert out[0].ra == 1 and out[1].rb == 1
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], "doc_id")
+    with pytest.raises(ValueError, match="duplicate rank_name"):
+        rrf_fuse([(a, "s", "r"), (b, "s", "r")], "doc_id")
+    with pytest.raises(ValueError, match="top_k"):
+        rrf_fuse([(a, "s", "r")], "doc_id", top_k=0)

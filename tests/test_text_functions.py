@@ -650,3 +650,88 @@ def test_bpe_segment_empty_and_unknown_tokens(spark):
     assert rows[1].n_pieces == 0 and list(rows[1].pieces) == []
     # No applicable merge: falls back to characters + end marker.
     assert list(rows[2].pieces) == ["z", "z", "z", "</w>"]
+
+
+def test_duplicate_spans_positional_and_cross_doc_only(spark):
+    from skoltexter_by_ai_spark.operators.text_analysis import duplicate_spans
+
+    # Docs 1 and 2 share the 3-gram "a b c" (cross-doc duplicate).
+    # Doc 3 repeats its OWN 3-gram "x y z" twice — self-repetition
+    # must not count (distinct-doc frequency is 1). Doc 4 is too short
+    # for any 3-gram.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # spans: "a b c", "b c d"
+            (2, "z a b c"),          # spans: "z a b", "a b c"
+            (3, "x y z x y z"),      # spans: x y z, y z x, z x y, x y z
+            (4, "q w"),              # no 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in duplicate_spans(df, "doc_id", "text", n=3, min_docs=2).collect()
+    }
+    assert (rows[1].n_spans, rows[1].n_dup_spans) == (2, 1)
+    assert rows[1].dup_share == 0.5
+    assert (rows[2].n_spans, rows[2].n_dup_spans) == (2, 1)
+    assert (rows[3].n_spans, rows[3].n_dup_spans) == (4, 0)
+    assert (rows[4].n_spans, rows[4].n_dup_spans, rows[4].dup_share) == (0, 0, 0.0)
+
+    # Positional counting: a doc containing the shared span TWICE
+    # counts both positions.
+    df2 = spark.createDataFrame(
+        [(1, "a b c q a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    r1 = {
+        r.doc_id: r
+        for r in duplicate_spans(df2, "doc_id", "text", n=3, min_docs=2).collect()
+    }[1]
+    assert (r1.n_spans, r1.n_dup_spans) == (5, 2)
+
+    with pytest.raises(ValueError, match="n must"):
+        duplicate_spans(df, "doc_id", "text", n=0)
+    with pytest.raises(ValueError, match="min_docs"):
+        duplicate_spans(df, "doc_id", "text", min_docs=0)
+
+
+def test_vocab_weight_classifier_exact_scores(spark):
+    import math
+
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        vocab_weight_classifier,
+    )
+
+    w = {"good": 2.0, "bad": -1.0}
+    df = spark.createDataFrame(
+        [
+            (1, "good good bad x"),  # raw = 2*2 - 1 = 3, dl 4 -> s 0.75
+            (2, "bad bad"),          # raw = -2, dl 2 -> s -1.0
+            (3, "x y"),              # no hits -> s 0.0, prob 0.5, label 1
+            (4, ""),                 # tokenless -> s = bias
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in vocab_weight_classifier(df, "doc_id", "text", w).collect()
+    }
+    assert rows[1].n_tokens == 4 and rows[1].score == 0.75
+    assert rows[1].prob == round(1 / (1 + math.exp(-0.75)), 6)
+    assert rows[1].label == 1
+    assert rows[2].score == -1.0 and rows[2].label == 0
+    assert rows[3].score == 0.0 and rows[3].prob == 0.5 and rows[3].label == 1
+    assert rows[4].n_tokens == 0 and rows[4].score == 0.0
+
+    # Bias shifts the tokenless / no-hit score.
+    r4 = {
+        r.doc_id: r
+        for r in vocab_weight_classifier(
+            df, "doc_id", "text", w, bias=-0.5
+        ).collect()
+    }
+    assert r4[4].score == -0.5 and r4[4].label == 0
+    assert r4[1].score == 0.25
+
+    with pytest.raises(ValueError, match="non-empty"):
+        vocab_weight_classifier(df, "doc_id", "text", {})
