@@ -80,11 +80,14 @@ def word_shingles(col: Column | str, n: int = 2) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
-def _spread(df: DataFrame, key_col: str) -> DataFrame:
+def _spread(df: DataFrame, key_col: str | None) -> DataFrame:
     """Repartition by ``key_col`` iff the input parallelism is below the
     session's — i.e. only when the scan produced too few splits (one
     small/unsplittable file) to feed every core of the CPU-heavy
-    tokenize/shingle stages that follow.
+    tokenize/shingle stages that follow. ``key_col=None`` spreads
+    round-robin — for callers whose natural key is a low-cardinality
+    dimension (a handful of sources would occupy a handful of
+    partitions) and whose downstream shuffle keys differ anyway.
 
     At scale this is a no-op: a 100 TB corpus scans as thousands of
     splits, and shuffling full document text would be the single most
@@ -98,7 +101,7 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= min(target, 8):
         return df
     num = int(spark.conf.get("spark.sql.shuffle.partitions", str(target)))
-    return df.repartition(num, key_col)
+    return df.repartition(num) if key_col is None else df.repartition(num, key_col)
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from skoltexter_by_ai_spark.operators.dedup import (
+    _spread,
     normalized_text,
     shingles_from_tokens,
     tokens,
@@ -257,7 +258,7 @@ def token_vocabulary(
     """
     if min_tf < 1:
         raise ValueError(f"min_tf must be >= 1: {min_tf}")
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
     )
     # Pin ONE materialization of the heavy corpus aggregation: the
@@ -379,7 +380,9 @@ def boilerplate_share(
     sh = word_shingles(F.col(text_col), n)
     if hash_shingles:
         sh = F.transform(sh, lambda s: F.xxhash64(s))
-    base = df.select(F.col(id_col), sh.alias("__shs"))
+    # _spread: parallelize tokenize/shingle when the scan under-splits
+    # (tiny files); a no-op on any real multi-split corpus.
+    base = _spread(df, id_col).select(F.col(id_col), sh.alias("__shs"))
     occ = base.select(id_col, F.explode("__shs").alias("__sh"))
     if single_pass:
         probe = occ.withColumn(
@@ -462,7 +465,10 @@ def source_shingle_overlap(
     shuffles; no doc×doc or shingle×shingle product anywhere.
     """
     d = (
-        df.select(F.col(group_col).alias("__g"), word_shingles(F.col(text_col), n).alias("__shs"))
+        # Round-robin spread: the group key is a low-cardinality
+        # dimension, and the downstream keys are (group, shingle).
+        _spread(df, None)
+        .select(F.col(group_col).alias("__g"), word_shingles(F.col(text_col), n).alias("__shs"))
         .select("__g", F.explode("__shs").alias("__sh"))
         .distinct()
     )
@@ -883,7 +889,10 @@ def duplicate_spans(
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1: {min_docs}")
     sh = shingles_from_tokens(tokens(text_col), n, distinct=False)
-    base = df.select(F.col(id_col), sh.alias("__shs"))
+    # _spread: parallelize the CPU-heavy tokenize/shingle stage when the
+    # scan produced fewer splits than cores (tiny/unsplittable files);
+    # a no-op on any real multi-split corpus.
+    base = _spread(df, id_col).select(F.col(id_col), sh.alias("__shs"))
     pos = base.select(id_col, F.explode("__shs").alias("__sh"))
     if min_docs <= 2:
         # Count the NON-duplicated positions instead of the duplicated
@@ -974,7 +983,9 @@ def vocab_weight_classifier(
         )
     )
     toks = tokens(text_col)
-    base = df.select(
+    # _spread: parallelize the tokenize/filter stage when the scan
+    # under-splits (tiny files); a no-op on a real multi-split corpus.
+    base = _spread(df, id_col).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("__dl"),
         F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("__hits"),

@@ -154,6 +154,20 @@ def test_lsh_bucket_matches_python_oracle(spark):
     assert len(set(got.values())) > 1
 
 
+def test_lsh_bucket_gemm_equals_column_formulation(spark, sf_dir):
+    """The Arrow/GEMM bucketing must assign the SAME bucket as the
+    pure-Column formulation on every fixture vector: lsh_ann_topk's
+    candidate set depends on the two arithmetic paths (numpy float64
+    GEMM vs codegen'd fold) agreeing on every sign bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = similarity.hyperplanes(64, 12, seed=42)
+    mism = emb.select(
+        similarity.lsh_bucket(F.col("embedding"), planes).alias("b1"),
+        similarity.lsh_bucket_gemm(F.col("embedding"), planes).alias("b2"),
+    ).filter(F.col("b1") != F.col("b2"))
+    assert mism.count() == 0
+
+
 def test_hyperplanes_deterministic():
     a = similarity.hyperplanes(8, 4, seed=1)
     b = similarity.hyperplanes(8, 4, seed=1)
