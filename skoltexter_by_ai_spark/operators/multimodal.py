@@ -11,12 +11,14 @@ extension for training-data pipelines. Design:
   glob + file pruning; at 100 TB the listing is partitioned by the
   directory layout);
 - decode is pluggable behind :func:`decode_media`: WAV, netpbm
-  PGM/PPM and uncompressed 24-bit BMP decode FOR REAL via the
-  stdlib/numpy (no PIL needed), the deterministic pure-numpy "FAKM"
+  PGM/PPM, uncompressed 24-bit BMP and 8-bit non-interlaced PNG
+  (DEFLATE via stdlib ``zlib`` + the five scanline filters) decode
+  FOR REAL with no PIL needed, the deterministic pure-numpy "FAKM"
   container exercises the plumbing in tests, and formats that
-  genuinely need an external codec (JPEG/PNG/MP4 — PIL/libav are
-  absent from this container) raise ``NotImplementedError`` with a
-  clear message — the Spark-side dataflow is identical either way.
+  genuinely need an external codec (JPEG/MP4 — PIL/libav are absent
+  from this container, plus palette/16-bit/Adam7 PNG) raise
+  ``NotImplementedError`` with a clear message — the Spark-side
+  dataflow is identical either way.
 
 Every operator is DataFrame-in / DataFrame-out and keeps the binary
 payload out of shuffles where possible (metadata-only projections).
@@ -168,11 +170,99 @@ def _decode_bmp(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     return "image", w, h, 0, 0, plane.tobytes()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) via
+    stdlib ``zlib`` — DEFLATE inflate + the five scanline filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9). Sub/None/Up unfilter
+    vectorized (Sub is a per-channel cumsum mod 256); Average/Paeth
+    carry a left-neighbour dependency and run a per-pixel loop — fine
+    for contract-scale rasters, install PIL for bulk production decode.
+    Palette, 16-bit and Adam7-interlaced stay ``NotImplementedError``.
+    """
+    import zlib
+
+    import numpy as np
+
+    pos, idat = 8, []
+    w = h = bitd = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise NotImplementedError("truncated PNG (no IHDR/IDAT)")
+    if bitd != 8:
+        raise NotImplementedError(f"only 8-bit PNG is supported (bit depth {bitd})")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG is not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"palette PNG (color type {ctype}) is not supported")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise NotImplementedError("PNG raster size mismatch (corrupt stream?)")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        f, row = int(raw[y, 0]), raw[y, 1:]
+        prior = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            for c in range(channels):
+                out[y, c::channels] = np.cumsum(
+                    row[c::channels], dtype=np.uint64
+                ).astype(np.uint8)
+        elif f == 2:  # Up
+            out[y] = row + prior  # uint8 wraps mod 256
+        elif f == 3:  # Average — left dependency, sequential
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (int(row[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — left dependency, sequential
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prior[x])
+                c = int(prior[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+    px = out.reshape(h, w, channels)
+    if ctype == 0:
+        plane = px[..., 0]
+    elif ctype == 4:  # gray + alpha: keep the gray channel
+        plane = px[..., 0]
+    else:  # RGB / RGBA: integer BT.601 luma, alpha ignored
+        rgb = px[..., :3].astype(np.uint32)
+        plane = (
+            (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+        ).astype(np.uint8)
+    return "image", w, h, 0, 0, plane.tobytes()
+
+
 def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Unified decode: (kind, width, height, n_frames, sample_rate,
-    payload). FAKM, WAV, PGM/PPM and 24-bit BMP decode for real;
-    anything else raises ``NotImplementedError`` naming the missing
-    dependency — the honest stub boundary for JPEG/PNG/MP4."""
+    payload). FAKM, WAV, PGM/PPM, 24-bit BMP and 8-bit non-interlaced
+    PNG decode for real; anything else raises ``NotImplementedError``
+    naming the missing dependency — the honest stub boundary for
+    JPEG/MP4 (and the exotic PNG variants)."""
     data = bytes(data)
     if data[:4] == _MAGIC:
         return fakm_decode(data)
@@ -182,10 +272,12 @@ def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         return _decode_pnm(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:8] == _PNG_MAGIC:
+        return _decode_png(data)
     raise NotImplementedError(
-        "this format needs a real codec library (PIL for JPEG/PNG, libav "
-        "for video), which is not installed; WAV, PGM/PPM, 24-bit BMP and "
-        "the FAKM container decode natively"
+        "this format needs a real codec library (PIL for JPEG, libav "
+        "for video), which is not installed; WAV, PGM/PPM, 24-bit BMP, "
+        "8-bit non-interlaced PNG and the FAKM container decode natively"
     )
 
 
@@ -197,6 +289,8 @@ def _format_of(data: bytes) -> str:
         return "wav"
     if data[:2] in (b"P5", b"P6"):
         return "pnm"
+    if data[:8] == _PNG_MAGIC:
+        return "png"
     return "bmp"
 
 

@@ -154,3 +154,123 @@ def test_jpeg_still_raises_honest_stub(spark, tmp_path):
     df = mm.read_media_dir(spark, str(d), glob="*.jpg")
     with pytest.raises(Exception, match="codec library|NotImplemented"):
         mm.decode_meta(df).collect()
+
+
+def _png_bytes(w, h, channels, pixels, filters):
+    """Minimal PNG encoder for the contract tests: one IDAT, caller
+    picks each row's filter type (exercising the decoder's unfilter
+    paths). `pixels` is a bytes raster of h*w*channels."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    stride = w * channels
+    rows = [pixels[y * stride : (y + 1) * stride] for y in range(h)]
+    out = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        f = filters[y]
+        enc = bytearray()
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc.append((row[x] - pred) & 0xFF)
+        out.append(f)
+        out.extend(enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_all_filter_types_roundtrip():
+    # 4x5 grayscale with varied values; one row per filter type 0-4.
+    import random
+
+    rng = random.Random(7)
+    raster = bytes(rng.randrange(256) for _ in range(4 * 5))
+    data = _png_bytes(4, 5, 1, raster, filters=[0, 1, 2, 3, 4])
+    kind, w, h, n, sr, payload = mm.decode_media(data)
+    assert (kind, w, h) == ("image", 4, 5)
+    assert payload == raster
+
+
+def test_real_png_rgb_and_rgba_luma():
+    # 2x2 RGB: red, green / blue, white -> BT.601 integer luma.
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    data = _png_bytes(2, 2, 3, rgb, filters=[4, 3])
+    kind, w, h, n, sr, payload = mm.decode_media(data)
+    assert payload == bytes([299 * 255 // 1000, 587 * 255 // 1000,
+                             114 * 255 // 1000, 255])
+    # RGBA: alpha ignored; same luma.
+    rgba = bytes([255, 0, 0, 9, 0, 255, 0, 9, 0, 0, 255, 9, 255, 255, 255, 9])
+    data = _png_bytes(2, 2, 4, rgba, filters=[1, 2])
+    assert mm.decode_media(data)[5] == payload
+
+
+def test_real_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import pytest
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    # Interlaced flag set.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm.decode_media(png)
+    # Palette color type.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="palette"):
+        mm.decode_media(png)
+
+
+def test_real_png_through_spark_pipeline(spark, tmp_path):
+    d = tmp_path / "pngs"
+    d.mkdir()
+    raster = bytes(range(12))  # 4x3 gradient
+    (d / "grad.png").write_bytes(_png_bytes(4, 3, 1, raster, [0, 1, 2]))
+    df = mm.read_media_dir(spark, str(d), glob="*.png")
+    meta = mm.decode_meta(df).collect()[0]
+    assert (meta.kind, meta.meta.format) == ("image", "png")
+    assert (meta.meta.width, meta.meta.height) == (4, 3)
+    out = mm.resize_images(df, width=2, height=1).collect()[0]
+    _, w, h, _, _, payload = mm.decode_media(out.data)
+    assert (w, h) == (2, 1)
