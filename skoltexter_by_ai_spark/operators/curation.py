@@ -717,3 +717,46 @@ def epoch_shards(
     return df.withColumn("__draw", draw).withColumn(
         "shard", (d32 % n_shards).cast("bigint")
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column dataset profile in ONE scan: row count, NULL count
+    and exact distinct count for each named column — the standard
+    pre-training data-quality snapshot next to
+    :func:`validate_expectations` (which checks rules; this measures
+    shape).
+
+    Output: ``(col_name, n_rows, n_null, n_distinct)``, one row per
+    profiled column. ``n_distinct`` excludes NULLs (SQL
+    ``COUNT(DISTINCT ...)`` semantics in both engines).
+
+    Scale posture: a single aggregation pass — Spark plans the N
+    distinct aggregates with one Expand (each input row is replicated
+    once per distinct column, then partially aggregated map-side), so
+    cost is linear in rows × profiled columns with one shuffle whose
+    state is bounded by the columns' value cardinalities. The
+    cols-row report then unpivots via ``stack`` — driver never sees
+    data, only the report.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in profile list: {cols}")
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__p{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d{i}"))
+    row = df.agg(F.count("*").alias("__n"), *aggs)
+    stacked = ", ".join(f"'{c}', __p{i}, __d{i}" for i, c in enumerate(cols))
+    return (
+        row.selectExpr(
+            "__n",
+            f"stack({len(cols)}, {stacked}) AS (col_name, __present, n_distinct)",
+        )
+        .select(
+            "col_name",
+            F.col("__n").cast("bigint").alias("n_rows"),
+            (F.col("__n") - F.col("__present")).cast("bigint").alias("n_null"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        )
+    )

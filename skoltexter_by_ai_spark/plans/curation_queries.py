@@ -876,3 +876,46 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_weight_classifier(
         docs, "doc_id", "text", _X111_WEIGHTS, bias=0.0
     ).orderBy("doc_id")
+
+
+@register(
+    "x112_column_profile",
+    # One-scan dataset profile over a mixed-type column list: row
+    # count, NULL count, exact distinct count per column (NULLs
+    # excluded from distinct, SQL semantics both engines).
+    oracle="""
+        SELECT * FROM (
+            SELECT 'l_quantity' AS col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+                   CAST(COUNT(DISTINCT l_shipdate) AS BIGINT)
+            FROM lineitem
+        )
+        ORDER BY col_name
+    """,
+    covers="one-scan per-column dataset profile: rows / NULLs / exact distincts (data-quality snapshot)",
+    tags=("curation", "quality"),
+    min_rows=4,
+)
+def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.curation import column_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_profile(
+        li, ["l_quantity", "l_returnflag", "l_extendedprice", "l_shipdate"]
+    ).orderBy("col_name")

@@ -437,3 +437,23 @@ def test_epoch_shards_deterministic_and_epoch_sensitive(spark):
     assert shards == {0, 1, 2, 3}
     with pytest.raises(ValueError, match="n_shards"):
         curation.epoch_shards(df, "id", 0)
+
+
+def test_column_profile_exact_counts(spark):
+    from skoltexter_by_ai_spark.operators.curation import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 1.5), (3, "b", 2.5)],
+        "id long, s string, v double",
+    )
+    rows = {r.col_name: r for r in column_profile(df, ["id", "s", "v"]).collect()}
+    assert (rows["id"].n_rows, rows["id"].n_null, rows["id"].n_distinct) == (4, 0, 3)
+    assert (rows["s"].n_null, rows["s"].n_distinct) == (1, 2)
+    assert (rows["v"].n_null, rows["v"].n_distinct) == (1, 2)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        column_profile(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        column_profile(df, ["id", "id"])
