@@ -1562,3 +1562,49 @@ def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_k=60,
         top_k=10,
     )
+
+
+@register(
+    "x113_daily_volume_anomaly",
+    # Ops-monitoring shape: daily event-volume z-score against the
+    # table's own mean/stddev (sample), |z| > 2 flagged. Day exported
+    # as epoch seconds (x12's type convention); z rounded to 6.
+    oracle="""
+        WITH d AS (
+            SELECT epoch_ns(date_trunc('day', ts)) // 1000000000 AS day_start,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        s AS (SELECT AVG(n) AS mu, STDDEV_SAMP(n) AS sd FROM d)
+        SELECT day_start, n,
+               ROUND((n - mu) / sd, 6) AS z,
+               CAST(CASE WHEN ABS((n - mu) / sd) > 2 THEN 1 ELSE 0 END AS INT)
+                   AS is_anomaly
+        FROM d CROSS JOIN s
+        ORDER BY day_start
+    """,
+    covers="daily volume anomaly screen: per-day counts z-scored against the series' own stats",
+    tags=("events", "quality"),
+    min_rows=25,
+)
+def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.agg(
+        F.avg("n").alias("__mu"), F.stddev_samp("n").alias("__sd")
+    )
+    z = (F.col("n") - F.col("__mu")) / F.col("__sd")
+    return (
+        daily.join(F.broadcast(stats))
+        .select(
+            "day_start",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) > 2, F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("day_start")
+    )

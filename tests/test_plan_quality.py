@@ -422,6 +422,7 @@ _INTENTIONAL_NESTED_LOOP = {
     "x100_temperature_mix",     # broadcast 1-row n_min scalar onto source counts
     "x103_source_divergence",   # broadcast 1-row corpus-total scalar
     "x109_hybrid_rrf",          # composes x98's stats scalar + x05's query vector
+    "x113_daily_volume_anomaly",  # broadcast 1-row mean/stddev onto day counts
 }
 
 
