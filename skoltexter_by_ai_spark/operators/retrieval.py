@@ -190,3 +190,65 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), id_col)
         .limit(top_k)
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    Laplace-smoothed bigram model — the step up from
+    :func:`unigram_logprob` on the fluency-scoring ladder:
+
+    ``mean_logprob = (1/(|d|-1)) Σ_i ln( (c(w_{i-1} w_i) + 1)
+    / (c(w_{i-1}) + V) )`` with ``V`` the corpus unigram vocabulary
+    size (add-one smoothing, so unseen continuations are finite and
+    the model is defined on its own training corpus). Word-salad
+    documents score low even when individual tokens are common —
+    exactly what the unigram model cannot see.
+
+    Output: ``(id_col, n_bigrams, mean_logprob)`` for documents with
+    at least 2 tokens, rounded to 6.
+
+    Scale: the bigram expansion is a shuffle-free ``zip_with`` over
+    shifted token slices (bigram_pmi's shape); one (pair) count
+    shuffle + one (token) count shuffle, both vocabulary-bounded with
+    map-side partials; the positional bigram stream joins both count
+    tables on their keys with NO forced broadcast (the x97 lesson —
+    AQE broadcasts when genuinely small); ``V`` is a broadcast 1-row
+    scalar. One final (doc) rollup.
+    """
+    from skoltexter_by_ai_spark.operators.dedup import _spread
+
+    toks = _spread(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    )
+    shifted = F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0)))
+    pairs_arr = F.slice(
+        F.zip_with(
+            F.col("__t"), shifted, lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+        ),
+        F.lit(1),
+        F.greatest(F.size("__t") - 1, F.lit(0)),
+    )
+    stream = toks.select(F.col(id_col), F.explode(pairs_arr).alias("__p")).select(
+        id_col, F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b")
+    )
+    pair_counts = stream.groupBy("__a", "__b").agg(F.count("*").alias("__cab"))
+    uni = (
+        toks.select(F.explode("__t").alias("__a"))
+        .groupBy("__a")
+        .agg(F.count("*").alias("__ca"))
+    )
+    vocab = uni.agg(F.count("*").alias("__v"))
+    lp = F.log(
+        (F.col("__cab") + F.lit(1.0))
+        / (F.col("__ca") + F.col("__v")).cast("double")
+    )
+    return (
+        stream.join(pair_counts, ["__a", "__b"])
+        .join(uni, "__a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("mean_logprob"),
+        )
+    )

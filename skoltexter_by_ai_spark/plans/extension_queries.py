@@ -1608,3 +1608,42 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_start")
     )
+
+
+@register(
+    "x114_bigram_logprob",
+    # Laplace-smoothed bigram LM fluency score: mean over positions of
+    # ln((c(prev,cur)+1)/(c(prev)+V)), V = unigram vocabulary size.
+    # The bigram stream and both count tables tokenize identically in
+    # both engines; docs with < 2 tokens emit no row.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> struct_pack(a := toks[i], b := toks[i+1]))) AS p
+            FROM t
+        ),
+        s AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+        pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM s GROUP BY 1, 2),
+        uni AS (
+            SELECT tok AS a, CAST(COUNT(*) AS BIGINT) AS ca
+            FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+        ),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM uni)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(LN((cab + 1.0) / CAST(ca + vv AS DOUBLE))), 6)
+                   AS mean_logprob
+        FROM s JOIN pc USING (a, b) JOIN uni USING (a) CROSS JOIN v
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    covers="Laplace-smoothed bigram-LM fluency scoring (corpus-trained, per-document mean log-prob)",
+    tags=("text", "training", "curation"),
+    min_rows=400,
+)
+def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bigram_logprob(docs, "doc_id", "text").orderBy("doc_id")

@@ -109,3 +109,31 @@ def test_rrf_fuse_score_ties_break_on_id_and_topk_caps(spark):
         rrf_fuse([(a, "s", "r"), (b, "s", "r")], "doc_id")
     with pytest.raises(ValueError, match="top_k"):
         rrf_fuse([(a, "s", "r")], "doc_id", top_k=0)
+
+
+def test_bigram_logprob_exact_hand_corpus(spark):
+    import math
+
+    from skoltexter_by_ai_spark.operators.retrieval import bigram_logprob
+
+    # Corpus: doc 1 "a b a b", doc 2 "a b c", doc 3 "x" (no bigram).
+    # Unigrams: a:3 b:3 c:1 x:1 -> V=4.
+    # Bigram counts: (a,b):3, (b,a):1, (b,c):1.
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    V = 4
+
+    def lp(cab, ca):
+        return math.log((cab + 1.0) / (ca + V))
+
+    want1 = (lp(3, 3) + lp(1, 3) + lp(3, 3)) / 3  # a b, b a, a b
+    want2 = (lp(3, 3) + lp(1, 3)) / 2             # a b, b c
+    assert rows[1].n_bigrams == 3
+    assert rows[1].mean_logprob == round(want1, 6)
+    assert rows[2].n_bigrams == 2
+    assert rows[2].mean_logprob == round(want2, 6)
+    assert 3 not in rows  # sub-2-token doc emits no row
+    # Repetitive high-probability doc scores above the novel one.
+    assert rows[1].mean_logprob > rows[2].mean_logprob
