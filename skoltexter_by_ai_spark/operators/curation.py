@@ -747,12 +747,21 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs.append(F.count(F.col(c)).alias(f"__p{i}"))
         aggs.append(F.countDistinct(F.col(c)).alias(f"__d{i}"))
     row = df.agg(F.count("*").alias("__n"), *aggs)
-    stacked = ", ".join(f"'{c}', __p{i}, __d{i}" for i, c in enumerate(cols))
+    # Unpivot with Column-API struct+inline (the same Expand/Generate
+    # shape stack() plans to) — names go through F.lit, never string-
+    # interpolated SQL, so quotes/backslashes in column names are safe.
+    report_rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__p{i}").alias("__present"),
+                F.col(f"__d{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
     return (
-        row.selectExpr(
-            "__n",
-            f"stack({len(cols)}, {stacked}) AS (col_name, __present, n_distinct)",
-        )
+        row.select("__n", F.inline(report_rows))
         .select(
             "col_name",
             F.col("__n").cast("bigint").alias("n_rows"),

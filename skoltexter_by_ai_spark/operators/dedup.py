@@ -469,9 +469,27 @@ def simhash64(
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Fault-tolerance tradeoff: the (id, fingerprint) signature table is
+    pinned with a LAZY ``localCheckpoint(eager=False)`` so both sides
+    of the bucket self-join share one materialization without running
+    a job at plan-build time. ``localCheckpoint`` blocks live on
+    executors with TRUNCATED lineage — on a real cluster, losing an
+    executor mid-join makes the block unrecoverable and fails the
+    query (acceptable for a rerunnable batch dedup; the operator is
+    deterministic, so a retry of the whole query is safe). Pass
+    ``reliable_checkpoint=True`` on long-running 100 TB jobs to use a
+    fault-tolerant ``checkpoint(eager=False)`` into
+    ``sparkContext.setCheckpointDir``'s HDFS/object-store location
+    instead (slower: one extra write+read of the tiny signature
+    table, but survives executor loss).
 
     Banded lookup with a recall guarantee that tracks the radius while
     KEEPING 16-bit bucket keys (narrow keys are the scale trap: a
@@ -514,9 +532,15 @@ def simhash_near_dups(
             for i, j in itertools.combinations(range(8), 2)
         ]
     # The signature table is (id, 8-byte fingerprint) — linear and tiny —
-    # so it checkpoints once and the bucket self-join below never re-runs
-    # the tokenize/hash pipeline on either branch.
-    sig = simhash64(df, id_col, text_col).localCheckpoint()
+    # so it checkpoints once (lazily, on first action: the operator
+    # stays a pure plan until executed) and the bucket self-join below
+    # never re-runs the tokenize/hash pipeline on either branch.
+    raw_sig = simhash64(df, id_col, text_col)
+    sig = (
+        raw_sig.checkpoint(eager=False)
+        if reliable_checkpoint
+        else raw_sig.localCheckpoint(eager=False)
+    )
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), expr.alias("chunk"))

@@ -180,7 +180,13 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     vectorized (Sub is a per-channel cumsum mod 256); Average/Paeth
     carry a left-neighbour dependency and run a per-pixel loop — fine
     for contract-scale rasters, install PIL for bulk production decode.
-    Palette, 16-bit and Adam7-interlaced stay ``NotImplementedError``.
+
+    Error contract: ``NotImplementedError`` marks a genuinely
+    unsupported VARIANT (palette, 16-bit, Adam7-interlaced) — the
+    documented missing-codec stub boundary; CORRUPT data (truncated
+    stream, raster size mismatch, unknown filter byte) raises
+    ``ValueError``, so callers that catch ``NotImplementedError`` as
+    "format we cannot decode" never swallow data errors.
     """
     import zlib
 
@@ -201,7 +207,7 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             break
         pos += 12 + ln
     if w is None or not idat:
-        raise NotImplementedError("truncated PNG (no IHDR/IDAT)")
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
     if bitd != 8:
         raise NotImplementedError(f"only 8-bit PNG is supported (bit depth {bitd})")
     if interlace:
@@ -212,7 +218,7 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     stride = w * channels
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if raw.size != h * (stride + 1):
-        raise NotImplementedError("PNG raster size mismatch (corrupt stream?)")
+        raise ValueError("PNG raster size mismatch (corrupt stream)")
     raw = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), np.uint8)
     for y in range(h):
@@ -243,7 +249,7 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 cur[x] = (int(row[x]) + pred) & 0xFF
         else:
-            raise NotImplementedError(f"unknown PNG filter type {f}")
+            raise ValueError(f"unknown PNG filter type {f}")
     px = out.reshape(h, w, channels)
     if ctype == 0:
         plane = px[..., 0]

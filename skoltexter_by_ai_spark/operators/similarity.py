@@ -171,7 +171,9 @@ def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
     higher-order dot products per row (measured ~40x on the
     near-dup path; same rationale as ``embedding_near_dups``'s
     multi-table variant). float64 both sides, ``>= 0`` sign
-    convention identical to :func:`lsh_bucket`.
+    convention identical to :func:`lsh_bucket` — including NULL in,
+    NULL out: a NULL/empty vector gets a NULL bucket (and thus drops
+    out of any bucket equi-join) instead of crashing the task.
     """
     from pyspark.sql.types import LongType
 
@@ -182,10 +184,19 @@ def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
         import numpy as np
 
         planes_m = np.asarray(planes, dtype=np.float64)  # (P, dim)
-        mat = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
-        signs = (mat @ planes_m.T) >= 0.0  # (rows, P)
-        weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
-        return pd.Series(signs.astype(np.int64) @ weights)
+        ok = vecs.map(lambda v: v is not None and len(v) == planes_m.shape[1])
+        computed: list = []
+        if ok.any():
+            mat = np.vstack(
+                vecs[ok].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            signs = (mat @ planes_m.T) >= 0.0  # (rows, P)
+            weights = np.left_shift(
+                np.int64(1), np.arange(n_planes, dtype=np.int64)
+            )
+            computed = (signs.astype(np.int64) @ weights).tolist()
+        it = iter(computed)
+        return pd.Series([next(it) if o else None for o in ok], dtype="object")
 
     return bucket_of(vec_col)
 
@@ -226,14 +237,27 @@ def embedding_near_dups(
         import numpy as np
 
         planes_m = np.asarray(all_planes, dtype=np.float64)  # (T*P, dim)
-        mat = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
-        signs = (mat @ planes_m.T) >= 0.0  # (rows, T*P)
-        weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
-        out = [
-            [int(chunk @ weights) for chunk in row.reshape(n_tables, n_planes).astype(np.int64)]
-            for row in signs
-        ]
-        return pd.Series(out)
+        ok = vecs.map(lambda v: v is not None and len(v) == planes_m.shape[1])
+        computed: list = []
+        if ok.any():
+            mat = np.vstack(
+                vecs[ok].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            signs = (mat @ planes_m.T) >= 0.0  # (rows, T*P)
+            weights = np.left_shift(
+                np.int64(1), np.arange(n_planes, dtype=np.int64)
+            )
+            computed = [
+                [
+                    int(chunk @ weights)
+                    for chunk in row.reshape(n_tables, n_planes).astype(np.int64)
+                ]
+                for row in signs
+            ]
+        # NULL bucket array -> posexplode drops the row: a NULL vector
+        # silently yields no candidates, matching lsh_bucket semantics.
+        it = iter(computed)
+        return pd.Series([next(it) if o else None for o in ok], dtype="object")
 
     buckets = embeddings.select(
         F.col(id_col).alias("__id"), F.posexplode(all_buckets(F.col(vec_col)))

@@ -457,3 +457,17 @@ def test_column_profile_exact_counts(spark):
         column_profile(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         column_profile(df, ["id", "id"])
+
+
+def test_column_profile_handles_quoted_column_names(spark):
+    """Column names containing quotes/backslashes must profile
+    correctly — the unpivot goes through F.lit, never interpolated
+    SQL (ADVICE r5: selectExpr stack() broke on a single quote)."""
+    from skoltexter_by_ai_spark.operators.curation import column_profile
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "x"])
+    weird = "it's a \\ 'col'"
+    df = df.withColumnRenamed("x", weird)
+    rows = {r.col_name: r for r in column_profile(df, ["id", weird]).collect()}
+    assert set(rows) == {"id", weird}
+    assert (rows[weird].n_rows, rows[weird].n_null, rows[weird].n_distinct) == (2, 1, 1)

@@ -274,3 +274,38 @@ def test_real_png_through_spark_pipeline(spark, tmp_path):
     out = mm.resize_images(df, width=2, height=1).collect()[0]
     _, w, h, _, _, payload = mm.decode_media(out.data)
     assert (w, h) == (2, 1)
+
+
+def test_png_corrupt_data_raises_value_error_not_stub_boundary():
+    """Corrupt PNG input is a DATA error (ValueError), never the
+    NotImplementedError missing-codec stub boundary (ADVICE r5):
+    callers that catch NotImplementedError as 'format we cannot
+    decode here' must not misclassify corrupt streams."""
+    import struct
+    import zlib
+
+    import pytest
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # Truncated: IHDR but no IDAT at all.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_media(magic + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # Raster size mismatch: IDAT holds one scanline for a 2-row image.
+    png = (magic + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        mm.decode_media(png)
+    # Unknown filter byte (9) on an otherwise well-sized raster.
+    raw = b"\x09\x00\x00" + b"\x00\x00\x00"
+    png = (magic + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter"):
+        mm.decode_media(png)

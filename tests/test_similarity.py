@@ -286,3 +286,38 @@ def test_label_outliers_flags_below_threshold(spark):
     assert out[1].is_outlier is False and out[2].is_outlier is False
     assert out[3].is_outlier is True and out[3].cos_to_centroid < 0
     assert out[4].is_outlier is False and out[4].cos_to_centroid == 1.0
+
+
+def test_lsh_gemm_paths_tolerate_null_vectors(spark):
+    """A NULL/short embedding must get a NULL bucket (row silently
+    skipped downstream), matching the pure-Column lsh_bucket's
+    NULL-in/NULL-out semantics — not crash the Arrow batch (ADVICE
+    r5: np.vstack over a None crashed the task)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(6)]
+    rows += [(98, None), (99, [1.0, 2.0])]  # NULL and wrong-dim vectors
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.hyperplanes(8, 4, seed=1)
+    got = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            similarity.lsh_bucket_gemm(F.col("embedding"), planes).alias("b"),
+        ).collect()
+    }
+    assert got[98] is None and got[99] is None
+    assert all(got[i] is not None for i in range(6))
+    # lsh_ann_topk end-to-end: NULL rows drop out instead of failing.
+    q = spark.createDataFrame([rows[0]], "vec_id long, embedding array<float>")
+    out = similarity.lsh_ann_topk(
+        emb, q, k=3, n_planes=4, max_hamming=4, dim=8, seed=1
+    ).collect()
+    assert {r.vec_id for r in out}.isdisjoint({98, 99})
+    # embedding_near_dups end-to-end: multi-table UDF likewise guarded.
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=-1.0, n_tables=2, n_planes=2, dim=8, seed=1
+    ).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids and ids.isdisjoint({98, 99})
