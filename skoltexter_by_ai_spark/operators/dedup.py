@@ -486,10 +486,28 @@ def simhash_near_dups(
     query (acceptable for a rerunnable batch dedup; the operator is
     deterministic, so a retry of the whole query is safe). Pass
     ``reliable_checkpoint=True`` on long-running 100 TB jobs to use a
-    fault-tolerant ``checkpoint(eager=False)`` into
-    ``sparkContext.setCheckpointDir``'s HDFS/object-store location
-    instead (slower: one extra write+read of the tiny signature
-    table, but survives executor loss).
+    fault-tolerant ``persist() + checkpoint(eager=False)`` into
+    ``sparkContext.setCheckpointDir``'s HDFS/object-store location.
+    The ``persist`` matters (ADVICE r6): a lazy reliable checkpoint
+    writes its files only AFTER the first action completes, and
+    without a persisted copy Spark would recompute the whole
+    signature pipeline a second time just to write them; with the
+    persist, the first action computes signatures once into cache,
+    both join sides read the cache, and the checkpoint write streams
+    from cached blocks. The payoff is therefore for MULTI-action use
+    (iterating on the returned pairs, long sessions): from the second
+    action on, reads come from the reliable files and survive
+    executor loss. For a single-action query, ordinary lineage
+    recompute already covers executor loss — keep the default.
+
+    Block lifecycle: the persisted/checkpointed signature blocks stay
+    referenced by the returned DataFrame's plan; once the caller
+    drops the result, Spark's ContextCleaner unpersists them on GC.
+    Long-lived sessions issuing MANY reliable-mode calls while
+    retaining every result accumulate MEMORY_AND_DISK blocks until
+    those results are released — drop references (or call
+    ``spark.sparkContext._jsc.sc().cleaner()``-triggering GC) rather
+    than expecting eager cleanup.
 
     Banded lookup with a recall guarantee that tracks the radius while
     KEEPING 16-bit bucket keys (narrow keys are the scale trap: a
@@ -536,11 +554,17 @@ def simhash_near_dups(
     # stays a pure plan until executed) and the bucket self-join below
     # never re-runs the tokenize/hash pipeline on either branch.
     raw_sig = simhash64(df, id_col, text_col)
-    sig = (
-        raw_sig.checkpoint(eager=False)
-        if reliable_checkpoint
-        else raw_sig.localCheckpoint(eager=False)
-    )
+    if reliable_checkpoint:
+        # persist BEFORE the lazy reliable checkpoint: the post-action
+        # checkpoint write then streams from cached blocks instead of
+        # re-running the tokenize+hash pipeline (see docstring).
+        from pyspark.storagelevel import StorageLevel
+
+        sig = raw_sig.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(
+            eager=False
+        )
+    else:
+        sig = raw_sig.localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), expr.alias("chunk"))

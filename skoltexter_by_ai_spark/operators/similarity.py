@@ -50,6 +50,27 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _stack_valid(vecs: "pd.Series", ok: "pd.Series", where: str):
+    """np.vstack over the ``ok``-masked rows with the shared NULL/dim
+    contract: NULL rows are the caller's to skip (tolerated — dirty
+    data), but rows whose dimensions disagree raise ``ValueError``
+    (a systematically wrong embedding dim is a caller bug; silently
+    dropping every row would return an empty result with no signal).
+    """
+    import numpy as np
+
+    if not ok.any():
+        return None
+    arrs = [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+    dims = {a.shape[0] for a in arrs}
+    if len(dims) > 1:
+        raise ValueError(
+            f"{where}: mixed embedding dims {sorted(dims)} in one batch — "
+            "the column must hold vectors of a single dimension"
+        )
+    return np.vstack(arrs)
+
+
 def cosine_vectorized(a: Column, b: Column) -> Column:
     """Arrow-batched numpy cosine for bulk pair verification.
 
@@ -58,20 +79,34 @@ def cosine_vectorized(a: Column, b: Column) -> Column:
     equal to the sequential fold within float64 ulp, so use this where
     results feed a threshold, and :func:`cosine` where bitwise oracle
     parity matters (x05/x13).
+
+    NULL contract: a NULL on either side yields a NULL cosine (the
+    row drops out of any downstream threshold filter) instead of
+    crashing the Arrow batch; a dimension mismatch between the two
+    sides — or mixed dims within a side — raises ``ValueError``.
     """
 
     @F.pandas_udf("double")
     def cos_pd(va: pd.Series, vb: pd.Series) -> pd.Series:
         import numpy as np
 
-        if not len(va):
-            return pd.Series([], dtype="float64")
-        ma = np.vstack(va.map(lambda v: np.asarray(v, dtype=np.float64)))
-        mb = np.vstack(vb.map(lambda v: np.asarray(v, dtype=np.float64)))
+        ok = va.map(lambda v: v is not None) & vb.map(lambda v: v is not None)
+        ma = _stack_valid(va, ok, "cosine_vectorized(a)")
+        if ma is None:
+            return pd.Series([None] * len(va), dtype="object")
+        mb = _stack_valid(vb, ok, "cosine_vectorized(b)")
+        if ma.shape[1] != mb.shape[1]:
+            raise ValueError(
+                f"cosine_vectorized: dim mismatch between sides "
+                f"({ma.shape[1]} vs {mb.shape[1]})"
+            )
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         out = np.divide(num, den, out=np.zeros_like(num), where=den != 0.0)
-        return pd.Series(out)
+        if ok.all():
+            return pd.Series(out)
+        it = iter(out.tolist())
+        return pd.Series([next(it) if o else None for o in ok], dtype="object")
 
     return cos_pd(a, b)
 
@@ -154,7 +189,14 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) >= 0."""
+    """Sign-bit bucket id: bit j = 1 iff dot(vec, plane_j) >= 0.
+
+    Same NULL/dim contract as :func:`lsh_bucket_gemm`: a NULL vector
+    gets a NULL bucket (drops out of bucket equi-joins), a non-NULL
+    vector of the wrong dimension raises — a systematically wrong
+    dim is a caller bug that must not silently empty the result.
+    """
+    dim = len(planes[0])
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(x) for x in plane])
@@ -162,7 +204,19 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
             F.lit(0).cast("long")
         )
         bucket = bucket.bitwiseOR(bit)
-    return bucket
+    return (
+        F.when(vec_col.isNull(), F.lit(None).cast("long"))
+        .when(
+            F.size(vec_col) != dim,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_bucket: expected embedding dim {dim}, got "),
+                    F.size(vec_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(bucket)
+    )
 
 
 def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
@@ -171,9 +225,13 @@ def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
     higher-order dot products per row (measured ~40x on the
     near-dup path; same rationale as ``embedding_near_dups``'s
     multi-table variant). float64 both sides, ``>= 0`` sign
-    convention identical to :func:`lsh_bucket` — including NULL in,
-    NULL out: a NULL/empty vector gets a NULL bucket (and thus drops
-    out of any bucket equi-join) instead of crashing the task.
+    convention identical to :func:`lsh_bucket` — including the NULL/
+    dim contract: a NULL vector gets a NULL bucket (and thus drops
+    out of any bucket equi-join) instead of crashing the task, while
+    a non-NULL vector of the wrong dimension raises ``ValueError``
+    (a dim mismatch is a caller bug, not dirty data — silently
+    NULL-bucketing a systematically mis-dimensioned dataset would
+    return an empty result with no signal).
     """
     from pyspark.sql.types import LongType
 
@@ -184,7 +242,15 @@ def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
         import numpy as np
 
         planes_m = np.asarray(planes, dtype=np.float64)  # (P, dim)
-        ok = vecs.map(lambda v: v is not None and len(v) == planes_m.shape[1])
+        ok = vecs.map(lambda v: v is not None)
+        bad = vecs.map(lambda v: v is not None and len(v) != planes_m.shape[1])
+        if bad.any():
+            got = len(vecs[bad].iloc[0])
+            raise ValueError(
+                f"lsh_bucket_gemm: expected embedding dim "
+                f"{planes_m.shape[1]}, got {got} "
+                f"({int(bad.sum())} mismatched rows in batch)"
+            )
         computed: list = []
         if ok.any():
             mat = np.vstack(
@@ -237,7 +303,14 @@ def embedding_near_dups(
         import numpy as np
 
         planes_m = np.asarray(all_planes, dtype=np.float64)  # (T*P, dim)
-        ok = vecs.map(lambda v: v is not None and len(v) == planes_m.shape[1])
+        ok = vecs.map(lambda v: v is not None)
+        bad = vecs.map(lambda v: v is not None and len(v) != planes_m.shape[1])
+        if bad.any():
+            raise ValueError(
+                f"embedding_near_dups: expected embedding dim "
+                f"{planes_m.shape[1]}, got {len(vecs[bad].iloc[0])} "
+                f"({int(bad.sum())} mismatched rows in batch)"
+            )
         computed: list = []
         if ok.any():
             mat = np.vstack(
@@ -342,9 +415,11 @@ def ivf_assign(
     """Assign each vector to its nearest (max-cosine) coarse centroid.
 
     One Arrow-batched GEMM per batch — (rows × dim) @ (dim × C) — the
-    same justified escape hatch as ``embedding_near_dups``'s bucketing.
-    At scale the assigned frame is written ``partitionBy(out_col)`` so
-    probes become partition-pruned scans (see :func:`ivf_ann_topk`).
+    same justified escape hatch as ``embedding_near_dups``'s bucketing,
+    with the same NULL/dim contract: NULL vector → NULL cell, wrong
+    dimension → ``ValueError``. At scale the assigned frame is written
+    ``partitionBy(out_col)`` so probes become partition-pruned scans
+    (see :func:`ivf_ann_topk`).
     """
 
     @F.pandas_udf("int")
@@ -354,10 +429,22 @@ def ivf_assign(
         if not len(vecs):
             return pd.Series([], dtype="int32")
         cm = np.asarray(centroids, dtype=np.float64)  # (C, dim), unit rows
-        mat = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        ok = vecs.map(lambda v: v is not None)
+        mat = _stack_valid(vecs, ok, "ivf_assign")
+        if mat is None:
+            return pd.Series([None] * len(vecs), dtype="object")
+        if mat.shape[1] != cm.shape[1]:
+            raise ValueError(
+                f"ivf_assign: expected embedding dim {cm.shape[1]}, "
+                f"got {mat.shape[1]}"
+            )
         nrm = np.linalg.norm(mat, axis=1, keepdims=True)
         nrm[nrm == 0.0] = 1.0
-        return pd.Series(np.argmax((mat / nrm) @ cm.T, axis=1).astype("int32"))
+        cells = np.argmax((mat / nrm) @ cm.T, axis=1)
+        if ok.all():
+            return pd.Series(cells.astype("int32"))
+        it = iter(int(c) for c in cells)
+        return pd.Series([next(it) if o else None for o in ok], dtype="object")
 
     return embeddings.withColumn(out_col, nearest(F.col(vec_col)))
 
@@ -403,7 +490,15 @@ def ivf_ann_topk(
 
         out = []
         for v in vecs:
+            if v is None:
+                out.append(None)  # NULL query vector -> no probes, row drops
+                continue
             q = np.asarray(v, dtype=np.float64)
+            if q.shape[0] != cm.shape[1]:
+                raise ValueError(
+                    f"ivf_ann_topk: expected query dim {cm.shape[1]}, "
+                    f"got {q.shape[0]}"
+                )
             n = np.linalg.norm(q) or 1.0
             order = np.argsort(-(cm @ (q / n)), kind="stable")
             out.append([int(c) for c in order[:nprobe]])

@@ -123,6 +123,38 @@ def test_simhash_near_dups_ranks_by_hamming(spark):
         assert ham[(1, 2)] < ham[(1, 3)]
 
 
+def test_simhash_reliable_checkpoint_same_pairs_and_writes_files(spark, tmp_path):
+    """ADVICE r6: the reliable path must (a) return exactly the pairs
+    the default path returns, and (b) actually land checkpoint files
+    after the first action — the persist()-before-checkpoint(eager=
+    False) combination writes them from cached blocks instead of
+    recomputing the signature pipeline."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    default = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_dups(
+            _docs(spark), "doc_id", "text", max_hamming=6
+        ).collect()
+    )
+    reliable = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_dups(
+            _docs(spark), "doc_id", "text", max_hamming=6, reliable_checkpoint=True
+        ).collect()
+    )
+    assert reliable == default and default
+    found = [
+        name
+        for root, _, files in os.walk(ckpt)
+        for name in files
+        if name.startswith("part-")
+    ]
+    assert found, "reliable checkpoint produced no files"
+
+
 def test_ngram_jaccard_exact_values(spark):
     out = dedup.ngram_jaccard_pairs(
         _docs(spark), "doc_id", "text", n=2, max_df=10, min_jaccard=0.3

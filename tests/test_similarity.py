@@ -289,15 +289,15 @@ def test_label_outliers_flags_below_threshold(spark):
 
 
 def test_lsh_gemm_paths_tolerate_null_vectors(spark):
-    """A NULL/short embedding must get a NULL bucket (row silently
-    skipped downstream), matching the pure-Column lsh_bucket's
-    NULL-in/NULL-out semantics — not crash the Arrow batch (ADVICE
-    r5: np.vstack over a None crashed the task)."""
+    """A NULL embedding must get a NULL bucket (row silently skipped
+    downstream), matching the pure-Column lsh_bucket's NULL-in/
+    NULL-out semantics — not crash the Arrow batch (ADVICE r5:
+    np.vstack over a None crashed the task)."""
     import random
 
     rng = random.Random(7)
     rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(6)]
-    rows += [(98, None), (99, [1.0, 2.0])]  # NULL and wrong-dim vectors
+    rows += [(98, None)]  # NULL vector
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     planes = similarity.hyperplanes(8, 4, seed=1)
     got = {
@@ -307,17 +307,84 @@ def test_lsh_gemm_paths_tolerate_null_vectors(spark):
             similarity.lsh_bucket_gemm(F.col("embedding"), planes).alias("b"),
         ).collect()
     }
-    assert got[98] is None and got[99] is None
+    assert got[98] is None
     assert all(got[i] is not None for i in range(6))
     # lsh_ann_topk end-to-end: NULL rows drop out instead of failing.
     q = spark.createDataFrame([rows[0]], "vec_id long, embedding array<float>")
     out = similarity.lsh_ann_topk(
         emb, q, k=3, n_planes=4, max_hamming=4, dim=8, seed=1
     ).collect()
-    assert {r.vec_id for r in out}.isdisjoint({98, 99})
+    assert {r.vec_id for r in out}.isdisjoint({98})
     # embedding_near_dups end-to-end: multi-table UDF likewise guarded.
     pairs = similarity.embedding_near_dups(
         emb, threshold=-1.0, n_tables=2, n_planes=2, dim=8, seed=1
     ).collect()
     ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
-    assert ids and ids.isdisjoint({98, 99})
+    assert ids and ids.isdisjoint({98})
+
+
+def test_null_vector_contract_parity_across_formulations(spark):
+    """ADVICE r6 item 1: lsh_bucket and lsh_bucket_gemm must agree on
+    the NULL convention — NULL vector -> NULL bucket in BOTH — so
+    mixing the two formulations across join sides treats NULL rows
+    identically (dropped) instead of colliding them into bucket 0."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(5)]
+    rows += [(98, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.hyperplanes(8, 4, seed=1)
+    both = emb.select(
+        "vec_id",
+        similarity.lsh_bucket(F.col("embedding"), planes).alias("b_col"),
+        similarity.lsh_bucket_gemm(F.col("embedding"), planes).alias("b_gemm"),
+    ).collect()
+    for r in both:
+        assert r.b_col == r.b_gemm, f"vec {r.vec_id}: {r.b_col} != {r.b_gemm}"
+        if r.vec_id == 98:
+            assert r.b_col is None
+
+    # cosine_vectorized and ivf_assign share the contract: NULL in,
+    # NULL out (VERDICT r6 item 6 — previously np.vstack crashed).
+    cos = emb.select(
+        "vec_id",
+        similarity.cosine_vectorized(
+            F.col("embedding"), F.col("embedding")
+        ).alias("c"),
+    ).collect()
+    for r in cos:
+        assert (r.c is None) == (r.vec_id == 98)
+    cents = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(2)]
+    cells = {
+        r.vec_id: r.ivf_cell
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    assert cells[98] is None
+    assert all(cells[i] is not None for i in range(5))
+
+
+def test_wrong_dim_vectors_raise_not_silently_drop(spark):
+    """ADVICE r6 item 4: a non-NULL vector of the WRONG dimension is a
+    caller bug (dim parameter mismatch), not dirty data — every vector
+    UDF path must raise instead of silently producing an empty result."""
+    import pytest
+
+    rows = [(0, [1.0] * 8), (1, [1.0, 2.0])]  # second row: dim 2, not 8
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.hyperplanes(8, 4, seed=1)
+    with pytest.raises(Exception, match="dim"):
+        emb.select(
+            similarity.lsh_bucket_gemm(F.col("embedding"), planes).alias("b")
+        ).collect()
+    with pytest.raises(Exception, match="dim"):
+        emb.select(
+            similarity.lsh_bucket(F.col("embedding"), planes).alias("b")
+        ).collect()
+    with pytest.raises(Exception, match="dim"):
+        similarity.embedding_near_dups(
+            emb, threshold=-1.0, n_tables=2, n_planes=2, dim=8, seed=1
+        ).collect()
+    cents = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(2)]
+    with pytest.raises(Exception, match="dim"):
+        similarity.ivf_assign(emb, cents).collect()
