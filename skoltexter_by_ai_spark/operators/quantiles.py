@@ -711,7 +711,15 @@ def grouped_median_mad(
             }
         )
     )
-    wmax = spec.agg(F.max("__width")).first()[0]
+    # One probe job serves both driver scalars: the window-width
+    # budget check AND the non-NULL group count the completeness
+    # probe needs at the end (spec is 1:1 with stats — no filters —
+    # so counting here equals counting stats).
+    probe = spec.agg(
+        F.max("__width").alias("__wmax"),
+        F.count(F.when(F.col(g).isNotNull(), 1)).alias("__ngroups"),
+    ).first()
+    wmax, expected = probe["__wmax"], probe["__ngroups"]
     if wmax is not None and wmax > _EXACT_RANGE_CAP:
         return None  # caller falls back to the generic two-round path
 
@@ -836,13 +844,16 @@ def grouped_median_mad(
         .filter(F.col("__nk") == expected_nk)
         .select(g, "__d1", "__d2")
     )
-    gstats = medstats.join(madstats, g).localCheckpoint(eager=True)
+    # Lazy checkpoint: the completeness count below is the first
+    # action, so it materializes the checkpoint in the same job
+    # instead of paying a separate eager pass first.
+    gstats = medstats.join(madstats, g).localCheckpoint(eager=False)
     # Completeness probe: every non-NULL-keyed group must have closed
     # BOTH order statistics inside its windows; anything else is a
     # sketch miss and the caller reruns generically. NULL group keys
     # drop at the first equi-join in both paths (same dropout the
-    # generic machinery has), so they are excluded from the check.
-    expected = stats.filter(F.col(g).isNotNull()).count()
+    # generic machinery has), so they are excluded from the check
+    # (``expected`` rode along with the width-probe job above).
     ok = gstats.count() == expected
     return gstats, ok
 

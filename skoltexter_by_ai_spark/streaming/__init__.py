@@ -418,6 +418,66 @@ def windowed_type_counts(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def daily_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day volume counts — the incremental half of the
+    x113 daily-anomaly screen. Works on batch and streaming frames
+    alike; day bucketing (UTC ``window('1 day')`` start) equals the
+    batch query's ``date_trunc('day', ts)``.
+
+    Output: (day_start epoch-sec, n, seq). ``seq`` mirrors
+    :func:`windowed_type_counts`: a bigger count per day supersedes a
+    smaller one, so the count itself sequences
+    :func:`upsert_to_parquet`. State is one row per open day within
+    the watermark — constant for any stream length.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 day").alias("__w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("__w.start")).alias("day_start"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n").cast("bigint").alias("seq"),
+        )
+    )
+
+
+def volume_stats(daily: DataFrame) -> DataFrame:
+    """Series-level mean/stddev snapshot over a (static) daily-count
+    frame — the broadcast side of :func:`daily_volume_anomaly`. One
+    row; recomputed from the upsert snapshot on whatever cadence the
+    caller wants the anomaly baseline to move."""
+    return daily.agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+
+
+def daily_volume_anomaly(daily: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score each day's volume against the broadcast stats snapshot —
+    the streaming twin of the declared batch query
+    ``x113_daily_volume_anomaly`` (identical output schema and
+    arithmetic: z = (n − mu)/sd rounded to 6, |z| > 2 flagged).
+
+    Streaming cannot nest the series-wide mean/stddev under the
+    per-day aggregation in one query (an aggregate OVER an
+    aggregate); the composition that scales is :func:`daily_counts`
+    in `update` mode → :func:`upsert_to_parquet` keyed on day_start →
+    this scoring at read time over the day-count snapshot (days-sized,
+    not event-sized), with :func:`volume_stats` refreshed from the
+    same snapshot. Tested as exactly that composition against the
+    batch query in tests/test_streaming.py.
+    """
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return daily.join(F.broadcast(stats)).select(
+        "day_start",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 2, F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
+            "is_anomaly"
+        ),
+    )
+
+
 def trending_topk(counts: DataFrame, k: int = 3) -> DataFrame:
     """Second phase: rank each window's types by count, keep the top
     ``k`` (count desc, type asc tiebreak — deterministic).

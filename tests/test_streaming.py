@@ -243,6 +243,32 @@ def test_trending_topk_stream_composes_via_upsert_view(spark, events_dir, tmp_pa
     assert _rows(got, "hour_start", "rank") == _rows(batch, "hour_start", "rank")
 
 
+def test_daily_anomaly_stream_composes_and_matches_x113(spark, events_dir, tmp_path):
+    """VERDICT r6 item 5 — streaming twin of the x113 daily-anomaly
+    screen: watermarked tumbling daily counts (update mode) -> upsert
+    snapshot -> broadcast stats + z-scoring at read time. Must equal
+    the DECLARED batch query byte-for-byte (same schema, rounding,
+    flag rule)."""
+    from skoltexter_by_ai_spark.plans.registry import all_queries
+
+    counts_stream = streaming.daily_counts(
+        streaming.read_events_stream(spark, events_dir)
+    )
+    base = str(tmp_path / "daily_snap")
+    streaming.upsert_to_parquet(
+        counts_stream, base, str(tmp_path / "ckpt"), ["day_start"], "seq"
+    )
+    snap = streaming.read_upsert_snapshot(spark, base).drop("seq")
+    got = streaming.daily_volume_anomaly(snap, streaming.volume_stats(snap))
+
+    batch = all_queries()["x113_daily_volume_anomaly"].builder(spark, SF)
+    assert got.columns == batch.columns
+    assert _rows(got, "day_start") == _rows(batch, "day_start")
+    # The screen is live: the fixture window must contain flagged days
+    # or the parity above proves nothing about the anomaly rule.
+    assert any(r.is_anomaly == 1 for r in batch.collect())
+
+
 def test_left_outer_interval_join_stream_matches_batch(spark, events_dir, tmp_path):
     """Outer stream-stream join: unmatched clicks must emit with NULL
     right columns once the watermark proves no view can still arrive."""

@@ -594,12 +594,62 @@ def test_learn_bpe_merges_matches_reference_on_fixture(spark):
     assert len(got) == 6 and got == expect
 
 
+def test_learn_bpe_batched_equals_classic_and_cuts_rounds(spark):
+    """VERDICT r6 item 2: batch_k > 1 must fold several merges per
+    counting round — rounds strictly below n_merges on the fixture —
+    while producing the BITWISE-identical merge table to classic BPE
+    (the batch guard only admits merges provably the argmax of their
+    own turn)."""
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+    from skoltexter_by_ai_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    counts = {}
+    for r in docs.select("text").collect():
+        for w in r.text.split():
+            counts[w] = counts.get(w, 0) + 1
+    n = 12
+    expect = _ref_bpe(counts, n)
+    so: dict = {}
+    got = learn_bpe_merges(docs, "text", n, batch_k=8, stats_out=so)
+    assert got == expect
+    assert so["rounds"] < n, f"batching never engaged: {so['rounds']} rounds"
+
+
+def test_learn_bpe_batched_exact_on_adversarial_corpora(spark):
+    """Random corpora over a 3-letter alphabet maximize exactly the
+    hazards the batch guard exists for — shared symbols, join-string
+    collisions ('ab' merged while 'ab' already exists), and created
+    pairs that outrank the round's second candidate. Any unsound
+    batching shortcut diverges from classic BPE here."""
+    import random
+
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 5)))
+            for _ in range(30)
+        ]
+        text = " ".join(words)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        counts: dict = {}
+        for w in text.split():
+            counts[w] = counts.get(w, 0) + 1
+        expect = _ref_bpe(counts, 10)
+        got = learn_bpe_merges(df, "text", 10, batch_k=8)
+        assert got == expect, f"seed {seed}: {got} != {expect}"
+
+
 def test_learn_bpe_merges_validates_and_handles_exhaustion(spark):
     from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
 
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         learn_bpe_merges(df, "text", -1)
+    with pytest.raises(ValueError, match="batch_k"):
+        learn_bpe_merges(df, "text", 2, batch_k=0)
     # "ab</w>" has 2 mergeable pairs; asking for more stops early.
     got = learn_bpe_merges(df, "text", 10)
     assert [m[:2] for m in got] == [("a", "b"), ("ab", "</w>")]
