@@ -53,6 +53,7 @@ def main() -> None:
     sys.stdout = sys.stderr
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = os.getloadavg()
 
     from skoltexter_by_ai_spark.plans.registry import all_queries
     from skoltexter_by_ai_spark.session import default_parallelism, get_spark
@@ -118,7 +119,18 @@ def main() -> None:
         assert len(result["failures"]) == len(failures), (
             "non-unique query-name prefixes in failures"
         )
-    full = dict(result, queries=timings, failures=failures or None)
+    # Run-conditions annotation (VERDICT r6 item 1a): a bench record
+    # is only defensible with the box state attached — BENCH_r05/r06
+    # driver runs came in 12-25% above committed numbers purely from
+    # co-located load, and the bare totals were indistinguishable
+    # from a real regression.
+    conditions = {
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
+        "policy": "per query: 1 untimed warm run, then min of 2 timed runs",
+    }
+    full = dict(result, queries=timings, failures=failures or None, conditions=conditions)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         # BENCH_LOCAL.json is the committed sf0.1 record — don't let a

@@ -436,7 +436,11 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = docs.select(
         "doc_id", "text", text_analysis.quality_score("text").alias("quality")
     )
-    kept = quality.filter(F.col("quality") >= 0.5)
+    # The gated frame feeds three consumers (shingle pairs, cluster
+    # seed, representative join); a lazy local checkpoint computes
+    # the tokenize-heavy quality scan once instead of three times
+    # while keeping the builder a pure plan until executed.
+    kept = quality.filter(F.col("quality") >= 0.5).localCheckpoint(eager=False)
     pairs = dedup.ngram_jaccard_pairs(kept, "doc_id", "text", n=2, max_df=20).filter(
         F.round("jaccard", 6) >= 0.5
     )

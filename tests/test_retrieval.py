@@ -111,6 +111,28 @@ def test_rrf_fuse_score_ties_break_on_id_and_topk_caps(spark):
         rrf_fuse([(a, "s", "r")], "doc_id", top_k=0)
 
 
+def test_default_parameters_pinned(spark):
+    """The declared queries lean on the documented defaults (top_k=10,
+    rrf_k=60) — mutation gate r7: a silent default drift must fail
+    here, not surface as an oracle mismatch two rounds later."""
+    from skoltexter_by_ai_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = spark.createDataFrame(
+        [(i, "spark " * (i + 1)) for i in range(15)], "doc_id long, text string"
+    )
+    # 15 matching docs, default cap -> exactly 10 rows.
+    assert len(bm25_topk(docs, "doc_id", "text", ["spark"]).collect()) == 10
+    # top_k=1 is legal (boundary of the validation guard) and caps to 1.
+    assert len(bm25_topk(docs, "doc_id", "text", ["spark"], top_k=1).collect()) == 1
+
+    a = spark.createDataFrame(
+        [(i, 1.0 - i / 20.0) for i in range(12)], "doc_id long, s double"
+    )
+    out = rrf_fuse([(a, "s", "ra")], "doc_id").collect()
+    assert len(out) == 10  # default top_k
+    assert out[0].rrf_score == round(1 / 61, 6)  # default rrf_k = 60
+
+
 def test_bigram_logprob_exact_hand_corpus(spark):
     import math
 
