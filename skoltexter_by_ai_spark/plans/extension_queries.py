@@ -1194,17 +1194,19 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.select(F.col("end_ns").alias("t"), F.lit(-1).alias("delta"))
     )
     run = distributed_prefix_sum(deltas, ["t", "delta"], "delta", out_col="concurrency")
-    peak = run.agg(F.max("concurrency").alias("__p"))
-    return (
-        run.join(F.broadcast(peak))
-        .agg(
-            F.max("concurrency").cast("bigint").alias("peak"),
-            F.min(
-                F.when(F.col("concurrency") == F.col("__p"), F.col("t"))
-            )
-            .cast("bigint")
-            .alias("peak_at_ns"),
-        )
+    # ONE aggregation finds the peak AND its earliest timestamp: the
+    # struct max orders by (concurrency, -t), so ties on the peak
+    # resolve to the smallest t deterministically — no second pass
+    # over the running sum, no broadcast join (was: peak sub-agg +
+    # join + conditional min, two consumptions of `run`).
+    best = run.agg(
+        F.max(
+            F.struct(F.col("concurrency"), (-F.col("t")).alias("__negt"))
+        ).alias("__s")
+    )
+    return best.select(
+        F.col("__s.concurrency").cast("bigint").alias("peak"),
+        (-F.col("__s.__negt")).cast("bigint").alias("peak_at_ns"),
     )
 
 

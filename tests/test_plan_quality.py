@@ -135,6 +135,28 @@ def test_fuzzy_pairs_salted_shuffle_no_full_broadcast(spark):
     assert "salt" in plan and "explode" in plan, plan
 
 
+def test_token_vocabulary_picks_ranking_path_by_request(spark):
+    """Path selection is part of the contract (r7): an explicit
+    num_ranges must run the distributed range-partitioned prefix sum;
+    the unhinted call on a small vocabulary must take the single-task
+    fast path (no range repartition in the plan). Both paths are
+    output-equal (partitioning-invariance test) — this pins WHICH one
+    runs, the property a pure output check cannot see."""
+    from skoltexter_by_ai_spark.operators.text_analysis import token_vocabulary
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} common") for i in range(50)], "doc_id long, text string"
+    )
+    # The range repartition itself hides behind the localCheckpoint
+    # (Scan ExistingRDD), so pin the visible signatures: the
+    # distributed path windows per __pid with the broadcast offsets
+    # join; the fast path is one global window (SinglePartition).
+    dist_plan = _plan(token_vocabulary(df, "doc_id", "text", num_ranges=4))
+    assert "__pid" in dist_plan and "SinglePartition" not in dist_plan, dist_plan
+    fast_plan = _plan(token_vocabulary(df, "doc_id", "text"))
+    assert "SinglePartition" in fast_plan and "__pid" not in fast_plan, fast_plan
+
+
 def test_simhash_fingerprint_is_shuffle_free(spark):
     from skoltexter_by_ai_spark.operators.dedup import simhash64
 

@@ -594,6 +594,50 @@ def test_learn_bpe_merges_matches_reference_on_fixture(spark):
     assert len(got) == 6 and got == expect
 
 
+def test_quality_score_exact_hand_values(spark):
+    """Pin the three-band arithmetic exactly (mutation gate r7: the
+    punct term's sign survived the scoped suite — the oracle sees x08
+    but this module's tests must kill it too)."""
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    # 10 tokens (band 1.0), 4 stopwords of 10 (ratio .4 -> band 1.0),
+    # no punctuation (band 1.0) -> exactly 1.0.
+    text10 = "the cat is a mat and words more here now"
+    assert len(text10.split()) == 10
+    got = _eval(spark, quality_score(F.col("v")), text10)
+    assert got == round(0.4 * 1.0 + 0.3 * 1.0 + 0.3 * 1.0, 6) == 1.0
+
+    # 3 tokens (band 0.5), 1 stopword of 3, 1 of 11 chars is punct.
+    t = "the quick, fox"
+    sb = min((1 / 3) * 5.0, 1.0)
+    pb = 1.0 - min((1 / len(t)) * 5.0, 1.0)
+    assert _eval(spark, quality_score(F.col("v")), t) == round(
+        0.4 * 0.5 + 0.3 * sb + 0.3 * pb, 6
+    )
+    # Empty text: every band zero except punct (1 - 0 = 1).
+    assert _eval(spark, quality_score(F.col("v")), "") == round(0.3 * 1.0, 6)
+    # Component sanity: ratios themselves are exact.
+    assert _eval(spark, stopword_ratio(F.col("v")), t) == 1 / 3
+    assert _eval(spark, punct_ratio(F.col("v")), t) == 1 / len(t)
+    assert _eval(spark, token_count(F.col("v")), t) == 3
+
+
+def test_learn_bpe_zero_merges_returns_empty(spark):
+    """n_merges=0 is legal (the validation guard is strict <0) and
+    returns an empty merge table without running a counting round."""
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    so: dict = {}
+    assert learn_bpe_merges(df, "text", 0, stats_out=so) == []
+    assert so["rounds"] == 0
+
+
 def test_learn_bpe_batched_equals_classic_and_cuts_rounds(spark):
     """VERDICT r6 item 2: batch_k > 1 must fold several merges per
     counting round — rounds strictly below n_merges on the fixture —
