@@ -686,6 +686,54 @@ def test_learn_bpe_batched_exact_on_adversarial_corpora(spark):
         assert got == expect, f"seed {seed}: {got} != {expect}"
 
 
+def test_lang_id_min_hits_boundary_inclusive(spark):
+    """A best score EXACTLY at min_hits must classify (>=, not >):
+    the one-stopword doc is the common short-text case."""
+    from skoltexter_by_ai_spark.operators.text_analysis import lang_id
+
+    # Exactly one English stopword hit, nothing else scores.
+    assert _eval(spark, lang_id(F.col("v"), min_hits=1), "the zzz qqq") == "en"
+    # Below the floor -> und.
+    assert _eval(spark, lang_id(F.col("v"), min_hits=2), "the zzz qqq") == "und"
+
+
+def test_learn_bpe_batch_stops_at_dominance_bound(spark):
+    """The round-start dominance bound must REJECT a second batch
+    member whose count does not strictly beat the best pair adjacent
+    to m1's symbols: here classic BPE's second merge is (ab, c) — a
+    pair CREATED by the first merge — so admitting (e, f) into m1's
+    batch would emit the wrong merge table."""
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+
+    text = " ".join(["abc"] * 6 + ["abd"] * 5 + ["efg"] * 3 + ["efh"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    so: dict = {}
+    got = learn_bpe_merges(df, "text", 2, batch_k=2, stats_out=so)
+    assert [(l, r, c) for l, r, c in got] == [("a", "b", 11), ("ab", "c", 6)]
+    assert so["rounds"] == 2  # the batch correctly refused to fold (e,f)
+
+
+def test_learn_bpe_batch_cap_and_multi_member_round(spark):
+    """Three symbol-disjoint families with steeply separated counts
+    force a genuine multi-merge batch: batch_k=3 must learn all three
+    in ONE counting round, and batch_k=2 must stop the batch at
+    exactly two (the cap is part of the exactness contract — an
+    overshoot would return more merges than n_merges)."""
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+
+    text = " ".join(
+        ["abc"] * 10 + ["abd"] * 10 + ["efg"] * 8 + ["efh"] * 8 + ["ijk"] * 7 + ["ijl"] * 7
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    so: dict = {}
+    got = learn_bpe_merges(df, "text", 3, batch_k=3, stats_out=so)
+    assert [(l, r, c) for l, r, c in got] == [("a", "b", 20), ("e", "f", 16), ("i", "j", 14)]
+    assert so["rounds"] == 1
+    so = {}
+    got2 = learn_bpe_merges(df, "text", 2, batch_k=2, stats_out=so)
+    assert len(got2) == 2 and got2 == got[:2]
+
+
 def test_learn_bpe_merges_validates_and_handles_exhaustion(spark):
     from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
 
