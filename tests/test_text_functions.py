@@ -697,6 +697,62 @@ def test_lang_id_min_hits_boundary_inclusive(spark):
     assert _eval(spark, lang_id(F.col("v"), min_hits=2), "the zzz qqq") == "und"
 
 
+def test_bpe_select_batch_guard_branches_directly():
+    """_bpe_select_batch is pure — pin every guard branch without
+    Spark (the corner configurations are hard to reach from a corpus
+    but each one protects classic-BPE exactness):
+    prefix rule, symbol conflicts, join collisions both directions,
+    alias stop, dominance bound from both sides, and the cap."""
+    from skoltexter_by_ai_spark.operators.text_analysis import _bpe_select_batch
+
+    def sel(cands, max_end=None, max_start=None, k=8):
+        return _bpe_select_batch(cands, max_end or {}, max_start or {}, k)
+
+    # Happy path: disjoint + dominant -> all three fold.
+    cands = [("a", "b", 100), ("e", "f", 90), ("i", "j", 80)]
+    assert sel(cands) == cands
+    # Cap: batch_k=2 stops at exactly two.
+    assert sel(cands, k=2) == cands[:2]
+    # Prefix rule: a conflicting second candidate ends the batch even
+    # though the third would qualify — no skipping.
+    assert sel([("a", "b", 100), ("b", "c", 90), ("e", "f", 80)]) == [("a", "b", 100)]
+    assert sel([("a", "b", 100), ("c", "a", 90)]) == [("a", "b", 100)]
+    # Join collisions, both directions: a later candidate whose SYMBOL
+    # equals an earlier join, and a later candidate whose JOIN equals
+    # an earlier symbol.
+    assert sel([("a", "b", 100), ("ab", "c", 90)]) == [("a", "b", 100)]
+    assert sel([("ab", "c", 100), ("a", "b", 90)]) == [("ab", "c", 100)]
+    # Identical joins from different splits ("a"+"bc" vs "ab"+"c").
+    assert sel([("a", "bc", 100), ("ab", "c", 90)]) == [("a", "bc", 100)]
+    # Alias stop: m1's join already exists in the pair alphabet.
+    assert sel([("a", "b", 100), ("e", "f", 90)], max_start={"ab": 5}) == [
+        ("a", "b", 100)
+    ]
+    assert sel([("a", "b", 100), ("e", "f", 90)], max_end={"ab": 5}) == [
+        ("a", "b", 100)
+    ]
+    # Dominance bound, each side and strictness: a pair created by m1
+    # is bounded by max_end[l1] / max_start[r1]; the next member must
+    # STRICTLY beat it.
+    assert sel([("a", "b", 100), ("e", "f", 90)], max_end={"a": 95}) == [
+        ("a", "b", 100)
+    ]
+    assert sel([("a", "b", 100), ("e", "f", 90)], max_start={"b": 95}) == [
+        ("a", "b", 100)
+    ]
+    assert sel([("a", "b", 100), ("e", "f", 90)], max_end={"a": 90}) == [
+        ("a", "b", 100)
+    ]  # equal is NOT strictly greater
+    two = [("a", "b", 100), ("e", "f", 90)]
+    assert sel(two, max_end={"a": 80}, max_start={"b": 85}) == two
+    # The bound accumulates across members: m2's adjacency maxima
+    # gate m3 too.
+    assert sel(
+        [("a", "b", 100), ("e", "f", 90), ("i", "j", 80)],
+        max_start={"f": 85},
+    ) == [("a", "b", 100), ("e", "f", 90)]
+
+
 def test_learn_bpe_batch_stops_at_dominance_bound(spark):
     """The round-start dominance bound must REJECT a second batch
     member whose count does not strictly beat the best pair adjacent
@@ -743,7 +799,9 @@ def test_learn_bpe_merges_validates_and_handles_exhaustion(spark):
     with pytest.raises(ValueError, match="batch_k"):
         learn_bpe_merges(df, "text", 2, batch_k=0)
     # "ab</w>" has 2 mergeable pairs; asking for more stops early.
-    got = learn_bpe_merges(df, "text", 10)
+    # batch_k=1 is LEGAL (the classic equality-test mode, strict <1
+    # guard) and must run the plain loop, not raise.
+    got = learn_bpe_merges(df, "text", 10, batch_k=1)
     assert [m[:2] for m in got] == [("a", "b"), ("ab", "</w>")]
 
 

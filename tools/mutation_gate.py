@@ -74,6 +74,9 @@ TARGETS: dict[str, list[str]] = {
     ],
     "skoltexter_by_ai_spark/operators/text_analysis.py": [
         "tests/test_text_functions.py",
+        # owns this module's plan-shape contracts (vocabulary ranking
+        # path selection) that output-level tests cannot see
+        "tests/test_plan_quality.py",
     ],
 }
 
