@@ -375,18 +375,24 @@ def test_unigram_logprob_never_forces_vocabulary_broadcast(spark):
     assert "SortMergeJoin" in plan, plan
 
 
-def test_token_vocabulary_has_no_partitionless_window(spark):
-    # x95: rank/coverage must come from the two-phase prefix-sum shape
-    # (per-range-partition windows keyed on __pid), never a global
-    # Window.orderBy — a single task holding the whole vocabulary
-    # (VERDICT r4 item 3; Spark logs "No Partition Defined" for it).
+def test_token_vocabulary_window_shape_matches_size_gate(spark):
+    # x95 contract since r7 (VERDICT r6 item 1c): the vocabulary is
+    # MEASURED, and a small one ranks in one gated single-partition
+    # window (two checkpoints + an offsets job were pure overhead at
+    # this size) — the fixture takes that path, so its plan holds
+    # exactly one global window over the vocabulary-sized table, fed
+    # by the checkpointed aggregate (never the raw corpus). The
+    # two-phase per-__pid prefix-sum shape (VERDICT r4 item 3) remains
+    # the big-vocabulary path; its plan shape and output equality are
+    # pinned by test_token_vocabulary_picks_ranking_path_by_request
+    # and the partitioning-invariance test.
     plan = _plan(_build(spark, "x95_token_vocab"))
-    windows = re.findall(r"Window \[.*?\], \[([^\]]*)\], \[", plan)
-    assert windows, f"no Window operator found:\n{plan}"
-    assert all(spec.strip() for spec in windows), (
-        f"partition-less window in x95 plan: {windows}\n{plan}"
-    )
-    assert "__pid" in plan, plan
+    assert "SinglePartition" in plan, plan
+    # The single-task window must read the aggregated (checkpointed)
+    # vocabulary, not re-derive it: no exchange below the window other
+    # than the SinglePartition one, and the scan is the pinned RDD.
+    assert "Scan ExistingRDD" in plan, plan
+    assert "__pid" not in plan, plan
 
 
 def test_bigram_pmi_never_forces_vocabulary_broadcast(spark):
