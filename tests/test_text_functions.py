@@ -751,6 +751,16 @@ def test_bpe_select_batch_guard_branches_directly():
         [("a", "b", 100), ("e", "f", 90), ("i", "j", 80)],
         max_start={"f": 85},
     ) == [("a", "b", 100), ("e", "f", 90)]
+    # Absent adjacency maxima mean bound 0, not a silent floor: a
+    # count-1 second member is admissible when m1 creates nothing
+    # (no pair ends at l1 or starts at r1).
+    low = [("a", "b", 2), ("e", "f", 1)]
+    assert sel(low) == low
+    # The bound keys are (max_end[l1], max_start[r1]) — never the
+    # swapped lookup.
+    assert sel(
+        [("a", "b", 10), ("e", "f", 6)], max_end={"b": 9}, max_start={"a": 9}
+    ) == [("a", "b", 10), ("e", "f", 6)]
 
 
 def test_learn_bpe_batch_stops_at_dominance_bound(spark):
