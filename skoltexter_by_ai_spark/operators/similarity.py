@@ -56,19 +56,25 @@ def _stack_valid(vecs: "pd.Series", ok: "pd.Series", where: str):
     data), but rows whose dimensions disagree raise ``ValueError``
     (a systematically wrong embedding dim is a caller bug; silently
     dropping every row would return an empty result with no signal).
+
+    Zero cost on the clean path: the all-valid batch goes straight to
+    one vstack (no per-row Python dim checks) — ragged rows make the
+    vstack itself raise, re-wrapped with a readable message; a
+    UNIFORMLY wrong dim is the caller's to catch with one O(1)
+    ``mat.shape[1]`` comparison against the expected dimension.
     """
     import numpy as np
 
-    if not ok.any():
+    sub = vecs if ok.all() else vecs[ok]
+    if not len(sub):
         return None
-    arrs = [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
-    dims = {a.shape[0] for a in arrs}
-    if len(dims) > 1:
+    try:
+        return np.vstack(sub.map(lambda v: np.asarray(v, dtype=np.float64)))
+    except ValueError as exc:
         raise ValueError(
-            f"{where}: mixed embedding dims {sorted(dims)} in one batch — "
-            "the column must hold vectors of a single dimension"
-        )
-    return np.vstack(arrs)
+            f"{where}: mixed embedding dims in one batch — the column "
+            "must hold vectors of a single dimension"
+        ) from exc
 
 
 def cosine_vectorized(a: Column, b: Column) -> Column:
@@ -90,7 +96,10 @@ def cosine_vectorized(a: Column, b: Column) -> Column:
     def cos_pd(va: pd.Series, vb: pd.Series) -> pd.Series:
         import numpy as np
 
-        ok = va.map(lambda v: v is not None) & vb.map(lambda v: v is not None)
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        ok = ~(va.isnull().to_numpy() | vb.isnull().to_numpy())
+        ok = pd.Series(ok, index=va.index)
         ma = _stack_valid(va, ok, "cosine_vectorized(a)")
         if ma is None:
             return pd.Series([None] * len(va), dtype="object")
@@ -242,20 +251,15 @@ def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
         import numpy as np
 
         planes_m = np.asarray(planes, dtype=np.float64)  # (P, dim)
-        ok = vecs.map(lambda v: v is not None)
-        bad = vecs.map(lambda v: v is not None and len(v) != planes_m.shape[1])
-        if bad.any():
-            got = len(vecs[bad].iloc[0])
-            raise ValueError(
-                f"lsh_bucket_gemm: expected embedding dim "
-                f"{planes_m.shape[1]}, got {got} "
-                f"({int(bad.sum())} mismatched rows in batch)"
-            )
+        ok = vecs.notnull()
         computed: list = []
-        if ok.any():
-            mat = np.vstack(
-                vecs[ok].map(lambda v: np.asarray(v, dtype=np.float64))
-            )
+        mat = _stack_valid(vecs, ok, "lsh_bucket_gemm")
+        if mat is not None:
+            if mat.shape[1] != planes_m.shape[1]:
+                raise ValueError(
+                    f"lsh_bucket_gemm: expected embedding dim "
+                    f"{planes_m.shape[1]}, got {mat.shape[1]}"
+                )
             signs = (mat @ planes_m.T) >= 0.0  # (rows, P)
             weights = np.left_shift(
                 np.int64(1), np.arange(n_planes, dtype=np.int64)
@@ -303,19 +307,15 @@ def embedding_near_dups(
         import numpy as np
 
         planes_m = np.asarray(all_planes, dtype=np.float64)  # (T*P, dim)
-        ok = vecs.map(lambda v: v is not None)
-        bad = vecs.map(lambda v: v is not None and len(v) != planes_m.shape[1])
-        if bad.any():
-            raise ValueError(
-                f"embedding_near_dups: expected embedding dim "
-                f"{planes_m.shape[1]}, got {len(vecs[bad].iloc[0])} "
-                f"({int(bad.sum())} mismatched rows in batch)"
-            )
+        ok = vecs.notnull()
         computed: list = []
-        if ok.any():
-            mat = np.vstack(
-                vecs[ok].map(lambda v: np.asarray(v, dtype=np.float64))
-            )
+        mat = _stack_valid(vecs, ok, "embedding_near_dups")
+        if mat is not None:
+            if mat.shape[1] != planes_m.shape[1]:
+                raise ValueError(
+                    f"embedding_near_dups: expected embedding dim "
+                    f"{planes_m.shape[1]}, got {mat.shape[1]}"
+                )
             signs = (mat @ planes_m.T) >= 0.0  # (rows, T*P)
             weights = np.left_shift(
                 np.int64(1), np.arange(n_planes, dtype=np.int64)
@@ -429,7 +429,7 @@ def ivf_assign(
         if not len(vecs):
             return pd.Series([], dtype="int32")
         cm = np.asarray(centroids, dtype=np.float64)  # (C, dim), unit rows
-        ok = vecs.map(lambda v: v is not None)
+        ok = vecs.notnull()
         mat = _stack_valid(vecs, ok, "ivf_assign")
         if mat is None:
             return pd.Series([None] * len(vecs), dtype="object")
