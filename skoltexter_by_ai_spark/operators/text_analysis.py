@@ -1042,6 +1042,51 @@ def bpe_segment(
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
+def intra_doc_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Per-document duplicate n-gram fraction — the Gopher-style
+    INTRA-document repetition gate (Rae et al. 2021 §A1.1: drop
+    documents whose duplicate 2-gram fraction is high), the
+    within-document sibling of :func:`duplicate_spans` (which counts
+    positions repeated ACROSS documents).
+
+    Output: ``(id_col, n_ngrams, n_distinct, dup_share)`` where
+    ``dup_share = (n_ngrams − n_distinct) / n_ngrams`` (0.0 for
+    documents with no complete n-gram).
+
+    Scale posture: the whole computation is in-row Column expressions
+    (positional shingles via shifted ``zip_with``, ``array_distinct``,
+    two sizes) — a narrow map-only pass with ZERO shuffles; it
+    composes into any gate projection for free and is trivially
+    streaming-safe (stateless).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    base = _spread(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    )
+    grams = base.select(
+        id_col, shingles_from_tokens(F.col("__t"), n, distinct=False).alias("__g")
+    )
+    total = F.size("__g")
+    dis = F.size(F.array_distinct("__g"))
+    return grams.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_ngrams"),
+        dis.cast("bigint").alias("n_distinct"),
+        F.round(
+            F.when(
+                total > 0, (total - dis).cast("double") / total.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_share"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,

@@ -765,6 +765,42 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x115_intra_doc_repetition",
+    # Gopher-style within-document repetition gate: the duplicate
+    # 2-gram fraction of each document — positional (non-distinct)
+    # bigrams, so a doc repeating itself scores high even when no
+    # other doc shares the text. Purely in-row on both engines.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i+1]) AS gs
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(gs) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+               ROUND(CASE WHEN len(gs) > 0
+                          THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+                               / len(gs)
+                          ELSE 0.0 END, 6) AS dup_share
+        FROM g
+        ORDER BY doc_id
+    """,
+    covers="intra-document repetition gate: per-doc duplicate n-gram fraction (Gopher rule), zero-shuffle in-row computation",
+    tags=("text", "quality", "curation"),
+    min_rows=400,
+)
+def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import intra_doc_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return intra_doc_repetition(docs, "doc_id", "text", n=2).orderBy("doc_id")
+
+
+@register(
     "x110_duplicate_spans",
     # Span-level dedup signal: fraction of each document's token
     # POSITIONS whose 5-gram occurs in >= 2 distinct documents —

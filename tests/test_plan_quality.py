@@ -157,6 +157,24 @@ def test_token_vocabulary_picks_ranking_path_by_request(spark):
     assert "SinglePartition" in fast_plan and "__pid" not in fast_plan, fast_plan
 
 
+def test_intra_doc_repetition_is_shuffle_free(spark):
+    # x115's operator claims a zero-shuffle narrow pass: positional
+    # shingles, array_distinct, and sizes are all in-row, so the plan
+    # must contain NO Exchange of any kind.
+    from skoltexter_by_ai_spark.operators.text_analysis import intra_doc_repetition
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(intra_doc_repetition(docs, "doc_id", "text"))
+    # The only allowed exchange is _spread's REPARTITION_BY_NUM (CPU
+    # parallelization of a tiny single-split fixture file — a no-op
+    # on a real multi-split corpus); the computation itself must add
+    # no shuffle.
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange" in line
+    ]
+    assert all("REPARTITION_BY_NUM" in e for e in exchanges), plan
+
+
 def test_simhash_fingerprint_is_shuffle_free(spark):
     from skoltexter_by_ai_spark.operators.dedup import simhash64
 

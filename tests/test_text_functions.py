@@ -594,6 +594,30 @@ def test_learn_bpe_merges_matches_reference_on_fixture(spark):
     assert len(got) == 6 and got == expect
 
 
+def test_intra_doc_repetition_exact_hand_values(spark):
+    """Gopher-rule duplicate-bigram fraction, positional semantics:
+    'a b a b a' has 4 bigram positions over 2 distinct bigrams."""
+    from skoltexter_by_ai_spark.operators.text_analysis import intra_doc_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, "c c c"), (4, "p q r s")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in intra_doc_repetition(df, "doc_id", "text").collect()}
+    assert (rows[1].n_ngrams, rows[1].n_distinct, rows[1].dup_share) == (4, 2, 0.5)
+    assert (rows[2].n_ngrams, rows[2].n_distinct, rows[2].dup_share) == (0, 0, 0.0)
+    assert (rows[3].n_ngrams, rows[3].n_distinct, rows[3].dup_share) == (2, 1, 0.5)
+    assert (rows[4].n_ngrams, rows[4].n_distinct, rows[4].dup_share) == (3, 3, 0.0)
+    # Trigram mode: 'a b a b a' -> ['a b a','b a b','a b a'] = 3/2.
+    tri = {r.doc_id: r for r in intra_doc_repetition(df, "doc_id", "text", n=3).collect()}
+    assert (tri[1].n_ngrams, tri[1].n_distinct) == (3, 2)
+    assert tri[1].dup_share == round(1 / 3, 6)
+    import pytest
+
+    with pytest.raises(ValueError, match="n must be"):
+        intra_doc_repetition(df, "doc_id", "text", n=0)
+
+
 def test_quality_score_exact_hand_values(spark):
     """Pin the three-band arithmetic exactly (mutation gate r7: the
     punct term's sign survived the scoped suite — the oracle sees x08
