@@ -102,6 +102,18 @@ def main() -> None:
             # hands them to Spark's ContextCleaner so each query is
             # measured against a clean executor, which is what the
             # per-query numbers claim to be.
+            # INVARIANT: no DataFrame may outlive its bench iteration.
+            # The sweep below unpersists EVERY persistent RDD in the
+            # session — including localCheckpoint-backed ones whose
+            # lineage is truncated. That is safe only because each
+            # query is independent, fully consumed by the noop sink
+            # above, and its timing is already recorded in `timings`
+            # before we get here; a future query that retained a
+            # checkpointed frame across iterations would become
+            # unrecomputable and fail late with block-not-found.
+            assert name in timings or name in failures, (
+                f"bench invariant: {name} reached cleanup without a recorded outcome"
+            )
             import gc
 
             gc.collect()

@@ -96,6 +96,13 @@ def _spread(df: DataFrame, key_col: str | None) -> DataFrame:
     the downstream aggregation key the (much larger) exploded rows
     never shuffle again.
     """
+    if df.isStreaming:
+        # Streaming frames expose no .rdd (AnalysisException) and the
+        # micro-batch source already sets its own split count — the
+        # under-split-scan condition this guards against is a batch
+        # phenomenon. No-op keeps every _spread-using operator
+        # stream-safe without changing batch plans.
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= min(target, 8):

@@ -204,7 +204,12 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     gets a NULL bucket (drops out of bucket equi-joins), a non-NULL
     vector of the wrong dimension raises — a systematically wrong
     dim is a caller bug that must not silently empty the result.
+    An empty plane list is likewise a caller bug (bucket 0 for every
+    row would silently degrade LSH to an all-pairs join) and raises
+    the same ``ValueError`` in both formulations.
     """
+    if not planes:
+        raise ValueError("lsh_bucket: planes must be non-empty")
     dim = len(planes[0])
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
@@ -244,6 +249,8 @@ def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
     """
     from pyspark.sql.types import LongType
 
+    if not planes:
+        raise ValueError("lsh_bucket_gemm: planes must be non-empty")
     n_planes = len(planes)
 
     @F.pandas_udf(LongType())

@@ -878,59 +878,62 @@ def learn_bpe_merges(
         cap = max(10_000, 4 * want)
         if want > 1:
             pc = pc.persist()
-        top = (
-            pc.orderBy(F.desc("__n"), F.col("__p.l"), F.col("__p.r"))
-            .limit(cap if want > 1 else 2)
-            .collect()
-        )
-        if not top:
-            if want > 1:
-                pc.unpersist()
-            break
-        cands = [(r["__p"]["l"], r["__p"]["r"], int(r["__n"])) for r in top]
-        complete = want > 1 and len(cands) < cap
-        # The adjacency-maxima job only pays for itself when the sorted
-        # prefix has a second symbol-disjoint candidate to batch.
-        c0 = cands[0]
-        prefix_can_batch = want > 1 and len(cands) > 1 and not (
-            {c0[0], c0[1], c0[0] + c0[1]}
-            & {cands[1][0], cands[1][1], cands[1][0] + cands[1][1]}
-        )
-        if prefix_can_batch and complete:
-            max_start: dict[str, int] = {}
-            max_end: dict[str, int] = {}
-            for l, r, c in cands:
-                if c > max_start.get(l, 0):
-                    max_start[l] = c
-                if c > max_end.get(r, 0):
-                    max_end[r] = c
-            batch = _bpe_select_batch(cands[: 4 * want], max_end, max_start, want)
-        elif prefix_can_batch:
-            # Candidate symbols for the dominance maxima, plus join
-            # strings so the dicts double as the alias-membership probe.
-            head = cands[: 4 * want]
-            syms = sorted({s for l, r, _ in head for s in (l, r, l + r)})
-            stats = (
-                pc.select(
-                    F.col("__p.l").alias("__s"), F.lit("st").alias("__side"), "__n"
-                )
-                .unionAll(
-                    pc.select(
-                        F.col("__p.r").alias("__s"), F.lit("en").alias("__side"), "__n"
-                    )
-                )
-                .filter(F.col("__s").isin(syms))
-                .groupBy("__s", "__side")
-                .agg(F.max("__n").alias("__m"))
+        # try/finally: if either collect below throws, the persisted
+        # pair table must not leak cached blocks for the session's
+        # lifetime (repeated failed calls would otherwise accumulate).
+        try:
+            top = (
+                pc.orderBy(F.desc("__n"), F.col("__p.l"), F.col("__p.r"))
+                .limit(cap if want > 1 else 2)
                 .collect()
             )
-            max_start = {r["__s"]: int(r["__m"]) for r in stats if r["__side"] == "st"}
-            max_end = {r["__s"]: int(r["__m"]) for r in stats if r["__side"] == "en"}
-            batch = _bpe_select_batch(head, max_end, max_start, want)
-        else:
-            batch = [c0]
-        if want > 1:
-            pc.unpersist()
+            if not top:
+                break
+            cands = [(r["__p"]["l"], r["__p"]["r"], int(r["__n"])) for r in top]
+            complete = want > 1 and len(cands) < cap
+            # The adjacency-maxima job only pays for itself when the sorted
+            # prefix has a second symbol-disjoint candidate to batch.
+            c0 = cands[0]
+            prefix_can_batch = want > 1 and len(cands) > 1 and not (
+                {c0[0], c0[1], c0[0] + c0[1]}
+                & {cands[1][0], cands[1][1], cands[1][0] + cands[1][1]}
+            )
+            if prefix_can_batch and complete:
+                max_start: dict[str, int] = {}
+                max_end: dict[str, int] = {}
+                for l, r, c in cands:
+                    if c > max_start.get(l, 0):
+                        max_start[l] = c
+                    if c > max_end.get(r, 0):
+                        max_end[r] = c
+                batch = _bpe_select_batch(cands[: 4 * want], max_end, max_start, want)
+            elif prefix_can_batch:
+                # Candidate symbols for the dominance maxima, plus join
+                # strings so the dicts double as the alias-membership probe.
+                head = cands[: 4 * want]
+                syms = sorted({s for l, r, _ in head for s in (l, r, l + r)})
+                stats = (
+                    pc.select(
+                        F.col("__p.l").alias("__s"), F.lit("st").alias("__side"), "__n"
+                    )
+                    .unionAll(
+                        pc.select(
+                            F.col("__p.r").alias("__s"), F.lit("en").alias("__side"), "__n"
+                        )
+                    )
+                    .filter(F.col("__s").isin(syms))
+                    .groupBy("__s", "__side")
+                    .agg(F.max("__n").alias("__m"))
+                    .collect()
+                )
+                max_start = {r["__s"]: int(r["__m"]) for r in stats if r["__side"] == "st"}
+                max_end = {r["__s"]: int(r["__m"]) for r in stats if r["__side"] == "en"}
+                batch = _bpe_select_batch(head, max_end, max_start, want)
+            else:
+                batch = [c0]
+        finally:
+            if want > 1:
+                pc.unpersist()
         merges.extend(batch)
         rules = [(l, r, l + r) for l, r, _ in batch]
         # Left-to-right merge fold: append each symbol, replacing the

@@ -67,3 +67,22 @@ def test_gate_rejects_wrong_scale_factor(tmp_path):
     p.write_text(json.dumps({"value": 10.0, "sf": 0.01, "queries": {}}))
     rc, out = _run("--file", str(p))
     assert rc == 1 and not out["ok"]
+
+
+def test_gate_fails_closed_with_json_line_on_malformed_record(tmp_path):
+    """ADVICE r7: a non-JSON file or a record missing 'value' must
+    still emit the one-line JSON verdict (ok=false, err set) instead
+    of an uncaught traceback — exit code stays nonzero either way."""
+    garbled = tmp_path / "garbled.json"
+    garbled.write_text("not json {")
+    rc, out = _run("--file", str(garbled))
+    assert rc == 1 and out["ok"] is False and "err" in out
+
+    keyless = tmp_path / "keyless.json"
+    keyless.write_text(json.dumps({"sf": 0.1, "queries": {}}))
+    rc, out = _run("--file", str(keyless))
+    assert rc == 1 and out["ok"] is False and "KeyError" in out["err"]
+
+    missing = tmp_path / "does_not_exist.json"
+    rc, out = _run("--file", str(missing))
+    assert rc == 1 and out["ok"] is False and "err" in out

@@ -388,3 +388,16 @@ def test_wrong_dim_vectors_raise_not_silently_drop(spark):
     cents = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(2)]
     with pytest.raises(Exception, match="dim"):
         similarity.ivf_assign(emb, cents).collect()
+
+
+def test_empty_planes_rejected_identically_by_both_formulations(spark):
+    """ADVICE r7 item 1: zero hyperplanes would silently degrade LSH
+    to one all-pairs bucket — both formulations must raise the same
+    ValueError instead (lsh_bucket previously raised IndexError while
+    lsh_bucket_gemm returned bucket 0)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="planes must be non-empty"):
+        similarity.lsh_bucket(F.col("embedding"), [])
+    with pytest.raises(ValueError, match="planes must be non-empty"):
+        similarity.lsh_bucket_gemm(F.col("embedding"), [])

@@ -422,6 +422,29 @@ def test_user_ema_null_only_first_batch_seeds_with_first_value(spark, tmp_path):
     assert u2.ema == pytest.approx(batch[2].ema, rel=1e-12)
 
 
+def test_intra_doc_repetition_stream_matches_x115(spark, tmp_path):
+    """VERDICT r7 item 5 — x115's streaming twin: the intra-document
+    repetition gate is a stateless in-row projection, so the SAME
+    operator runs unchanged on a document stream in append mode and
+    must equal the declared batch query byte-for-byte."""
+    from skoltexter_by_ai_spark.operators.text_analysis import intra_doc_repetition
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", d / "part-0.parquet")
+    batch_docs = load_table(spark, SF, "documents")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = streaming.run_to_memory(
+        intra_doc_repetition(stream_docs, "doc_id", "text", n=2),
+        "t_x115",
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    batch = intra_doc_repetition(batch_docs, "doc_id", "text", n=2)
+    assert out.columns == batch.columns
+    assert _rows(out, "doc_id") == _rows(batch, "doc_id")
+
+
 def test_curation_funnel_stream_matches_batch(spark, tmp_path):
     """The curation funnel is a stateless conditional aggregation, so
     the SAME operator runs on a document stream (complete mode) — the

@@ -57,7 +57,24 @@ def main() -> int:
     ap.add_argument("--max-query", type=float, default=MAX_QUERY_SEC)
     args = ap.parse_args()
 
-    record, source = load_record(args.file)
+    # Fail closed AND keep the one-line-JSON output contract: a
+    # missing file, non-JSON content, or a record without 'value'
+    # must emit {"ok": false, "err": ...} (not a traceback) so
+    # downstream parsers of the gate line never break.
+    try:
+        record, source = load_record(args.file)
+        float(record["value"])
+    except Exception as exc:
+        print(
+            json.dumps(
+                {
+                    "source": args.file or "HEAD:BENCH_LOCAL.json",
+                    "ok": False,
+                    "err": f"{type(exc).__name__}: {exc}",
+                }
+            )
+        )
+        return 1
     if record.get("sf") != 0.1:
         print(json.dumps({"source": source, "ok": False, "err": f"sf={record.get('sf')} != 0.1"}))
         return 1
