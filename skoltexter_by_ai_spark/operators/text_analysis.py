@@ -824,14 +824,20 @@ def learn_bpe_merges(
     batch members are symbol-disjoint). Relative to the r5 shape (one
     Spark job and one 1-row collect per merge — 32k serial round
     trips for a real vocab), rounds shrink by the realized batch
-    factor; the worst case (every round conflicts immediately)
-    degrades to the classic loop. Symbol arrays are re-checkpointed
+    factor — MEASURED 4.27x at 512 merges / batch_k=8 on 1.2 MB of
+    natural English (license prose + stdlib docstrings; see
+    QUALITY.md round 8 and ``tools/bpe_batch_factor.py``), i.e. a
+    32k vocab costs ~7.5k rounds, not 32k; the worst case (every
+    round conflicts immediately) degrades to the classic loop. Symbol arrays are re-checkpointed
     every ``checkpoint_every`` rounds so lineage depth stays bounded.
     At open-web scale you would feed this a sample — the algorithm is
     identical.
 
-    ``stats_out``: pass a dict to receive ``{"rounds": int}`` — the
-    number of counting rounds actually run (the serial-depth metric).
+    ``stats_out``: pass a dict to receive ``{"rounds": int,
+    "batch_sizes": list[int]}`` — the number of counting rounds
+    actually run (the serial-depth metric) and the per-round batch
+    sizes (mass at 1 means the prefix rule bound the batch; mass
+    between 2 and batch_k-1 means the dominance bound did).
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0: {n_merges}")
@@ -850,6 +856,7 @@ def learn_bpe_merges(
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
+    batch_sizes: list[int] = []
     rounds = 0
     while len(merges) < n_merges:
         rounds += 1
@@ -935,6 +942,7 @@ def learn_bpe_merges(
             if want > 1:
                 pc.unpersist()
         merges.extend(batch)
+        batch_sizes.append(len(batch))
         rules = [(l, r, l + r) for l, r, _ in batch]
         # Left-to-right merge fold: append each symbol, replacing the
         # accumulated tail when (tail, current) matches a batch rule.
@@ -969,6 +977,7 @@ def learn_bpe_merges(
             words = words.localCheckpoint()
     if stats_out is not None:
         stats_out["rounds"] = rounds
+        stats_out["batch_sizes"] = batch_sizes
     return merges
 
 

@@ -1,0 +1,119 @@
+"""Measure the realized BPE batch factor on NATURAL language text
+(VERDICT r7 item 1): the equality machinery in
+``learn_bpe_merges(batch_k>1)`` is proved; what was never measured is
+whether real Zipfian pair distributions actually batch well — the
+sf fixtures are synthetic ~35-word salad and the r7 equality fixture
+managed only 40 merges in 25 rounds (1.6x).
+
+Corpus: genuine public English prose that ships in this container —
+/usr/share/common-licenses/* + the Python LICENSE + every stdlib
+docstring (~1.2 MB total). No downloads, no fixture synthesis.
+
+Usage::
+
+    python tools/bpe_batch_factor.py --n-merges 512 --batch-k 8
+    python tools/bpe_batch_factor.py --n-merges 64 --check-equality
+
+Prints one JSON line: realized factor (merges/rounds), wall seconds,
+and the per-round batch-size histogram — the direct evidence for
+whether the prefix rule is the binding constraint (histogram mass at
+1) or the dominance bound is (mass between 2 and batch_k-1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import glob
+import json
+import sys
+import time
+
+
+def natural_corpus() -> list[str]:
+    """~1.2 MB of real English: license prose + stdlib docstrings."""
+    texts: list[str] = []
+    for path in sorted(glob.glob("/usr/share/common-licenses/*")):
+        try:
+            texts.append(open(path, encoding="utf-8", errors="ignore").read())
+        except OSError:
+            continue
+    lib = glob.glob(sys.prefix + "/lib/python3.*")
+    if lib:
+        try:
+            texts.append(open(lib[0] + "/LICENSE.txt", encoding="utf-8").read())
+        except OSError:
+            pass
+        for path in sorted(glob.glob(lib[0] + "/*.py")):
+            try:
+                tree = ast.parse(open(path, encoding="utf-8", errors="ignore").read())
+            except (SyntaxError, OSError):
+                continue
+            for node in ast.walk(tree):
+                if isinstance(
+                    node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+                ):
+                    doc = ast.get_docstring(node)
+                    if doc:
+                        texts.append(doc)
+    return texts
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-merges", type=int, default=512)
+    ap.add_argument("--batch-k", type=int, default=8)
+    ap.add_argument(
+        "--check-equality",
+        action="store_true",
+        help="also run batch_k=1 and assert the merge tables are identical "
+        "(doubles the runtime; use a small --n-merges)",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from skoltexter_by_ai_spark.operators.text_analysis import learn_bpe_merges
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    texts = natural_corpus()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    merges = learn_bpe_merges(
+        df, "text", args.n_merges, batch_k=args.batch_k, stats_out=stats
+    )
+    wall = time.perf_counter() - t0
+    rounds = stats.get("rounds", 0)
+    out = {
+        "corpus_docs": len(texts),
+        "corpus_chars": sum(len(t) for t in texts),
+        "n_merges": len(merges),
+        "batch_k": args.batch_k,
+        "rounds": rounds,
+        "realized_factor": round(len(merges) / rounds, 3) if rounds else None,
+        "wall_sec": round(wall, 1),
+        "batch_size_hist": {
+            str(k): stats.get("batch_sizes", []).count(k)
+            for k in sorted(set(stats.get("batch_sizes", [])))
+        },
+        "first_10_merges": [f"{l}+{r}" for l, r, _ in merges[:10]],
+    }
+    if args.check_equality:
+        classic = learn_bpe_merges(df, "text", args.n_merges, batch_k=1)
+        out["equal_to_classic"] = merges == classic
+        assert merges == classic, "batched merge table diverged from classic"
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
