@@ -542,20 +542,6 @@ def simhash_near_dups(
             "combination-banding blowup; use minhash_lsh_candidates for "
             "looser similarity"
         )
-    import itertools
-
-    h = F.col("simhash")
-
-    def _block(off: int, width: int) -> Column:
-        return F.shiftrightunsigned(h, off).bitwiseAND(F.lit((1 << width) - 1))
-
-    if max_hamming <= 3:
-        key_exprs = [_block(16 * b, 16) for b in range(4)]
-    else:
-        key_exprs = [
-            F.shiftleft(_block(8 * i, 8), 8).bitwiseOR(_block(8 * j, 8))
-            for i, j in itertools.combinations(range(8), 2)
-        ]
     # The signature table is (id, 8-byte fingerprint) — linear and tiny —
     # so it checkpoints once (lazily, on first action: the operator
     # stays a pure plan until executed) and the bucket self-join below
@@ -572,6 +558,37 @@ def simhash_near_dups(
         )
     else:
         sig = raw_sig.localCheckpoint(eager=False)
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Banded Hamming-radius pairs over a PRECOMPUTED signature table
+    ``(id_col, simhash bigint)`` — the second half of
+    :func:`simhash_near_dups`, exposed for pipelines that persist
+    signatures and re-query at different radii without re-hashing the
+    corpus (and so the pigeonhole banding is directly testable with
+    crafted fingerprints). Same banding guarantee: radius <= 3 uses 4
+    x 16-bit blocks (one clean block survives), radius 4-6 uses
+    ordered 8-bit block pairs (two clean blocks survive).
+    """
+    if not 0 <= max_hamming <= 6:
+        raise ValueError(f"max_hamming={max_hamming} outside [0, 6]")
+    import itertools
+
+    h = F.col("simhash")
+
+    def _block(off: int, width: int) -> Column:
+        return F.shiftrightunsigned(h, off).bitwiseAND(F.lit((1 << width) - 1))
+
+    if max_hamming <= 3:
+        key_exprs = [_block(16 * b, 16) for b in range(4)]
+    else:
+        key_exprs = [
+            F.shiftleft(_block(8 * i, 8), 8).bitwiseOR(_block(8 * j, 8))
+            for i, j in itertools.combinations(range(8), 2)
+        ]
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), expr.alias("chunk"))

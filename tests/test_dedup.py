@@ -220,3 +220,107 @@ def test_dedup_clusters_bridges_through_missing_endpoints(spark):
     pairs = spark.createDataFrame([(1, 9), (9, 3)], ["id_a", "id_b"])
     out = {r.doc_id: r.cluster for r in dedup.dedup_clusters(ids, pairs, "doc_id").collect()}
     assert out == {1: 1, 2: 2, 3: 1, 9: 1}
+
+
+# --- round-8 mutation-gate killers (QUALITY.md r8) ----------------------------
+
+
+def test_spread_is_noop_at_exact_parallelism_floor(spark):
+    """_spread repartitions ONLY below min(defaultParallelism, 8)
+    input splits; at exactly the floor it must return the input frame
+    untouched (>= boundary) — an unconditional repartition would
+    shuffle full document text on every well-split corpus."""
+    from skoltexter_by_ai_spark.operators.dedup import _spread
+
+    floor = min(spark.sparkContext.defaultParallelism, 8)
+    df = spark.range(100).repartition(floor)
+    assert _spread(df, None) is df
+
+
+def test_jaccard_pair_exactly_at_threshold_is_kept(spark):
+    """The >= boundary: a pair whose Jaccard equals min_jaccard must
+    appear (Gt would silently shave every boundary pair)."""
+    from skoltexter_by_ai_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 1-gram shingles: {a b c} vs {a b d} -> |∩|=2, |∪|=4, J = 0.5.
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "id long, text string"
+    )
+    out = ngram_jaccard_pairs(df, "id", "text", n=1, min_jaccard=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert abs(out[0].jaccard - 0.5) < 1e-12
+
+
+def test_minhash_defaults_are_the_documented_family(spark):
+    """Default (n=2, num_hashes=32, seed=42) must equal the explicit
+    call byte-for-byte: persisted signatures from default calls must
+    stay joinable with explicitly-parameterized ones, so a silently
+    drifted default breaks every incremental dedup pipeline."""
+    from skoltexter_by_ai_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "pack my box with jugs")],
+        "id long, text string",
+    )
+    dflt = minhash_signatures(df, "id", "text").orderBy("id").collect()
+    expl = (
+        minhash_signatures(df, "id", "text", n=2, num_hashes=32, seed=42)
+        .orderBy("id")
+        .collect()
+    )
+    assert dflt == expl
+    assert len(dflt[0]) == 1 + 32  # id + num_hashes columns
+
+
+def test_simhash_single_token_fingerprint_is_the_token_hash(spark):
+    """Majority-of-one: a single-token document's SimHash is exactly
+    xxhash64(token) — every lane shift, the SWAR mask, and the b%16
+    lane decomposition must round-trip each of the 64 bits. Kills any
+    mutation of the lane constants (mask, shift counts, lane modulus)."""
+    from skoltexter_by_ai_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["alpha", "bravo", "charlie", "Zx9"])],
+        "id long, text string",
+    )
+    got = {r.id: r.simhash for r in simhash64(df, "id", "text").collect()}
+    want = {
+        r.id: r.h
+        for r in df.select("id", F.xxhash64(F.col("text")).alias("h")).collect()
+    }
+    assert got == want
+
+
+def test_simhash_max_tokens_one_is_legal(spark):
+    """Boundary: max_tokens=1 is inside the documented [1, 65535]
+    contract (the fingerprint of the FIRST token only)."""
+    from skoltexter_by_ai_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame([(1, "only first counts")], "id long, text string")
+    one = simhash64(df, "id", "text", max_tokens=1).collect()
+    first = simhash64(
+        spark.createDataFrame([(1, "only")], "id long, text string"), "id", "text"
+    ).collect()
+    assert one[0].simhash == first[0].simhash
+
+
+def test_radius4_banding_survives_one_flip_per_16bit_block(spark):
+    """Pigeonhole tier boundary: at max_hamming=4 the 4x16-bit banding
+    is INSUFFICIENT (4 flips can touch all 4 blocks); the 8-bit
+    block-pair tier must engage. Crafted fingerprints differing by
+    exactly one bit in each 16-bit block — a radius-4 query that
+    stayed on the 16-bit tier would return nothing."""
+    from skoltexter_by_ai_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+    )
+
+    h = 0x123456789ABCDEF0
+    h4 = h ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))
+    sig = spark.createDataFrame([(1, h), (2, h4)], "id long, simhash long")
+    out = simhash_pairs_from_signatures(sig, "id", max_hamming=4).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 4)]
+    # And the 16-bit tier is still correct at its own boundary:
+    h3 = h ^ (1 | (1 << 16) | (1 << 32))
+    sig3 = spark.createDataFrame([(1, h), (2, h3)], "id long, simhash long")
+    out3 = simhash_pairs_from_signatures(sig3, "id", max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out3] == [(1, 2, 3)]

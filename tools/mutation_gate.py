@@ -78,6 +78,29 @@ TARGETS: dict[str, list[str]] = {
         # path selection) that output-level tests cannot see
         "tests/test_plan_quality.py",
     ],
+    # VERDICT r7 item 3: the six previously-untargeted modules. The
+    # sf0.01 oracle catches plan bugs here but not scalar/branch logic
+    # (banding arithmetic, pointer-jumping convergence, hyperplane
+    # LCG constants, SCD2 interval edges, HLL register math, skew
+    # thresholds, watermark/window plumbing).
+    "skoltexter_by_ai_spark/operators/dedup.py": [
+        "tests/test_dedup.py",
+    ],
+    "skoltexter_by_ai_spark/operators/similarity.py": [
+        "tests/test_similarity.py",
+    ],
+    "skoltexter_by_ai_spark/operators/cdc.py": [
+        "tests/test_cdc.py",
+    ],
+    "skoltexter_by_ai_spark/operators/sketches.py": [
+        "tests/test_sketches.py",
+    ],
+    "skoltexter_by_ai_spark/operators/skew.py": [
+        "tests/test_skew_and_split.py",
+    ],
+    "skoltexter_by_ai_spark/streaming/__init__.py": [
+        "tests/test_streaming.py",
+    ],
 }
 
 _CMP_FLIP = {
