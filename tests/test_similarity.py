@@ -401,3 +401,104 @@ def test_empty_planes_rejected_identically_by_both_formulations(spark):
         similarity.lsh_bucket(F.col("embedding"), [])
     with pytest.raises(ValueError, match="planes must be non-empty"):
         similarity.lsh_bucket_gemm(F.col("embedding"), [])
+
+
+def test_cosine_topk_rounds_to_exactly_six_places(spark):
+    """cos_sim is contractually ROUND(·, 6) — the cross-engine
+    convention every oracle uses; a 7-place score would hash-mismatch
+    DuckDB on any irrational cosine."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.cos_sim for r in similarity.cosine_topk(corpus, q, k=2).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == 0.707107  # round(1/sqrt(2), 6), never 0.7071068
+    # knn_join shares the 6-place contract (its round call is a
+    # separate site).
+    knn = {
+        r.vec_id: r.cos_sim
+        for r in similarity.knn_join(
+            corpus, q.withColumnRenamed("vec_id", "query_id"), k=2
+        ).collect()
+    }
+    assert knn == got
+
+
+def test_ivf_centroids_are_unit_normalized(spark):
+    """ivf_centroids' contract: returned centroids are L2-normalized
+    so nearest-by-dot == nearest-by-cosine; any non-unit centroid
+    skews the cell assignment toward its magnitude."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) + 2.0 for _ in range(8)]) for i in range(64)
+    ]  # +2 shift: cluster means are far from zero, so a skipped
+    #    normalization yields norms well above 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids(emb, n_centroids=4, iters=2)
+    for c in cents:
+        n = math.sqrt(sum(x * x for x in c))
+        assert abs(n - 1.0) < 1e-9
+
+
+def test_cosine_topk_default_k_is_ten(spark):
+    """Default k=10: the documented default must cap the result."""
+    import random
+
+    rng = random.Random(5)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(15)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert similarity.cosine_topk(corpus, q).count() == 10
+
+
+def test_hyperplanes_are_reproducible_golden(spark):
+    """The LCG hyperplane family is a persistence contract: buckets
+    computed today must match buckets computed by any future run, so
+    the generator constants are pinned by value."""
+    got = similarity.hyperplanes(4, 2, seed=7)
+    want = [
+        [-0.472193445018, -0.80852198752, 0.146741661378, 0.319049261079],
+        [-0.290907940831, 0.07648049756, 0.038397045957, 0.952916035292],
+    ]
+    for g_row, w_row in zip(got, want):
+        for g, w in zip(g_row, w_row):
+            assert abs(g - w) < 1e-11
+
+
+def test_lsh_bucket_single_plane_and_zero_dot_boundary(spark):
+    """One plane is legal (dim comes from planes[0], the only plane),
+    and a dot product of EXACTLY zero sets the bit (>= convention) —
+    in BOTH formulations, or mixed-formulation joins disagree on
+    boundary vectors."""
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    planes = [[1.0, 0.0]]  # dot([0,1], [1,0]) == 0 exactly
+    out = emb.select(
+        similarity.lsh_bucket(F.col("embedding"), planes).alias("b"),
+        similarity.lsh_bucket_gemm(F.col("embedding"), planes).alias("bg"),
+    ).collect()[0]
+    assert out.b == 1 and out.bg == 1
+
+
+def test_embedding_near_dups_rounds_to_six_places(spark):
+    """embedding_near_dups' cos_sim shares the ROUND(·, 6) contract."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.5, n_tables=8, n_planes=2, dim=4, seed=1
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].cos_sim == 0.707107  # never 0.7071068

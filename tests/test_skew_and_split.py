@@ -90,3 +90,75 @@ def test_distributed_prefix_sum_matches_global_window(spark):
     total = sum(d for _, d in rows)
     last_key = max(rows)
     assert agg(got)[last_key] == total
+
+
+# --- round-8 mutation-gate killers (QUALITY.md r8) ----------------------------
+
+
+def test_salted_sum_cents_matches_plain_sum(spark):
+    """sum_cents is exact integer-cents money addition: the x100
+    scaling and the long casts must reproduce plain SUM to the cent."""
+    rows = [(i % 3, round(0.01 * i + 0.07, 2)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, amt double")
+    got = {
+        r.k: r.total_cents
+        for r in salted_agg(
+            df, ["k"], {"total_cents": ("sum_cents", "amt")}, salt=4
+        ).collect()
+    }
+    want = {
+        r.k: r.c
+        for r in df.groupBy("k")
+        .agg(F.sum(F.round(F.col("amt") * 100).cast("long")).alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_default_num_ranges(spark):
+    """num_ranges=None must fall back to the session parallelism (the
+    documented default), not crash or collapse to a constant."""
+    from skoltexter_by_ai_spark.operators.skew import distributed_prefix_sum
+
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "t int, v int")
+    out = distributed_prefix_sum(df, ["t"], "v", "run")
+    assert out.agg(F.max("run")).first()[0] == 100
+
+
+def test_prefix_sum_null_values_contribute_zero(spark):
+    """NULLs in the value column contribute 0 to the running total —
+    both inside a partition (fillna) and in the cross-partition
+    offsets (an all-NULL range's partial sum is NULL -> offset 0)."""
+    from skoltexter_by_ai_spark.operators.skew import distributed_prefix_sum
+
+    # keys 0..9 all NULL (low range), keys 10..19 are 1 each.
+    rows = [(i, None) for i in range(10)] + [(i, 1) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "t int, v int")
+    out = distributed_prefix_sum(df, ["t"], "v", "run", num_ranges=2)
+    got = {r.t: r.run for r in out.collect()}
+    # Rows in the NULL range carry a 0 total; the second range climbs
+    # 1..10 starting from offset 0 (not 1).
+    assert got[9] == 0
+    assert got[10] == 1
+    assert got[19] == 10
+
+
+def test_prefix_sum_carry_across_arrow_batches(spark):
+    """The in-partition carry must be the LAST running value of each
+    Arrow batch; forcing tiny batches makes a wrong carry (e.g.
+    iloc[-2]) visible as a drifting total."""
+    from skoltexter_by_ai_spark.operators.skew import distributed_prefix_sum
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        df = spark.createDataFrame([(i, 2) for i in range(300)], "t int, v int")
+        out = distributed_prefix_sum(df, ["t"], "v", "run", num_ranges=1)
+        got = {r.t: r.run for r in out.collect()}
+        assert got[299] == 600
+        assert got[0] == 2
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
