@@ -466,3 +466,57 @@ def test_curation_funnel_stream_matches_batch(spark, tmp_path):
     )
     batch = curation_funnel(batch_docs, "source", "text", lang_col="lang")
     assert _rows(out, "source") == _rows(batch, "source")
+
+
+# --- round-8 mutation-gate killers (QUALITY.md r8). Stream==batch
+# parity cannot see a value-law mutation (both sides share the code),
+# so these pin ABSOLUTE values in batch mode. ---------------------------------
+
+
+def test_sessionize_total_value_is_exact_cents_sum(spark):
+    """total_value is SUM(value) via exact integer cents — x100, never
+    x101 — so the session total of 0.10 + 0.20 is exactly 0.30."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0, 0), 7, "click", 0.10),
+        (dt.datetime(2024, 1, 1, 10, 5, 0), 7, "view", 0.20),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    out = streaming.sessionize(df).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 2
+    assert out[0].total_value == 0.30
+
+
+def test_interval_join_includes_right_row_at_exact_left_ts(spark):
+    """Boundary contract: left.ts <= right.ts (inclusive) — a right
+    row at EXACTLY the left timestamp matches."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame([(1, t0)], "k long, ts timestamp")
+    right = spark.createDataFrame([(1, t0)], "k long, ts timestamp")
+    out = streaming.interval_join(left, right, "k", window_seconds=60.0)
+    assert out.count() == 1
+    # ...and the end is exclusive: a right row at ts + window misses.
+    late = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=60))], "k long, ts timestamp"
+    )
+    assert streaming.interval_join(left, late, "k", window_seconds=60.0).count() == 0
+
+
+def test_trending_topk_returns_exactly_k_rows(spark):
+    """rank <= k is inclusive: with 3 types and k=2, each window emits
+    exactly 2 rows (never k-1)."""
+    import datetime as dt
+
+    h = dt.datetime(2024, 1, 1, 10, 0, 0)
+    counts = spark.createDataFrame(
+        [(h, "click", 30), (h, "view", 20), (h, "error", 10)],
+        "hour_start timestamp, event_type string, n long",
+    )
+    out = streaming.trending_topk(counts, k=2).collect()
+    assert [(r.event_type, r.rank) for r in out] == [("click", 1), ("view", 2)]
