@@ -324,3 +324,81 @@ def test_radius4_banding_survives_one_flip_per_16bit_block(spark):
     sig3 = spark.createDataFrame([(1, h), (2, h3)], "id long, simhash long")
     out3 = simhash_pairs_from_signatures(sig3, "id", max_hamming=3).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in out3] == [(1, 2, 3)]
+
+
+def test_signature_level_radius_bound_is_validated(spark):
+    """simhash_pairs_from_signatures enforces the [0, 6] radius bound
+    itself — callers with persisted signatures never pass through
+    simhash_near_dups' outer check."""
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.dedup import simhash_pairs_from_signatures
+
+    sig = spark.createDataFrame([(1, 7)], "id long, simhash long")
+    with pytest.raises(ValueError, match="outside"):
+        simhash_pairs_from_signatures(sig, "id", max_hamming=7)
+    with pytest.raises(ValueError, match="outside"):
+        simhash_pairs_from_signatures(sig, "id", max_hamming=-1)
+
+
+def test_lsh_candidate_and_near_dup_defaults_pinned(spark):
+    """minhash_lsh_candidates / minhash_near_dups defaults (n=2,
+    num_hashes=32, bands=8, seed=42) must equal the explicit call —
+    same persisted-family contract as minhash_signatures."""
+    from skoltexter_by_ai_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about spark plans"),
+        ],
+        "id long, text string",
+    )
+    cand_d = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, "id", "text").collect()}
+    cand_e = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, "id", "text", n=2, num_hashes=32, bands=8, seed=42
+        ).collect()
+    }
+    assert cand_d == cand_e and cand_d
+    nd_d = [tuple(r) for r in minhash_near_dups(df, "id", "text").orderBy("id_a").collect()]
+    nd_e = [
+        tuple(r)
+        for r in minhash_near_dups(
+            df, "id", "text", n=2, num_hashes=32, bands=8, seed=42, min_jaccard=0.5
+        )
+        .orderBy("id_a")
+        .collect()
+    ]
+    assert nd_d == nd_e and nd_d
+
+
+def test_signature_pairs_default_radius_is_three(spark):
+    """Default max_hamming=3: a hamming-4 pair must NOT appear under
+    the default (and must under an explicit 4)."""
+    from skoltexter_by_ai_spark.operators.dedup import simhash_pairs_from_signatures
+
+    h = 0x0F0F0F0F0F0F0F0F
+    h4 = h ^ (0b1111 << 20)  # 4 flips inside one block
+    sig = spark.createDataFrame([(1, h), (2, h4)], "id long, simhash long")
+    assert simhash_pairs_from_signatures(sig, "id").count() == 0
+    assert simhash_pairs_from_signatures(sig, "id", max_hamming=4).count() == 1
+
+
+def test_radius6_pigeonhole_with_boundary_straddling_flips(spark):
+    """Radius-6 stress: six flips placed AT the 8-bit block boundaries
+    (bits 7/8, 23/24, 39/40 neighborhoods) dirty the maximum number of
+    blocks any block-width drift would — with exact 8-bit blocks two
+    clean blocks remain and the pair MUST be found."""
+    from skoltexter_by_ai_spark.operators.dedup import simhash_pairs_from_signatures
+
+    h = 0x5A5A5A5A5A5A5A5A
+    flips = (1 << 7) | (1 << 8) | (1 << 23) | (1 << 24) | (1 << 39) | (1 << 40)
+    sig = spark.createDataFrame([(1, h), (2, h ^ flips)], "id long, simhash long")
+    out = simhash_pairs_from_signatures(sig, "id", max_hamming=6).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 6)]
