@@ -502,3 +502,25 @@ def test_embedding_near_dups_rounds_to_six_places(spark):
     ).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
     assert pairs[0].cos_sim == 0.707107  # never 0.7071068
+
+
+def test_ivf_ann_topk_wrong_dim_query_raises_value_error(spark):
+    """The wrong-dim error path must raise ValueError with the
+    expected/got dims in the message (not a secondary IndexError from
+    a broken message template) — callers catch ValueError to surface
+    dataset misconfiguration."""
+    import pytest
+    import random
+
+    rng = random.Random(2)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    bad_q = spark.createDataFrame(
+        [(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception) as ei:
+        similarity.ivf_ann_topk(emb, bad_q, k=3, n_centroids=4).collect()
+    msg = str(ei.value)
+    assert "expected query dim 8" in msg and "got 3" in msg
