@@ -402,3 +402,14 @@ def test_radius6_pigeonhole_with_boundary_straddling_flips(spark):
     sig = spark.createDataFrame([(1, h), (2, h ^ flips)], "id long, simhash long")
     out = simhash_pairs_from_signatures(sig, "id", max_hamming=6).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 6)]
+
+
+def test_lsh_candidates_default_shingle_width_is_two(spark):
+    """Discriminating corpus: 'x y x' and 'y x y' share ALL their
+    2-gram shingles (identical signatures -> guaranteed candidate)
+    but NO 3-gram shingle — the default n=2 must surface the pair."""
+    from skoltexter_by_ai_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "x y x"), (2, "y x y")], "id long, text string")
+    got = [(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, "id", "text").collect()]
+    assert got == [(1, 2)]
