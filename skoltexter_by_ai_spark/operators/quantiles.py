@@ -39,15 +39,11 @@ exact and the bisection finite. Cross-engine parity: operating on the
 scaled grid changes results only below the ROUND(·, 6) output
 convention the query suite already uses for interpolated quantiles.
 
-No ``.collect()`` touches data rows: the driver sees only the
-scaffolding — per-(group, rank) bracket/count rows, held driver-side
-when their total is at most ``_DRIVER_TARGET_CAP`` (1 Spark job per
-refinement pass) and kept fully distributed past it, so driver state
-is bounded by the cap no matter how many groups the caller has.
-Per-pass intermediates are (groups × ranks × nbuckets) COUNTS, never
-data values. Reference parity: the reference's analytics surface
-exposes exact medians (see SURVEY.md §2.4); this is the scale-safe
-expression of the same semantics.
+No ``.collect()`` touches data: the driver sees one open-target COUNT
+per pass; per-pass intermediates are (groups × ranks × nbuckets)
+COUNTS, never values. Reference parity: the reference's analytics
+surface exposes exact medians (see SURVEY.md §2.4); this is the
+scale-safe expression of the same semantics.
 """
 
 from __future__ import annotations
@@ -56,7 +52,6 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 # Diagnostic: histogram passes used by the most recent
@@ -82,15 +77,6 @@ _EXACT_RANGE_CAP = 1 << 20
 # -1). Far outside any reachable bucket id: ids are bounded by
 # max(nbuckets, _EXACT_RANGE_CAP).
 _OVERFLOW_HI = 1 << 62
-
-# Target-table row cap for the driver-side iteration mode: at or
-# below this many (group, rank) bracket rows the bisection loop holds
-# the open/closed target sets on the driver (1 Spark job per pass);
-# above it the loop runs fully distributed with checkpointed frames,
-# so driver memory stays bounded by this constant no matter how many
-# groups the caller has. Bracket rows are ~5 small fields (~100 B):
-# the cap bounds driver state to ~400 KB.
-_DRIVER_TARGET_CAP = 4096
 
 
 def grouped_exact_quantiles(
@@ -378,24 +364,39 @@ def grouped_exact_quantiles(
     # +1 for ceil rounding, +1 more to absorb one overflow-bucket hop
     # when a seed bracket misses its rank.
     max_passes = math.ceil(64 / math.log2(nbuckets)) + 2
+    # Closed-at-birth ONLY when the whole group is a single value — a
+    # single-point SEED bracket ([lo == hi] from the sketch) is not
+    # proof and must go through one histogram pass, whose overflow
+    # buckets reopen it if the true rank value lies outside.
+    closed = targets.filter(F.col("__gmin") >= F.col("__gmax"))
+    # Eager: the loop references open_t three times per pass (isEmpty,
+    # the distinct ranges, the counts join) — measured faster to pin
+    # the count-sized frame once than to recompute its small shuffle
+    # inside every reference (A/B at sf0.1: ~0.5-1 s on x72).
+    open_t = targets.filter(F.col("__gmin") < F.col("__gmax")).localCheckpoint(eager=True)
     cum_w = (
         Window.partitionBy(*group_cols, "__k")
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    def _refined_plan(open_df: DataFrame, width1: bool) -> DataFrame:
-        """One refinement pass over ``open_df`` (the open targets);
-        shared verbatim by both execution modes below."""
-        if width1:
+    n_passes = 0
+    for _ in range(max_passes):
+        # One tiny probe on the checkpointed frame doubles as the
+        # emptiness check AND the fast-path test: NULL max width means
+        # no open targets remain.
+        wmax = open_t.agg(F.max(F.col("__hi") - F.col("__lo"))).first()[0]
+        if wmax is None:  # driver sees one number, never values
+            break
+        n_passes += 1
+        if wmax <= _EXACT_RANGE_CAP:
             # FUSED width-1 pass (the typical seeded case: every open
             # bracket closes this pass unless a seed missed): __k and
-            # the group bounds ride the ONE open-targets broadcast, so
-            # the ranges-dedup and the second counts join disappear —
-            # the rank count per group is small (2 per prob), so the
-            # row amplification the dedup prevented is immaterial here.
+            # the group bounds ride the ONE open_t broadcast, so the
+            # ranges-dedup and the second counts join disappear — the
+            # rank count per group is small (2 per prob), so the row
+            # amplification the dedup prevented is immaterial here.
             j = base.join(
-                F.broadcast(open_df), [*group_cols]
+                F.broadcast(open_t), [*group_cols]
             ).withColumn("__width", F.lit(1).cast("long"))
             counts = j.groupBy(
                 *group_cols, "__k", "__lo", "__hi", "__width", "__gmin", "__gmax",
@@ -417,7 +418,7 @@ def grouped_exact_quantiles(
             # its seeded range is caught by the overflow bucket and
             # re-opened on the untried side.
             ranges = (
-                open_df.select(*group_cols, "__lo", "__hi")
+                open_t.select(*group_cols, "__lo", "__hi")
                 .distinct()
                 .withColumn(
                     "__width",
@@ -435,13 +436,13 @@ def grouped_exact_quantiles(
                     "ELSE (__v - __lo) div __width END"
                 ).alias("__b"),
             ).agg(F.count("*").alias("__c"))
-            counts = hist.join(F.broadcast(open_df), [*group_cols, "__lo", "__hi"])
+            counts = hist.join(F.broadcast(open_t), [*group_cols, "__lo", "__hi"])
         cum = counts.withColumn("__cum", F.sum("__c").over(cum_w))
         picked = cum.filter(
             (F.col("__cum") >= F.col("__k") + 1)
             & (F.col("__cum") - F.col("__c") <= F.col("__k"))
         )
-        return picked.select(
+        refined = picked.select(
             *group_cols,
             "__k",
             F.when(F.col("__b") == -1, F.col("__gmin"))
@@ -459,80 +460,15 @@ def grouped_exact_quantiles(
             .alias("__hi"),
             "__gmin",
             "__gmax",
-        )
-
-    # Adaptive iteration control (r8, VERDICT item 6): the per-pass
-    # scaffolding (open targets, refined brackets) is bounded by
-    # groups × 2·ranks ROWS — counts and bracket endpoints, never data
-    # rows. When that bound is small (the few-group analytics case:
-    # winsorize/robust-z over a categorical key), holding it DRIVER-
-    # side turns each pass into exactly ONE Spark job (the histogram),
-    # eliminating the eager-checkpoint and max-width probe jobs — 2
-    # scheduler round-trips per pass, measured ~35% of x70's wall at
-    # sf0.1. Past the cap (e.g. group_cap's rank mode over millions of
-    # mega-groups) the loop runs fully distributed exactly as before,
-    # keeping driver state bounded by the cap regardless of group
-    # count. The limit(cap+1) probe costs the one job the open-targets
-    # checkpoint used to cost, so the fallback is never worse.
-    spark = df.sparkSession
-    tschema = targets.schema
-    head = targets.limit(_DRIVER_TARGET_CAP + 1).collect()
-    n_passes = 0
-    if len(head) <= _DRIVER_TARGET_CAP:
-        # Closed-at-birth ONLY when the whole group is a single value —
-        # a single-point SEED bracket ([lo == hi] from the sketch) is
-        # not proof and must go through one histogram pass, whose
-        # overflow buckets reopen it if the true rank value lies
-        # outside.
-        closed_rows = [r for r in head if r["__gmin"] >= r["__gmax"]]
-        open_rows = [r for r in head if r["__gmin"] < r["__gmax"]]
-        for _ in range(max_passes):
-            if not open_rows:
-                break
-            wmax = max(r["__hi"] - r["__lo"] for r in open_rows)
-            n_passes += 1
-            open_df = spark.createDataFrame(open_rows, tschema)
-            refined_rows = _refined_plan(open_df, wmax <= _EXACT_RANGE_CAP).collect()
-            closed_rows.extend(r for r in refined_rows if r["__lo"] >= r["__hi"])
-            open_rows = [r for r in refined_rows if r["__lo"] < r["__hi"]]
-        else:
-            if open_rows:
-                raise RuntimeError(
-                    "grouped_exact_quantiles: bisection did not converge in "
-                    f"{max_passes} passes (nbuckets={nbuckets})"
-                )
-        # LocalRelation: the interpolation joins below broadcast this
-        # without a scan job.
-        closed = spark.createDataFrame(closed_rows, tschema)
+        ).localCheckpoint(eager=True)  # cut lineage; pin this pass's result
+        closed = closed.union(refined.filter(F.col("__lo") >= F.col("__hi")))
+        open_t = refined.filter(F.col("__lo") < F.col("__hi"))
     else:
-        closed = targets.filter(F.col("__gmin") >= F.col("__gmax"))
-        # Eager: the loop references open_t three times per pass
-        # (isEmpty, the distinct ranges, the counts join) — measured
-        # faster to pin the count-sized frame once than to recompute
-        # its small shuffle inside every reference (A/B at sf0.1:
-        # ~0.5-1 s on x72).
-        open_t = targets.filter(F.col("__gmin") < F.col("__gmax")).localCheckpoint(
-            eager=True
-        )
-        for _ in range(max_passes):
-            # One tiny probe on the checkpointed frame doubles as the
-            # emptiness check AND the fast-path test: NULL max width
-            # means no open targets remain.
-            wmax = open_t.agg(F.max(F.col("__hi") - F.col("__lo"))).first()[0]
-            if wmax is None:  # driver sees one number, never values
-                break
-            n_passes += 1
-            refined = _refined_plan(open_t, wmax <= _EXACT_RANGE_CAP).localCheckpoint(
-                eager=True
-            )  # cut lineage; pin this pass's result
-            closed = closed.union(refined.filter(F.col("__lo") >= F.col("__hi")))
-            open_t = refined.filter(F.col("__lo") < F.col("__hi"))
-        else:
-            if not open_t.isEmpty():
-                raise RuntimeError(
-                    "grouped_exact_quantiles: bisection did not converge in "
-                    f"{max_passes} passes (nbuckets={nbuckets})"
-                )
+        if not open_t.isEmpty():
+            raise RuntimeError(
+                "grouped_exact_quantiles: bisection did not converge in "
+                f"{max_passes} passes (nbuckets={nbuckets})"
+            )
 
     LAST_PASS_COUNTS.append(n_passes)
     del LAST_PASS_COUNTS[:-_PASS_COUNT_KEEP]
@@ -711,10 +647,11 @@ def grouped_median_mad(
         ).cast("long"),
         F.lit(0),
     )
-    stats = stats.select(g, "__n", guarded_min.alias("__min"), "__max", "__gk")
+    stats = stats.select(
+        g, "__n", guarded_min.alias("__min"), "__max", "__gk"
+    ).localCheckpoint(eager=True)
 
     s = F.lit(int(slack)).cast("long")
-
     # Window geometry, all LONG arithmetic (`div` truncation direction
     # is absorbed by the ± slack; window edges are never load-bearing —
     # a pick outside its window is DETECTED and falls back):
@@ -725,9 +662,8 @@ def grouped_median_mad(
     #   unioned over the median bracket, merged into one window when
     #   they touch (tiny-IQR groups) so in-range buckets stay disjoint
     #   and no value is double-counted. An empty W2 is [max+1, max].
-    def _spec_of(stats_df: DataFrame) -> DataFrame:
-        return (
-            stats_df.withColumns(
+    spec = (
+        stats.withColumns(
             {
                 "__mlo": F.col("__gk")[0].cast("long"),
                 "__mhi": F.col("__gk")[1].cast("long"),
@@ -774,78 +710,32 @@ def grouped_median_mad(
                 + F.greatest(F.lit(0).cast("long"), F.col("__w2h") - F.col("__w2l") + 1),
             }
         )
-        )
-
-    # Adaptive scaffolding (r8, VERDICT item 6, same rule as
-    # grouped_exact_quantiles): spec is exactly one row per group —
-    # brackets and counts, never data rows. At or under the cap the
-    # whole scaffolding (spec, windows, ranks, the closed statistics)
-    # lives driver-side as LocalRelations, so the only Spark jobs left
-    # are the ones that touch data: the spec collect (which fuses the
-    # old stats-checkpoint and probe jobs), the histogram pass, and
-    # one collect per closed statistic. Past the cap everything runs
-    # distributed exactly as before — driver state stays bounded by
-    # the cap regardless of group count, and the limit probe costs the
-    # job the stats checkpoint used to cost.
-    spark = df.sparkSession
-    spec = _spec_of(stats)
-    head = spec.limit(_DRIVER_TARGET_CAP + 1).collect()
-    driver_mode = len(head) <= _DRIVER_TARGET_CAP
-    if driver_mode:
-        wmax = max((r["__width"] for r in head), default=None)
-        expected = sum(1 for r in head if r[g] is not None)
-        spec = spark.createDataFrame(head, spec.schema)
-    else:
-        stats = stats.localCheckpoint(eager=True)
-        spec = _spec_of(stats)
-        # One probe job serves both driver scalars: the window-width
-        # budget check AND the non-NULL group count the completeness
-        # probe needs at the end (spec is 1:1 with stats — no filters —
-        # so counting here equals counting stats).
-        probe = spec.agg(
-            F.max("__width").alias("__wmax"),
-            F.count(F.when(F.col(g).isNotNull(), 1)).alias("__ngroups"),
-        ).first()
-        wmax, expected = probe["__wmax"], probe["__ngroups"]
+    )
+    # One probe job serves both driver scalars: the window-width
+    # budget check AND the non-NULL group count the completeness
+    # probe needs at the end (spec is 1:1 with stats — no filters —
+    # so counting here equals counting stats).
+    probe = spec.agg(
+        F.max("__width").alias("__wmax"),
+        F.count(F.when(F.col(g).isNotNull(), 1)).alias("__ngroups"),
+    ).first()
+    wmax, expected = probe["__wmax"], probe["__ngroups"]
     if wmax is not None and wmax > _EXACT_RANGE_CAP:
         return None  # caller falls back to the generic two-round path
 
-    if driver_mode:
-        # Python-built LocalRelations: a broadcast over these needs no
-        # cluster job at all (LocalTableScan short-circuits the
-        # exchange), where the explode/distinct formulations below
-        # would each pay one.
-        gfield = next(f for f in spec.schema.fields if f.name == g)
-        win_schema = T.StructType(
-            [
-                gfield,
-                T.StructField("__wid", T.IntegerType(), False),
-                T.StructField("__wl", T.LongType(), True),
-                T.StructField("__wh", T.LongType(), True),
-            ]
+    def _w(wid: int, lo: str, hi: str) -> Column:
+        return F.struct(
+            F.lit(wid).cast("int").alias("__wid"),
+            F.col(lo).alias("__wl"),
+            F.col(hi).alias("__wh"),
         )
-        windows = spark.createDataFrame(
-            [
-                (r[g], wid, r[f"__w{wid}l"], r[f"__w{wid}h"])
-                for r in head
-                for wid in (0, 1, 2)
-            ],
-            win_schema,
-        )
-    else:
-        def _w(wid: int, lo: str, hi: str) -> Column:
-            return F.struct(
-                F.lit(wid).cast("int").alias("__wid"),
-                F.col(lo).alias("__wl"),
-                F.col(hi).alias("__wh"),
-            )
 
-        windows = spec.select(
-            g,
-            F.explode(
-                F.array(_w(0, "__w0l", "__w0h"), _w(1, "__w1l", "__w1h"), _w(2, "__w2l", "__w2h"))
-            ).alias("__w"),
-        ).select(g, "__w.__wid", "__w.__wl", "__w.__wh")
+    windows = spec.select(
+        g,
+        F.explode(
+            F.array(_w(0, "__w0l", "__w0h"), _w(1, "__w1l", "__w1h"), _w(2, "__w2l", "__w2h"))
+        ).alias("__w"),
+    ).select(g, "__w.__wid", "__w.__wl", "__w.__wh")
 
     # THE one data pass: width-1 value counts per window, with below/
     # above overflow buckets so every row is accounted somewhere.
@@ -864,21 +754,7 @@ def grouped_median_mad(
         .localCheckpoint(eager=True)
     )
 
-    if driver_mode:
-        rank_schema = T.StructType(
-            [
-                next(f for f in spec.schema.fields if f.name == g),
-                T.StructField("__k", T.LongType(), True),
-            ]
-        )
-        ranks = spark.createDataFrame(
-            list(dict.fromkeys((r[g], k) for r in head for k in (r["__k1"], r["__k2"]))),
-            rank_schema,
-        )
-    else:
-        ranks = spec.select(
-            g, F.explode(F.array("__k1", "__k2")).alias("__k")
-        ).distinct()
+    ranks = spec.select(g, F.explode(F.array("__k1", "__k2")).alias("__k")).distinct()
     expected_nk = F.when(F.col("__k1") == F.col("__k2"), 1).otherwise(2)
 
     # Median: global rank = below-count (-1 bucket) + running count.
@@ -902,20 +778,8 @@ def grouped_median_mad(
         .join(spec.select(g, "__k1", "__k2"), g)
         .filter(F.col("__nk") == expected_nk)
         .select(g, (F.col("__v1") + F.col("__v2")).alias("__m2"))
+        .localCheckpoint(eager=True)
     )
-    med_schema = T.StructType(
-        [
-            next(f for f in spec.schema.fields if f.name == g),
-            T.StructField("__m2", T.LongType(), True),
-        ]
-    )
-    if driver_mode:
-        # groups-sized (≤ cap): a LocalRelation makes the dmap-side
-        # broadcast free and the final gstats assembly a Python zip.
-        med_rows = medstats.collect()
-        medstats = spark.createDataFrame(med_rows, med_schema)
-    else:
-        medstats = medstats.localCheckpoint(eager=True)
 
     # MAD: map the quartile windows' value counts to deltas on the
     # doubled grid; cum(t) = n − outer − mapped(>t) is exact for any
@@ -980,39 +844,16 @@ def grouped_median_mad(
         .filter(F.col("__nk") == expected_nk)
         .select(g, "__d1", "__d2")
     )
-    # Completeness: every non-NULL-keyed group must have closed BOTH
-    # order statistics inside its windows; anything else is a sketch
-    # miss and the caller reruns generically. NULL group keys drop at
-    # the first equi-join in both paths (same dropout the generic
-    # machinery has), so they are excluded from the check (``expected``
-    # rode along with the spec collect / width probe above).
-    if driver_mode:
-        # One collect closes the MAD side (groups-sized); the med side
-        # is already driver-resident, so the join is a dict lookup and
-        # gstats ships back as a LocalRelation the caller broadcasts
-        # for free.
-        mad_rows = madstats.collect()
-        med_map = {r[g]: r["__m2"] for r in med_rows}
-        g_rows = [
-            (r[g], med_map[r[g]], r["__d1"], r["__d2"])
-            for r in mad_rows
-            if r[g] in med_map
-        ]
-        gstats_schema = T.StructType(
-            [
-                med_schema[0],
-                T.StructField("__m2", T.LongType(), True),
-                T.StructField("__d1", T.LongType(), True),
-                T.StructField("__d2", T.LongType(), True),
-            ]
-        )
-        gstats = spark.createDataFrame(g_rows, gstats_schema)
-        ok = len(g_rows) == expected
-        return gstats, ok
     # Lazy checkpoint: the completeness count below is the first
     # action, so it materializes the checkpoint in the same job
     # instead of paying a separate eager pass first.
     gstats = medstats.join(madstats, g).localCheckpoint(eager=False)
+    # Completeness probe: every non-NULL-keyed group must have closed
+    # BOTH order statistics inside its windows; anything else is a
+    # sketch miss and the caller reruns generically. NULL group keys
+    # drop at the first equi-join in both paths (same dropout the
+    # generic machinery has), so they are excluded from the check
+    # (``expected`` rode along with the width-probe job above).
     ok = gstats.count() == expected
     return gstats, ok
 
