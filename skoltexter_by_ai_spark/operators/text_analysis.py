@@ -1054,6 +1054,57 @@ def bpe_segment(
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
+def shannon_entropy(elements: Column) -> Column:
+    """Shannon entropy in nats of the multiset held in ``elements``
+    (an array column): ``-Σ p·ln p`` over element frequencies; 0.0
+    for an empty array. Pure higher-order Column expressions —
+    per-row work is O(distinct · length), the same in-row profile as
+    :func:`top_token_share`; stays inside whole-stage codegen with no
+    Python boundary. The trailing ``+ 0.0`` normalizes the IEEE
+    ``-0.0`` a single-element array would otherwise produce (the
+    cross-engine hash canonicalizes ``0.0`` only).
+    """
+    n = F.size(elements)
+    probs = F.transform(
+        F.array_distinct(elements),
+        lambda d: F.size(F.filter(elements, lambda x: x == d)).cast("double")
+        / n.cast("double"),
+    )
+    h = -F.aggregate(probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p))
+    return F.when(n > 0, h + F.lit(0.0)).otherwise(F.lit(0.0))
+
+
+def entropy_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document character- and token-level Shannon entropy — the
+    compressibility-style quality gate real curation pipelines run
+    (CCNet/RefinedWeb family): LOW character entropy marks templated
+    or repeated boilerplate, HIGH character entropy with low token
+    entropy marks encoded blobs / gibberish; both ends get dropped.
+
+    Output: ``(id_col, n_chars, char_entropy, token_entropy)`` —
+    entropies in nats, rounded to 6 (the cross-engine convention),
+    0.0 for empty documents.
+
+    Scale posture: entirely in-row Column expressions (split +
+    higher-order distinct/filter/aggregate) — a narrow map-only pass
+    with ZERO shuffles; stateless, so it is trivially streaming-safe
+    and composes into any gate projection for free.
+    """
+    c = F.col(text_col)
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    toks = tokens(text_col)
+    return _spread(df, id_col).select(
+        F.col(id_col),
+        F.size(chars).cast("bigint").alias("n_chars"),
+        F.round(shannon_entropy(chars), 6).alias("char_entropy"),
+        F.round(shannon_entropy(toks), 6).alias("token_entropy"),
+    )
+
+
 def intra_doc_repetition(
     df: DataFrame,
     id_col: str,

@@ -801,6 +801,50 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x116_entropy_signals",
+    # Compressibility-style quality gate (CCNet/RefinedWeb family):
+    # per-document Shannon entropy over characters AND tokens, in
+    # nats. Low char entropy = templated boilerplate; high char with
+    # low token entropy = encoded blobs. Purely in-row on both
+    # engines; the `+ 0.0` neutralizes the IEEE -0.0 a single-element
+    # distribution produces (ROUND keeps the sign bit otherwise and
+    # the engines would hash-differ on 0.0 vs -0.0).
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ''), c -> c != '') AS chars,
+                   {_TOKS} AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(chars) AS BIGINT) AS n_chars,
+               ROUND(CASE WHEN len(chars) > 0 THEN
+                   -list_sum(list_transform(list_distinct(chars),
+                       d -> (CAST(len(list_filter(chars, c -> c = d)) AS DOUBLE) / len(chars))
+                            * LN(CAST(len(list_filter(chars, c -> c = d)) AS DOUBLE) / len(chars))))
+                   + 0.0
+               ELSE 0.0 END, 6) AS char_entropy,
+               ROUND(CASE WHEN len(toks) > 0 THEN
+                   -list_sum(list_transform(list_distinct(toks),
+                       d -> (CAST(len(list_filter(toks, x -> x = d)) AS DOUBLE) / len(toks))
+                            * LN(CAST(len(list_filter(toks, x -> x = d)) AS DOUBLE) / len(toks))))
+                   + 0.0
+               ELSE 0.0 END, 6) AS token_entropy
+        FROM t
+        ORDER BY doc_id
+    """,
+    covers="entropy quality gate: per-doc char/token Shannon entropy (compressibility signal), zero-shuffle in-row",
+    tags=("text", "quality", "curation"),
+    min_rows=400,
+)
+def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import entropy_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return entropy_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "x110_duplicate_spans",
     # Span-level dedup signal: fraction of each document's token
     # POSITIONS whose 5-gram occurs in >= 2 distinct documents —

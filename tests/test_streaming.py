@@ -520,3 +520,25 @@ def test_trending_topk_returns_exactly_k_rows(spark):
     )
     out = streaming.trending_topk(counts, k=2).collect()
     assert [(r.event_type, r.rank) for r in out] == [("click", 1), ("view", 2)]
+
+
+def test_entropy_signals_stream_matches_x116(spark, tmp_path):
+    """x116's streaming twin: entropy_signals is a stateless in-row
+    projection — the SAME operator runs on a document stream in
+    append mode and must equal the declared batch query."""
+    from skoltexter_by_ai_spark.operators.text_analysis import entropy_signals
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", d / "part-0.parquet")
+    batch_docs = load_table(spark, SF, "documents")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = streaming.run_to_memory(
+        entropy_signals(stream_docs, "doc_id", "text"),
+        "t_x116",
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    batch = entropy_signals(batch_docs, "doc_id", "text")
+    assert out.columns == batch.columns
+    assert _rows(out, "doc_id") == _rows(batch, "doc_id")

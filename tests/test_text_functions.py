@@ -969,3 +969,29 @@ def test_vocab_weight_classifier_exact_scores(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         vocab_weight_classifier(df, "doc_id", "text", {})
+
+
+def test_entropy_signals_hand_values(spark):
+    """Hand-computed Shannon entropies: 'aa bb aa' has char counts
+    {a:4, ' ':2, b:2} over 8 -> H = 1.039721 nats; its tokens
+    {aa:2, bb:1} over 3 -> H = 0.636514. A uniform k-token doc is
+    ln(k); empty text is exactly 0.0 (both levels)."""
+    import math
+
+    from skoltexter_by_ai_spark.operators.text_analysis import entropy_signals
+
+    df = spark.createDataFrame(
+        [(0, "aa bb aa"), (1, "a b c d"), (2, ""), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in entropy_signals(df, "doc_id", "text").collect()}
+    assert got[0].n_chars == 8
+    assert got[0].char_entropy == round(-(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25)), 6)
+    assert got[0].token_entropy == round(
+        -((2 / 3) * math.log(2 / 3) + (1 / 3) * math.log(1 / 3)), 6
+    )
+    assert got[1].token_entropy == round(math.log(4), 6)
+    assert got[2].n_chars == 0 and got[2].char_entropy == 0.0 and got[2].token_entropy == 0.0
+    # single-element distributions must be +0.0, never IEEE -0.0
+    assert math.copysign(1.0, got[3].char_entropy) == 1.0
+    assert math.copysign(1.0, got[3].token_entropy) == 1.0

@@ -101,6 +101,22 @@ TARGETS: dict[str, list[str]] = {
     "skoltexter_by_ai_spark/streaming/__init__.py": [
         "tests/test_streaming.py",
     ],
+    # Round 8 completion: the last four operator modules. multimodal's
+    # stdlib codecs are exactly the byte-twiddling the oracle never
+    # sees; temporal's asof/gap-fill boundaries and packing's bin
+    # arithmetic are classic off-by-one habitats.
+    "skoltexter_by_ai_spark/operators/embedding.py": [
+        "tests/test_embedding.py",
+    ],
+    "skoltexter_by_ai_spark/operators/multimodal.py": [
+        "tests/test_multimodal.py",
+    ],
+    "skoltexter_by_ai_spark/operators/packing.py": [
+        "tests/test_text_functions.py",
+    ],
+    "skoltexter_by_ai_spark/operators/temporal.py": [
+        "tests/test_temporal.py",
+    ],
 }
 
 _CMP_FLIP = {
