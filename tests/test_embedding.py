@@ -112,3 +112,39 @@ def test_quantize_int8_property_random_vectors(spark):
         assert q == expect, f"row {i}"
         assert abs(s - scale) < 1e-12
         assert all(-127 <= x <= 127 for x in q)
+
+
+def test_hashed_embedding_matches_spec_replica(spark):
+    """The hashing trick is a persistence contract: bucket = first 8
+    md5 bytes mod dim, sign = top bit, L2-normalized histogram. A
+    test-local replica of that spec pins every constant (digest slice,
+    shift 63, mask 1, sign convention) — any drift re-embeds every
+    stored corpus differently."""
+    import hashlib
+    import math
+
+    from skoltexter_by_ai_spark.operators.embedding import hashed_embedding
+
+    texts = [(1, "the cat sat"), (2, "spark spark spark"), (3, "")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: list(r.embedding) for r in hashed_embedding(df, dim=8).collect()}
+
+    def replica(text, dim=8):
+        v = [0.0] * dim
+        for tok in (text or "").lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            sign = 1.0 if (h >> 63) & 1 == 0 else -1.0
+            v[h % dim] += sign
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    for did, text in texts:
+        want = replica(text)
+        assert all(abs(g - w) < 1e-6 for g, w in zip(got[did], want)), (did, got[did], want)
+
+
+def test_hashed_embedding_default_dim_is_64(spark):
+    from skoltexter_by_ai_spark.operators.embedding import hashed_embedding
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert len(hashed_embedding(df).collect()[0].embedding) == 64

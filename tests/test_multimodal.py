@@ -309,3 +309,63 @@ def test_png_corrupt_data_raises_value_error_not_stub_boundary():
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="filter"):
         mm.decode_media(png)
+
+
+# --- round-8 mutation-gate killers ---------------------------------------------
+# Luma contract: the existing tests used channel value 255, where a
+# +-1 drift in any BT.601 coefficient floors to the SAME byte
+# (114*255//1000 == 115*255//1000 == 29). These pixels are chosen so
+# each coefficient's unit drift crosses a floor boundary: red 200
+# (299 vs 300 -> 59/60), green 250 (587 vs 588 -> 146/147), blue 200
+# (114 vs 115 -> 22/23) — and channel-index drift zeroes a component.
+
+
+def test_png_luma_coefficients_discriminating_pixels():
+    rgb = bytes([200, 0, 0, 0, 250, 0, 0, 0, 200, 0, 0, 0])
+    data = _png_bytes(2, 2, 3, rgb, filters=[0, 0])
+    payload = mm.decode_media(data)[5]
+    assert payload == bytes([299 * 200 // 1000, 587 * 250 // 1000, 114 * 200 // 1000, 0])
+
+
+def test_ppm_luma_coefficients_discriminating_pixels(tmp_path):
+    px = bytes([200, 0, 0, 0, 250, 0, 0, 0, 200, 0, 0, 0])
+    data = b"P6\n2 2\n255\n" + px
+    payload = mm.decode_media(data)[5]
+    assert payload == bytes([299 * 200 // 1000, 587 * 250 // 1000, 114 * 200 // 1000, 0])
+
+
+def test_bmp_luma_coefficients_discriminating_pixels():
+    import struct
+
+    # 1x3 top-down BMP (negative height -> no flip), BGR order:
+    # blue 200, green 250, red 200; rows pad to 4 bytes (9 -> 12).
+    px = bytes([200, 0, 0]) + bytes([0, 250, 0]) + bytes([0, 0, 200]) + b"\x00\x00\x00"
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, -1, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    )
+    payload = mm.decode_media(header + px)[5]
+    assert payload == bytes([114 * 200 // 1000, 587 * 250 // 1000, 299 * 200 // 1000])
+
+
+def test_bmp_rejects_non_24bpp_and_compressed():
+    import struct
+
+    px = b"\x00" * 4
+    for bpp, comp in ((32, 0), (24, 1), (32, 1)):
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, bpp, comp, len(px), 2835, 2835, 0, 0)
+        )
+        with pytest.raises(NotImplementedError, match="24-bit"):
+            mm.decode_media(header + px)
+
+
+def test_ppm_image_meta_fields_are_zero():
+    """Image decode returns (kind, w, h, 0, 0, payload): the n_frames
+    and sample_rate slots are contractually zero for stills."""
+    data = b"P6\n1 1\n255\n" + bytes([10, 20, 30])
+    kind, w, h, n, sr, payload = mm.decode_media(data)
+    assert (kind, w, h, n, sr) == ("image", 1, 1, 0, 0)

@@ -995,3 +995,17 @@ def test_entropy_signals_hand_values(spark):
     # single-element distributions must be +0.0, never IEEE -0.0
     assert math.copysign(1.0, got[3].char_entropy) == 1.0
     assert math.copysign(1.0, got[3].token_entropy) == 1.0
+
+
+def test_pack_context_len_boundaries(spark):
+    """context_len=0 must raise; context_len=1 is legal (one token per
+    chunk)."""
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, "doc_id", "text", context_len=0)
+    out = pack_sequences(df, "doc_id", "text", context_len=1).collect()
+    assert len(out) == 1
