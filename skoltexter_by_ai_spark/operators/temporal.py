@@ -31,18 +31,26 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` on the same key (point-in-time join).
+    """For each left row, attach the LATEST right row with
+    ``right.ts <= left.ts`` (``direction="backward"``, the default
+    point-in-time join) or the EARLIEST right row with
+    ``right.ts >= left.ts`` (``direction="forward"`` — pandas
+    ``merge_asof``'s forward mode; "next quote after the order").
 
-    Implementation: tag both sides, union, and carry the most recent
-    right payload forward with ``last(..., ignorenulls=True)`` over a
-    (key, ts)-ordered window — right rows sort before left rows at
-    equal ts, so an exactly-simultaneous right row matches. One
-    shuffle on ``on``; state per window is one payload row.
+    Implementation: tag both sides, union, and carry the matching
+    right payload across the union with ``last(...)`` over an
+    unbounded-preceding window (backward) or ``first(...)`` over an
+    unbounded-following window (forward), both ``ignorenulls``. The
+    tag tiebreak makes an exactly-simultaneous right row match in
+    BOTH directions (right sorts before left at equal ts backward,
+    after it forward). One shuffle on ``on``; state per window is one
+    payload row either way.
 
-    ``tolerance_seconds`` drops matches older than the tolerance
-    (match columns become NULL, the row is kept — left-join shape).
+    ``tolerance_seconds`` drops matches farther than the tolerance in
+    the match direction (match columns become NULL, the row is kept —
+    left-join shape).
 
     The right payload rides the window as ONE struct column so every
     output field comes from the same matched right row. Filling each
@@ -50,11 +58,14 @@ def asof_join(
     newest right row from an older right row, emitting a frankenrow
     mixing fields of different matches.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward': {direction!r}")
+    backward = direction == "backward"
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
     r_tagged = right.select(
         F.col(on),
         F.col(ts_col),
-        F.lit(0).alias("__tag"),
+        F.lit(0 if backward else 1).alias("__tag"),
         F.struct(
             F.col(ts_col).alias("__rts"), *[F.col(c) for c in right_cols]
         ).alias("__rpay"),
@@ -64,29 +75,34 @@ def asof_join(
     l_tagged = left.select(
         F.col(on),
         F.col(ts_col),
-        F.lit(1).alias("__tag"),
+        F.lit(1 if backward else 0).alias("__tag"),
         F.lit(None).cast(pay_type).alias("__rpay"),
         *extra_left,
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = Window.partitionBy(on).orderBy(ts_col, "__tag")
     w = (
-        Window.partitionBy(on)
-        .orderBy(ts_col, "__tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if backward
+        else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    # last(ignorenulls) skips only NULL *structs* (i.e. left rows); a
-    # right row with NULL fields is still a real, complete match.
-    filled = unioned.withColumn("__f", F.last("__rpay", ignorenulls=True).over(w))
-    out = filled.filter(F.col("__tag") == 1)
+    # last/first(ignorenulls) skips only NULL *structs* (i.e. left
+    # rows); a right row with NULL fields is still a real, complete
+    # match.
+    fill = F.last if backward else F.first
+    filled = unioned.withColumn("__f", fill("__rpay", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__tag") == (1 if backward else 0))
+    signed_gap = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__f.__rts"))
+        if backward
+        else F.unix_micros(F.col("__f.__rts")) - F.unix_micros(F.col(ts_col))
+    )
     in_tol = (
         F.lit(True)
         if tolerance_seconds is None
         else (
             F.col("__f.__rts").isNotNull()
-            & (
-                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__f.__rts"))
-                <= int(tolerance_seconds * 1_000_000)
-            )
+            & (signed_gap <= int(tolerance_seconds * 1_000_000))
         )
     )
     keep = [on, ts_col, *extra_left]

@@ -570,6 +570,41 @@ def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x117_asof_forward",
+    # Forward as-of: for each click, the EARLIEST view at-or-after it
+    # per user (pandas merge_asof direction='forward'; "next quote
+    # after the order"). Same union + window composition as x18 with
+    # the frame, fill, and tag tiebreak mirrored; DuckDB expresses the
+    # identical semantics natively with the <= ASOF inequality.
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id,
+               v.event_id AS view_id, v.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts <= v.ts
+        ORDER BY click_id
+    """,
+    covers="forward as-of join (earliest right at-or-after left) — merge_asof direction='forward'",
+    tags=("temporal",),
+)
+def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators import temporal
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = temporal.asof_join(clicks, views, on="user_id", direction="forward")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("event_id_right").alias("view_id"),
+        F.col("value_right").alias("view_value"),
+    ).orderBy("click_id")
+
+
+@register(
     "x19_range_join",
     oracle="""
         SELECT c.event_id AS click_id, e.event_id AS error_id

@@ -166,3 +166,45 @@ def test_asof_join_null_field_in_latest_match_stays_null(spark):
     # Latest match is the ts(20) row whose rid/val are NULL.
     assert row.ts_right == _ts(20)
     assert row.rid_right is None and row.val_right is None
+
+
+def test_asof_forward_hand_case(spark):
+    """Forward direction: earliest right at-or-after each left ts;
+    simultaneous right matches; tolerance measured forward."""
+    import datetime as dt
+
+    from skoltexter_by_ai_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(20), "b"), (1, t(40), "c")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(25), 200)], "k long, ts timestamp, v long"
+    )
+    got = {
+        r.tag: (r.v_right, r.ts_right)
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    assert got["a"] == (100, t(10))  # simultaneous right matches
+    assert got["b"] == (200, t(25))  # next one after
+    assert got["c"] == (None, None)  # nothing after -> left-join shape
+    # forward tolerance: b's match is 5s ahead; a 3s budget drops it.
+    tol = {
+        r.tag: r.v_right
+        for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_seconds=3.0
+        ).collect()
+    }
+    assert tol == {"a": 100, "b": None, "c": None}
+
+
+def test_asof_direction_validated(spark):
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.temporal import asof_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="backward"):
+        asof_join(df, df, on="k", direction="sideways")
