@@ -305,6 +305,52 @@ def ngram_contamination(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 3,
+    min_overlap: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_self: bool = True,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination FILTER — the removal counterpart of
+    the :func:`ngram_contamination` scan: return the train rows that
+    do NOT overlap any benchmark document at or above ``min_overlap``
+    (fraction of the eval doc's distinct word n-grams present in the
+    train doc). The scan tells you who leaks; this drops them from the
+    corpus in the same pipeline, the standard pre-training hygiene
+    step (GPT-3 appendix C / PaLM-style n-gram decontamination).
+
+    ``exclude_self=True`` ignores pairs where the two ids are equal —
+    for the common harness setup where the eval set is carved out of
+    the corpus itself and a document must not disqualify itself.
+
+    Output: the surviving ``train`` rows, all original columns.
+
+    Scale posture: inherits the scan's shape — eval shingles broadcast
+    (benchmark sets are small by contract), the 100 TB train side
+    streams through one broadcast join + one bounded per-pair agg —
+    and the contaminated-id set (bounded by actual leakage, not corpus
+    size) comes back as a LEFT ANTI join on ``id_col`` with no forced
+    broadcast (AQE broadcasts it when genuinely small).
+    """
+    pairs = ngram_contamination(
+        train,
+        evals,
+        n=n,
+        min_overlap=min_overlap,
+        id_col=id_col,
+        text_col=text_col,
+        hash_shingles=hash_shingles,
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("train_id") != F.col("eval_id"))
+    bad = pairs.select(F.col("train_id").alias(id_col))
+    return train.join(bad, id_col, "left_anti")
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

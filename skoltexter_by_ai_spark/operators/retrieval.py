@@ -252,3 +252,64 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.avg(lp), 6).alias("mean_logprob"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-LM fluency signal of
+    :func:`unigram_logprob`, then split the corpus into ``n_buckets``
+    equal-population tiers by score — bucket 1 is the most fluent
+    ("head"), the last the least ("tail"). The standard cheap quality
+    stratification in front of a pretraining mix: keep head, sample
+    middle, drop or re-weight tail.
+
+    Output: ``(id_col, n_tokens, mean_logprob, bucket)`` with exact
+    NTILE semantics over ``(mean_logprob DESC, id ASC)`` — base size
+    ``N div k``, the first ``N mod k`` buckets one larger — so the
+    result is engine-reproducible (deterministic tie-break on id).
+
+    Scale posture: exact corpus-wide NTILE needs a total order, but
+    NOT a single-task window — ranks come from
+    :func:`~skoltexter_by_ai_spark.operators.skew.distributed_prefix_sum`
+    (range-partition + per-partition offsets: one range shuffle over
+    narrow (id, score) rows, two narrow passes, driver materializes
+    only num_partitions counters). The bucket is then closed-form
+    arithmetic on the rank; N itself joins in as a broadcast scalar
+    read from the prefix pass's checkpoint, not a second corpus scan.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    from skoltexter_by_ai_spark.operators.skew import distributed_prefix_sum
+
+    scored = unigram_logprob(df, id_col, text_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "mean_logprob",
+        # mean_logprob is rounded to 6 places, so negation is exact:
+        # ascending __ord == descending mean_logprob (head first).
+        (-F.col("mean_logprob")).alias("__ord"),
+        F.lit(1).cast("bigint").alias("__one"),
+    )
+    ranked = distributed_prefix_sum(
+        scored, ["__ord", id_col], "__one", out_col="__rn"
+    )
+    n_total = ranked.agg(F.max("__rn").alias("__N"))
+    k = F.lit(n_buckets).cast("bigint")
+    rn = F.col("__rn")
+    b = F.floor(F.col("__N") / k)
+    rem = F.col("__N") % k
+    cut = (b + 1) * rem
+    bucket = F.when(rn <= cut, F.floor((rn - 1) / (b + 1)) + 1).otherwise(
+        rem + F.floor((rn - cut - 1) / F.greatest(b, F.lit(1))) + 1
+    )
+    return ranked.crossJoin(F.broadcast(n_total)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("mean_logprob"),
+        bucket.cast("int").alias("bucket"),
+    )

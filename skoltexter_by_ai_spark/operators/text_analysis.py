@@ -1314,3 +1314,138 @@ def vocab_weight_classifier(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) >= 0.5, F.lit(1)
         ).otherwise(F.lit(0)).cast("int").alias("label"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+    word ``n``-grams whose first corpus occurrence (minimum ``id_col``
+    over all documents containing the shingle) is this document — the
+    "how much genuinely new text does this doc add" curation signal
+    used to prioritize fresh content when assembling a training mix
+    (the set-level inverse of :func:`boilerplate_share`: boilerplate
+    asks "how much of me is elsewhere", novelty asks "how much of me
+    appeared here first").
+
+    Output: ``(id_col, n_shingles, n_novel, novel_share)``; documents
+    with no complete n-gram report 0 shingles and share 0.0. Every
+    shingle credits exactly ONE document (its minimum-id holder), so
+    ``Σ n_novel = |corpus shingle vocabulary|``.
+
+    Scale posture: text projects once to (id, distinct shingle) and
+    shuffles once on the shingle key with two values of bounded state
+    (count via min-id groupBy); the per-document novel counts are a
+    tiny (id, count) re-agg, joined back to the narrow per-doc totals
+    with no forced broadcast (AQE handles it). Linear end to end;
+    state bounded by the shingle vocabulary, never by pair volume.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    base = _spread(df, id_col).select(
+        F.col(id_col), word_shingles(text_col, n).alias("__shs")
+    )
+    pos = base.select(id_col, F.explode("__shs").alias("__sh"))
+    novel = (
+        pos.groupBy("__sh")
+        .agg(F.min(id_col).alias("__first"))
+        .groupBy(F.col("__first").alias(id_col))
+        .agg(F.count("*").alias("__nv"))
+    )
+    tot = base.select(id_col, F.size("__shs").alias("__n"))
+    nv = F.coalesce(F.col("__nv"), F.lit(0))
+    return tot.join(novel, id_col, "left").select(
+        id_col,
+        F.col("__n").cast("bigint").alias("n_shingles"),
+        nv.cast("bigint").alias("n_novel"),
+        F.round(
+            F.when(F.col("__n") > 0, nv / F.col("__n")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("novel_share"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document span REMOVAL — the transform counterpart of the
+    :func:`duplicate_spans` diagnostic: rebuild each document's text
+    with every token deleted that sits inside an ``n``-gram occurring
+    in at least ``min_docs`` distinct documents. This is the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") with fixed-width n-grams
+    standing in for suffix-array maximal matches, as a one-pipeline
+    DataFrame op: duplicated spans vanish from every copy, unique
+    prose survives in place.
+
+    Output: ``(id_col, n_tokens, n_removed, clean_text)`` —
+    ``clean_text`` is the surviving tokens space-joined in original
+    order (empty string when everything was duplicated), ``n_removed``
+    the count of deleted token positions.
+
+    Scale posture: text projects once to (id, position, shingle); the
+    duplicated-shingle set comes from ONE shingle-key shuffle with
+    bounded (count, min-id, max-id) state for ``min_docs <= 2`` (a
+    shingle is cross-doc iff min(id) != max(id) — no distinct-count
+    pass), a (shingle, id)-dedup plus count for deeper thresholds. The
+    marked positions expand n-fold, dedup on (id, pos) inside the
+    per-doc collect_set aggregation, and come back as ONE small array
+    row per affected document; the rebuild is then a narrow in-row
+    index filter — full text never shuffles (``_spread`` aside), and
+    no driver collect anywhere.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    base = _spread(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    )
+    sp = base.select(
+        id_col,
+        F.posexplode(shingles_from_tokens(F.col("__t"), n, distinct=False)).alias(
+            "__p", "__sh"
+        ),
+    )
+    if min_docs == 2:
+        dup = (
+            sp.groupBy("__sh")
+            .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
+            .filter(F.col("__a") != F.col("__b"))
+            .select("__sh")
+        )
+    else:
+        dup = (
+            sp.select("__sh", id_col)
+            .distinct()
+            .groupBy("__sh")
+            .agg(F.count("*").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__sh")
+        )
+    rm = (
+        sp.join(dup, "__sh", "left_semi")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("__p"), F.col("__p") + (n - 1))).alias(
+                "__rp"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__rp").alias("__rm"))
+    )
+    rmc = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(F.col("__t"), lambda x, i: ~F.array_contains(rmc, i))
+    return base.join(rm, id_col, "left").select(
+        id_col,
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -1003,3 +1003,137 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(
         li, ["l_quantity", "l_returnflag", "l_extendedprice", "l_shipdate"]
     ).orderBy("col_name")
+
+
+@register(
+    "x118_decontaminate",
+    # Benchmark decontamination as a FILTER (x62 is the scan): drop
+    # every train doc sharing >= 50% of some eval doc's distinct
+    # 3-grams (self-pairs excluded — the eval set is carved out of the
+    # corpus here, doc_id % 20 = 0). Same overlap arithmetic as x62's
+    # proven oracle; the survivors keep their original columns.
+    oracle=f"""
+        WITH tr AS (
+            SELECT doc_id, {_duck_shingles(3).replace("toks", _TOKS)} AS shs
+            FROM documents
+        ),
+        trs AS (SELECT doc_id AS train_id, unnest(shs) AS sh FROM tr),
+        evt AS (SELECT doc_id AS eval_id, CAST(len(shs) AS BIGINT) AS eval_ngrams
+                FROM tr WHERE doc_id % 20 = 0 AND len(shs) > 0),
+        evs AS (SELECT doc_id AS eval_id, unnest(shs) AS sh
+                FROM tr WHERE doc_id % 20 = 0),
+        shared AS (
+            SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
+            FROM trs JOIN evs USING (sh)
+            GROUP BY 1, 2
+        ),
+        bad AS (
+            SELECT DISTINCT train_id
+            FROM shared JOIN evt USING (eval_id)
+            WHERE train_id != eval_id
+              AND shared_ngrams * 1.0 / eval_ngrams >= 0.5
+        )
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT train_id FROM bad)
+        ORDER BY doc_id
+    """,
+    covers="benchmark decontamination filter: drop train docs leaking into the eval set (removal half of x62)",
+    tags=("training", "curation", "text"),
+    min_rows=400,
+)
+def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    return (
+        decontaminate(docs, evals, n=3, min_overlap=0.5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x120_ngram_novelty",
+    # Per-document novelty: share of the doc's distinct 3-grams whose
+    # first corpus occurrence (min doc_id) is this doc — "how much new
+    # text does this doc add", the set-level inverse of x101's
+    # boilerplate share. Every shingle credits exactly one document.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_duck_shingles(3).replace("toks", _TOKS)} AS shs
+            FROM documents
+        ),
+        s AS (SELECT doc_id, unnest(shs) AS sh FROM t),
+        m AS (SELECT sh, MIN(doc_id) AS first_id FROM s GROUP BY sh),
+        nv AS (SELECT first_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+               FROM m GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(len(shs) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+               ROUND(CASE WHEN len(shs) > 0
+                     THEN CAST(COALESCE(n_novel, 0) AS DOUBLE) / len(shs)
+                     ELSE 0.0 END, 6) AS novel_share
+        FROM t LEFT JOIN nv USING (doc_id)
+        ORDER BY doc_id
+    """,
+    covers="n-gram novelty share: fraction of a doc's distinct shingles first seen in it (fresh-content signal)",
+    tags=("text", "curation"),
+    min_rows=400,
+)
+def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+@register(
+    "x121_span_removal",
+    # Cross-document exact-span REMOVAL (x110 is the diagnostic):
+    # delete every token sitting inside a 5-gram that occurs in >= 2
+    # distinct documents, rebuild the text in original order (Lee et
+    # al. 2022 span dedup, fixed-width form). DuckDB mirrors the
+    # positional arithmetic 1-based; positions never leave either
+    # engine, only (n_tokens, n_removed, clean_text) compare.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS toks
+            FROM documents
+        ),
+        sp AS (
+            SELECT doc_id, i AS p, array_to_string(toks[i:i+4], ' ') AS sh
+            FROM t, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)
+        ),
+        dup AS (SELECT sh FROM sp GROUP BY sh HAVING MIN(doc_id) != MAX(doc_id)),
+        rm AS (
+            SELECT DISTINCT doc_id, p + off AS rp
+            FROM sp JOIN dup USING (sh),
+                 unnest(generate_series(0, 4)) AS o(off)
+        ),
+        rml AS (SELECT doc_id, list(rp) AS rl FROM rm GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(rl), 0) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(
+                   list_filter(toks, (x, i) -> NOT list_contains(COALESCE(rl, []), i)),
+                   ' '), '') AS clean_text
+        FROM t LEFT JOIN rml USING (doc_id)
+        ORDER BY doc_id
+    """,
+    covers="cross-document duplicated-span removal: rebuild text without tokens inside shared 5-grams (transform half of x110)",
+    tags=("text", "curation", "dedup"),
+    min_rows=400,
+)
+def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2).orderBy(
+        "doc_id"
+    )

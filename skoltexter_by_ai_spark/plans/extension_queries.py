@@ -1684,3 +1684,40 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.bigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x119_perplexity_buckets",
+    # CCNet-style perplexity tiers: x99's corpus-LM fluency score,
+    # then an exact corpus-wide NTILE(3) over (score desc, doc_id) —
+    # bucket 1 = "head" (most fluent). The Spark side computes the
+    # NTILE WITHOUT a single-task window (range-partitioned prefix
+    # ranks, operators/skew.py) — the oracle's window IS the spec.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(list_filter({_TOKS}, x -> x <> '')) AS tok
+            FROM documents
+        ),
+        c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        tot AS (SELECT SUM(c) AS nt FROM c),
+        s AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(LN(CAST(c AS DOUBLE) / nt)), 6) AS mean_logprob
+            FROM t JOIN c USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, mean_logprob,
+               CAST(NTILE(3) OVER (ORDER BY mean_logprob DESC, doc_id) AS INT)
+                   AS bucket
+        FROM s
+        ORDER BY doc_id
+    """,
+    covers="CCNet perplexity bucketing: corpus-LM score + exact distributed NTILE into head/middle/tail tiers",
+    tags=("text", "training", "curation"),
+    min_rows=400,
+)
+def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.perplexity_buckets(docs, "doc_id", "text", n_buckets=3).orderBy(
+        "doc_id"
+    )

@@ -471,3 +471,47 @@ def test_column_profile_handles_quoted_column_names(spark):
     rows = {r.col_name: r for r in column_profile(df, ["id", weird]).collect()}
     assert set(rows) == {"id", weird}
     assert (rows[weird].n_rows, rows[weird].n_null, rows[weird].n_distinct) == (2, 1, 1)
+
+
+def test_decontaminate_hand_values(spark):
+    """Train doc 2 shares exactly 2 of eval doc 1's four 2-grams
+    (= 0.5, at the threshold -> dropped); self-pairs are excluded so
+    the carved-out eval docs themselves survive."""
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c x y"),
+            (3, "p q r s t"),
+            (4, "u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = train.filter(F.col("doc_id").isin(1, 3))
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(train, evals, n=2, min_overlap=0.5).collect()
+    )
+    assert kept == [1, 3, 4]
+
+    # Below-threshold overlap survives (1 of 4 shared 2-grams = 0.25).
+    kept2 = sorted(
+        r.doc_id
+        for r in decontaminate(train, evals, n=2, min_overlap=0.6).collect()
+    )
+    assert kept2 == [1, 2, 3, 4]
+
+    # exclude_self=False: an eval doc disqualifies its own train copy.
+    kept3 = sorted(
+        r.doc_id
+        for r in decontaminate(
+            train, evals, n=2, min_overlap=0.5, exclude_self=False
+        ).collect()
+    )
+    assert kept3 == [4]
+
+    # Survivors keep ALL original columns.
+    assert decontaminate(train, evals).columns == train.columns

@@ -159,3 +159,39 @@ def test_bigram_logprob_exact_hand_corpus(spark):
     assert 3 not in rows  # sub-2-token doc emits no row
     # Repetitive high-probability doc scores above the novel one.
     assert rows[1].mean_logprob > rows[2].mean_logprob
+
+
+def test_perplexity_buckets_hand_values(spark):
+    """Corpus: t has count 5/8, r 3/8. Fluency order is doc1=doc2
+    (all-t) > doc3 (mixed) > doc4 (all-r); ties break on doc_id.
+    NTILE(3) over 4 rows -> sizes 2,1,1; NTILE(2) -> 2,2."""
+    import math
+
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.retrieval import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(1, "t t"), (2, "t t"), (3, "t r"), (4, "r r")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in perplexity_buckets(df, "doc_id", "text", n_buckets=3).collect()
+    }
+    assert [rows[i].bucket for i in (1, 2, 3, 4)] == [1, 1, 2, 3]
+    assert rows[1].mean_logprob == round(math.log(5 / 8), 6)
+    assert rows[3].mean_logprob == round((math.log(5 / 8) + math.log(3 / 8)) / 2, 6)
+    assert rows[4].mean_logprob == round(math.log(3 / 8), 6)
+
+    two = {
+        r.doc_id: r.bucket
+        for r in perplexity_buckets(df, "doc_id", "text", n_buckets=2).collect()
+    }
+    assert [two[i] for i in (1, 2, 3, 4)] == [1, 1, 2, 2]
+
+    one = perplexity_buckets(df, "doc_id", "text", n_buckets=1)
+    assert {r.bucket for r in one.collect()} == {1}
+
+    with pytest.raises(ValueError, match="n_buckets must be"):
+        perplexity_buckets(df, "doc_id", "text", n_buckets=0)

@@ -1009,3 +1009,75 @@ def test_pack_context_len_boundaries(spark):
         pack_sequences(df, "doc_id", "text", context_len=0)
     out = pack_sequences(df, "doc_id", "text", context_len=1).collect()
     assert len(out) == 1
+
+
+def test_ngram_novelty_hand_values(spark):
+    """Every shingle credits exactly its min-id holder: doc1 owns
+    'a b' and 'b c'; doc2 only adds 'c d'; doc3 adds nothing new."""
+    from skoltexter_by_ai_spark.operators.text_analysis import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "a b"), (4, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(df, "doc_id", "text", n=2).collect()}
+    assert (rows[1].n_shingles, rows[1].n_novel, rows[1].novel_share) == (2, 2, 1.0)
+    assert (rows[2].n_shingles, rows[2].n_novel, rows[2].novel_share) == (2, 1, 0.5)
+    assert (rows[3].n_shingles, rows[3].n_novel, rows[3].novel_share) == (1, 0, 0.0)
+    assert (rows[4].n_shingles, rows[4].n_novel, rows[4].novel_share) == (0, 0, 0.0)
+    # Conservation: every corpus shingle credited exactly once.
+    assert sum(r.n_novel for r in rows.values()) == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_novelty(df, "doc_id", "text", n=0)
+
+
+def test_remove_duplicate_spans_hand_values(spark):
+    """'a b' occurs in docs 1 and 2 -> both positional windows vanish
+    from both docs; intra-doc repetition alone (doc 4) never triggers
+    removal (min_docs counts DISTINCT documents)."""
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x a b y"), (3, "p q"), (4, "m n m n")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=2).collect()
+    }
+    assert (rows[1].n_tokens, rows[1].n_removed, rows[1].clean_text) == (4, 2, "c d")
+    assert (rows[2].n_tokens, rows[2].n_removed, rows[2].clean_text) == (4, 2, "x y")
+    assert (rows[3].n_tokens, rows[3].n_removed, rows[3].clean_text) == (2, 0, "p q")
+    # 'm n' repeats WITHIN doc 4 only: not a cross-document span.
+    assert (rows[4].n_removed, rows[4].clean_text) == (0, "m n m n")
+
+    # Deeper threshold: no 2-gram spans 3 distinct docs -> all intact.
+    deep = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", n=2, min_docs=3
+        ).collect()
+    }
+    assert all(deep[d].n_removed == 0 for d in (1, 2, 3, 4))
+    assert deep[1].clean_text == "a b c d"
+
+    # Full removal leaves the empty string, not NULL.
+    dup = spark.createDataFrame(
+        [(1, "s t u"), (2, "s t u")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(dup, "doc_id", "text", n=3).collect()
+    }
+    assert (out[1].n_removed, out[1].clean_text) == (3, "")
+
+    with pytest.raises(ValueError, match="min_docs must be"):
+        remove_duplicate_spans(df, "doc_id", "text", n=2, min_docs=1)
+    with pytest.raises(ValueError, match="n must be"):
+        remove_duplicate_spans(df, "doc_id", "text", n=0)
