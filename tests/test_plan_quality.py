@@ -532,3 +532,47 @@ def test_curation_funnel_single_scan_single_agg(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert len(re.findall(r"\w*HashAggregate", plan)) >= 2, plan
+
+
+def test_decontaminate_broadcasts_eval_and_plans_anti_join(spark):
+    # x118: the benchmark shingle side must broadcast (shuffling the
+    # exploded train shingles to meet 250 eval docs would be the bug),
+    # the per-pair count must partial-aggregate, and the survivors
+    # must come from a LEFT ANTI join — never a NOT IN re-scan.
+    plan = _plan(_build(spark, "x118_decontaminate"))
+    assert re.search(r"BroadcastHashJoin \[__sh", plan), plan
+    assert "LeftAnti" in plan, plan
+    assert len(re.findall(r"(\w*HashAggregate)", plan)) >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_perplexity_buckets_has_no_window_operator(spark):
+    # x119's whole point: exact corpus-wide NTILE with NO Window node
+    # (a global window = one task holding the corpus). Ranks must come
+    # from exactly one range repartition + the two narrow prefix
+    # passes over it.
+    plan = _plan(_build(spark, "x119_perplexity_buckets"))
+    assert "Window" not in plan, plan
+    assert plan.lower().count("rangepartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_novelty_single_shingle_shuffle_chain(spark):
+    # x120: one shingle-key aggregation (min-id) feeding one tiny
+    # (id, count) re-agg — both map-side partial — and no join may
+    # move the exploded shingle stream a second time.
+    plan = _plan(_build(spark, "x120_ngram_novelty"))
+    assert len(re.findall(r"(\w*HashAggregate)", plan)) >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only join keys allowed are the doc id (totals <- novel counts)
+    assert not re.search(r"Join \[__sh", plan), plan
+
+
+def test_span_removal_joins_only_on_shingle_and_doc_keys(spark):
+    # x121: the dup-set probe is a semi join on the shingle key, the
+    # rebuild joins the per-doc removal arrays back on the doc id —
+    # full text must never be a join key or shuffle a second time.
+    plan = _plan(_build(spark, "x121_span_removal"))
+    assert re.search(r"Join \[__sh[^\]]*\], \[__sh[^\]]*\], LeftSemi", plan), plan
+    assert re.search(r"Join \[doc_id[^\]]*\], \[doc_id[^\]]*\], LeftOuter", plan), plan
+    assert "CartesianProduct" not in plan, plan
