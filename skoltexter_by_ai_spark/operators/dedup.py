@@ -235,6 +235,49 @@ def minhash_signatures(
     return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
 
 
+def band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded LSH bucket keys: ``(__id, __band, __bucket)`` — each
+    document's MinHash signature folded into ``bands`` xxhash64 band
+    keys. The shared index representation behind
+    :func:`minhash_lsh_candidates` (self-join form) and
+    :func:`incremental_near_dups` (index-vs-batch form); a production
+    pipeline PERSISTS this frame as the corpus's dedup index and feeds
+    it back instead of recomputing (pure function of (text, n,
+    num_hashes, bands, seed), so stored and fresh rows agree).
+
+    Docs with no shingles (empty/short text) can never be near-dups;
+    minhash_signatures drops them (no exploded rows -> no group).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+    ).withColumnRenamed(id_col, "__id")
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("__id", F.explode(band_cols).alias("__b")).select(
+        "__id", F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -257,27 +300,8 @@ def minhash_lsh_candidates(
     for any corpus where near-dup clusters are small relative to the
     corpus. Skewed buckets (boilerplate docs) are split by AQE.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    # Docs with no shingles (empty/short text) can never be near-dups;
-    # minhash_signatures drops them (no exploded rows -> no group).
-    sig = minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
-    ).withColumnRenamed(id_col, "__id")
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select("__id", F.explode(band_cols).alias("__b")).select(
-        "__id", F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket")
+    buckets = band_buckets(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
     )
     left = buckets.select("__band", "__bucket", F.col("__id").alias("id_a"))
     right = buckets.select("__band", "__bucket", F.col("__id").alias("id_b"))
@@ -316,6 +340,79 @@ def minhash_near_dups(
         .select(
             "id_a",
             "id_b",
+            # Guarded: ANSI mode makes /0 an error, and two shingle-less
+            # docs would otherwise divide 0 by 0.
+            F.when(
+                F.size(F.array_union("__sha", "__shb")) > 0,
+                F.size(F.array_intersect("__sha", "__shb")).cast("double")
+                / F.size(F.array_union("__sha", "__shb")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def incremental_near_dups(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup screen: which INCOMING documents are
+    near-duplicates of the EXISTING corpus — the production shape of
+    MinHash dedup, where a new crawl/batch is checked against the
+    already-curated index WITHOUT re-clustering the corpus
+    (:func:`minhash_lsh_candidates` is the from-scratch self-join
+    form; this is the index-vs-batch form).
+
+    Candidates are band-bucket collisions between the two sides'
+    :func:`band_buckets` frames, then verified by exact shingle
+    Jaccard (same verify step as :func:`minhash_near_dups`). Output:
+    ``(new_id, existing_id, jaccard)`` for verified pairs at or above
+    ``min_jaccard``; an id present on both sides never pairs with
+    itself.
+
+    Scale posture: the batch is small relative to the corpus by
+    contract, so the batch's band buckets BROADCAST — the 100 TB
+    index streams through one broadcast join and never shuffles (and
+    in production the index side is a PERSISTED band_buckets table, so
+    nothing recomputes signatures over old text). The verify join
+    touches only candidate rows; per-side shingle frames join on their
+    own id keys with no forced strategy.
+    """
+    ex_b = band_buckets(
+        existing, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+    ).select(
+        F.col("__band"), F.col("__bucket"), F.col("__id").alias("existing_id")
+    )
+    in_b = band_buckets(
+        incoming, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+    ).select(F.col("__band"), F.col("__bucket"), F.col("__id").alias("new_id"))
+    cands = (
+        ex_b.join(F.broadcast(in_b), ["__band", "__bucket"])
+        .filter(F.col("new_id") != F.col("existing_id"))
+        .select("new_id", "existing_id")
+        .distinct()
+    )
+    ex_sh = existing.select(
+        F.col(id_col).alias("existing_id"), word_shingles(text_col, n).alias("__sha")
+    )
+    in_sh = incoming.select(
+        F.col(id_col).alias("new_id"), word_shingles(text_col, n).alias("__shb")
+    )
+    return (
+        cands.join(ex_sh, "existing_id")
+        .join(in_sh, "new_id")
+        .select(
+            "new_id",
+            "existing_id",
             # Guarded: ANSI mode makes /0 an error, and two shingle-less
             # docs would otherwise divide 0 by 0.
             F.when(

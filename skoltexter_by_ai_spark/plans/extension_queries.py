@@ -1721,3 +1721,25 @@ def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.perplexity_buckets(docs, "doc_id", "text", n_buckets=3).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "x122_incremental_near_dups",
+    oracle=None,  # LSH candidate generation is xxhash64-based (Spark-
+    # specific); the verify stage is exact Jaccard, so the recall/
+    # containment cross-check vs an exact cross-boundary twin lives in
+    # tests/test_rows_only_value_checks.py.
+    covers="incremental near-dup screen: new batch vs existing corpus via persisted-index band buckets (index-vs-batch LSH)",
+    tags=("dedup", "curation"),
+    min_rows=5,
+)
+def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_near_dups(
+        existing, incoming, "doc_id", "text", n=2, num_hashes=32, bands=8,
+        seed=42, min_jaccard=0.5,
+    ).orderBy("new_id", "existing_id")

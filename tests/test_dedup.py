@@ -413,3 +413,64 @@ def test_lsh_candidates_default_shingle_width_is_two(spark):
     df = spark.createDataFrame([(1, "x y x"), (2, "y x y")], "id long, text string")
     got = [(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, "id", "text").collect()]
     assert got == [(1, 2)]
+
+
+def test_incremental_near_dups_hand_fixture(spark):
+    """Planted: incoming doc 100 is a near-copy of existing doc 1
+    (J=2/3 on bigrams with n=2... computed below); incoming doc 200
+    matches nothing; an id present on BOTH sides never self-pairs."""
+    from skoltexter_by_ai_spark.operators.dedup import (
+        incremental_near_dups,
+        word_shingles,
+    )
+
+    existing = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon eta"),  # near-copy of 1
+            (200, "totally different words here now"),
+            (3, "p q r s t u v w"),  # same id both sides: must not self-pair
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.existing_id): r.jaccard
+        for r in incremental_near_dups(
+            existing, incoming, "doc_id", "text", min_jaccard=0.3
+        ).collect()
+    }
+    # Exact bigram Jaccard of (100, 1): shingle sets share 4 of 6 -> 4/8.
+    a = {"alpha beta", "beta gamma", "gamma delta", "delta epsilon", "epsilon zeta"}
+    b = {"alpha beta", "beta gamma", "gamma delta", "delta epsilon", "epsilon eta"}
+    expect_j = len(a & b) / len(a | b)
+    assert (100, 1) in got and abs(got[(100, 1)] - expect_j) < 1e-9
+    assert all(k[0] != 200 for k in got), got
+    assert (3, 3) not in got, "identical id on both sides must not self-pair"
+
+
+def test_incremental_near_dups_broadcasts_incoming_batch(spark):
+    """The candidate join must broadcast the (small) incoming batch's
+    band buckets — shuffling the existing index to meet a batch is the
+    scale bug the operator exists to avoid."""
+    from skoltexter_by_ai_spark.operators.dedup import incremental_near_dups
+
+    existing = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(100, "w1 w2 w3 w4")], "doc_id long, text string"
+    )
+    df = incremental_near_dups(existing, incoming, "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"BroadcastHashJoin \[__band[^\n]*", plan)
+    assert m, plan

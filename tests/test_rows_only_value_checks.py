@@ -130,3 +130,34 @@ def test_x67_no_false_positives_and_analytic_recall(spark):
     # (exactly at threshold); the observed mix sits above it.
     recall = len(got & brute) / len(brute)
     assert recall >= 0.7, f"recall {recall} below the analytic floor"
+
+
+def test_x122_matches_exact_cross_boundary_twin(spark):
+    """x122's verify stage is exact Jaccard, so (a) ZERO false
+    positives vs the exact cross-boundary pair set, and (b) on this
+    fixture — whose near-dups all sit at J >= 0.96, where a 4-row
+    band matches with p = J^4 and eight bands miss with
+    (1-J^4)^8 < 1e-6 — full recall too: the outputs must be EQUAL."""
+    from skoltexter_by_ai_spark.operators.dedup import word_shingles
+
+    got = {
+        (r.new_id, r.existing_id, round(r.jaccard, 6))
+        for r in get_query("x122_incremental_near_dups").builder(spark, SF).collect()
+    }
+
+    docs = [
+        (r.doc_id, set(r.shs))
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", word_shingles("text", 2).alias("shs"))
+        .collect()
+    ]
+    inc = [(i, s) for i, s in docs if i % 10 == 0]
+    ex = [(i, s) for i, s in docs if i % 10 != 0]
+    exact = set()
+    for ni, ns in inc:
+        for ei, es in ex:
+            u = ns | es
+            if u and len(ns & es) / len(u) >= 0.5:
+                exact.add((ni, ei, round(len(ns & es) / len(u), 6)))
+    assert exact, "fixture must contain cross-boundary near-dups"
+    assert got == exact
