@@ -515,3 +515,32 @@ def test_decontaminate_hand_values(spark):
 
     # Survivors keep ALL original columns.
     assert decontaminate(train, evals).columns == train.columns
+
+
+def test_decontaminate_agrees_with_scan(spark):
+    """Cross-operator consistency: the filter's dropped ids must be
+    exactly the scan's flagged train ids (self-pairs excluded), for a
+    corpus with overlaps on both sides of the threshold."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    rng = random.Random(123)
+    vocab = ["u", "v", "w", "x", "y", "z"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8))))
+        for i in range(40)
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = train.filter(F.col("doc_id") % 7 == 0)
+
+    pairs = ngram_contamination(train, evals, n=2, min_overlap=0.4).collect()
+    flagged = {r.train_id for r in pairs if r.train_id != r.eval_id}
+    assert flagged, "fixture must flag at least one non-self pair"
+    kept = {r.doc_id for r in decontaminate(train, evals, n=2, min_overlap=0.4).collect()}
+    assert kept == {i for i, _ in rows} - flagged

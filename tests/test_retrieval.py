@@ -195,3 +195,39 @@ def test_perplexity_buckets_hand_values(spark):
 
     with pytest.raises(ValueError, match="n_buckets must be"):
         perplexity_buckets(df, "doc_id", "text", n_buckets=0)
+
+
+def test_perplexity_buckets_equal_window_ntile_on_random_corpora(spark):
+    """The closed-form rank->bucket arithmetic must equal Spark's own
+    NTILE window for every (N, k) shape — including N < k, N % k != 0
+    and heavy score ties. Random corpora seeded for reproducibility."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from skoltexter_by_ai_spark.operators.retrieval import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    rng = random.Random(190)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial, (n_docs, k) in enumerate([(7, 3), (2, 5), (12, 4), (9, 1), (30, 7)]):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6))))
+            for i in range(n_docs)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(df, "doc_id", "text", n_buckets=k).collect()
+        }
+        w = Window.orderBy(F.col("mean_logprob").desc(), F.col("doc_id"))
+        expect = {
+            r.doc_id: r.b
+            for r in unigram_logprob(df, "doc_id", "text")
+            .select("doc_id", F.ntile(k).over(w).alias("b"))
+            .collect()
+        }
+        assert got == expect, (trial, n_docs, k, got, expect)

@@ -1081,3 +1081,77 @@ def test_remove_duplicate_spans_hand_values(spark):
         remove_duplicate_spans(df, "doc_id", "text", n=2, min_docs=1)
     with pytest.raises(ValueError, match="n must be"):
         remove_duplicate_spans(df, "doc_id", "text", n=0)
+
+
+def test_remove_duplicate_spans_invariants_random_corpora(spark):
+    """Structural invariants on seeded random corpora: the kept tokens
+    are exactly the original positions not covered by a cross-document
+    n-gram window, n_removed counts those positions, and the removal
+    agrees position-for-position with a pure-Python replay."""
+    import random
+
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(121)
+    vocab = ["a", "b", "c", "d", "e"]
+    n = 3
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in remove_duplicate_spans(df, "doc_id", "text", n=n).collect()
+    }
+
+    toks = {i: t.split() for i, t in rows}
+    owner: dict[str, set[int]] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            owner.setdefault(" ".join(ts[p : p + n]), set()).add(i)
+    for i, ts in toks.items():
+        rm: set[int] = set()
+        for p in range(len(ts) - n + 1):
+            if len(owner[" ".join(ts[p : p + n])]) >= 2:
+                rm.update(range(p, p + n))
+        r = got[i]
+        assert r.n_tokens == len(ts)
+        assert r.n_removed == len(rm)
+        assert r.clean_text == " ".join(
+            t for j, t in enumerate(ts) if j not in rm
+        ), i
+
+
+def test_ngram_novelty_conservation_random_corpora(spark):
+    """Σ n_novel over the corpus equals the distinct shingle
+    vocabulary size, shares stay in [0, 1], and per-doc novelty equals
+    a pure-Python first-holder replay."""
+    import random
+
+    from skoltexter_by_ai_spark.operators.text_analysis import ngram_novelty
+
+    rng = random.Random(122)
+    vocab = ["p", "q", "r", "s"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(df, "doc_id", "text", n=2).collect()}
+
+    first: dict[str, int] = {}
+    per_doc: dict[int, set[str]] = {}
+    for i, t in rows:
+        ts = t.split()
+        shs = {" ".join(ts[p : p + 2]) for p in range(len(ts) - 1)}
+        per_doc[i] = shs
+        for s in sorted(shs):
+            first.setdefault(s, i)
+    assert sum(r.n_novel for r in got.values()) == len(first)
+    for i, shs in per_doc.items():
+        r = got[i]
+        assert r.n_shingles == len(shs)
+        assert r.n_novel == sum(1 for s in shs if first[s] == i)
+        assert 0.0 <= r.novel_share <= 1.0
