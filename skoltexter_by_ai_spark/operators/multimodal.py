@@ -11,14 +11,16 @@ extension for training-data pipelines. Design:
   glob + file pruning; at 100 TB the listing is partitioned by the
   directory layout);
 - decode is pluggable behind :func:`decode_media`: WAV, netpbm
-  PGM/PPM, uncompressed 24-bit BMP and 8-bit non-interlaced PNG
-  (DEFLATE via stdlib ``zlib`` + the five scanline filters) decode
-  FOR REAL with no PIL needed, the deterministic pure-numpy "FAKM"
-  container exercises the plumbing in tests, and formats that
-  genuinely need an external codec (JPEG/MP4 — PIL/libav are absent
-  from this container, plus palette/16-bit/Adam7 PNG) raise
-  ``NotImplementedError`` with a clear message — the Spark-side
-  dataflow is identical either way.
+  PGM/PPM, uncompressed 24-bit BMP, 8-bit non-interlaced PNG
+  (DEFLATE via stdlib ``zlib`` + the five scanline filters) and
+  baseline JPEG (SOF0/SOF1 sequential Huffman, numpy IDCT, any Hi/Vi
+  subsampling, restart intervals) decode FOR REAL with no PIL needed,
+  the deterministic pure-numpy "FAKM" container exercises the
+  plumbing in tests, and formats that genuinely need an external
+  codec (MP4 — libav is absent from this container, plus progressive
+  JPEG and palette/16-bit/Adam7 PNG) raise ``NotImplementedError``
+  with a clear message — the Spark-side dataflow is identical either
+  way.
 
 Every operator is DataFrame-in / DataFrame-out and keeps the binary
 payload out of shuffles where possible (metadata-only projections).
@@ -26,6 +28,7 @@ payload out of shuffles where possible (metadata-only projections).
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
@@ -106,9 +109,11 @@ def fakm_decode(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 
 
 # --- real stdlib codecs --------------------------------------------------------
-# WAV (the `wave` stdlib module), netpbm PGM/PPM (binary P5/P6), and
-# uncompressed 24-bit BMP need no external library, so those decode
-# FOR REAL; JPEG/PNG/MP4 genuinely require PIL/libav (absent from this
+# WAV (the `wave` stdlib module), netpbm PGM/PPM (binary P5/P6),
+# uncompressed 24-bit BMP, 8-bit PNG (stdlib zlib) and baseline JPEG
+# (pure-Python Huffman + numpy IDCT) need no external library, so
+# those decode FOR REAL; MP4 video and the progressive/arithmetic
+# JPEG variants genuinely require libav/PIL (absent from this
 # container) and keep the honest NotImplementedError. Images normalize
 # to a grayscale u8 plane (integer BT.601 luma for RGB inputs), audio
 # to its raw PCM bytes — the same payload contract FAKM uses, so every
@@ -263,12 +268,254 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     return "image", w, h, 0, 0, plane.tobytes()
 
 
+# JPEG zigzag scan: position k in the coded order -> index in the
+# natural (raster) 8x8 order. ITU-T T.81 Figure A.6 — a published
+# constant, pinned (like the BT.601 luma weights) by the lossless
+# q=1 round-trip test whose output is wrong for ANY permutation drift.
+_JPEG_ZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman decode table (T.81 C.2): {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m  # orthogonal: spatial = M.T @ coeffs @ M
+
+
+class _JpegBits:
+    """Entropy-stream bit reader with 0xFF00 destuffing (T.81 F.1.2.3).
+    A bare marker inside coded data is corruption -> ValueError."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.b = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.d[self.i]
+            self.i += 1
+            if byte == 0xFF:
+                nxt = self.d[self.i] if self.i < len(self.d) else None
+                if nxt != 0x00:
+                    raise ValueError("marker inside JPEG entropy stream (corrupt)")
+                self.i += 1
+            self.b = byte
+            self.n = 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, m: int) -> None:
+        """Byte-align and consume the expected RSTm marker (T.81 E.1.4)."""
+        self.n = 0
+        if self.d[self.i : self.i + 2] != bytes((0xFF, 0xD0 + (m & 7))):
+            raise ValueError("missing JPEG restart marker (corrupt)")
+        self.i += 2
+
+    def huffdec(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code (corrupt)")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """Baseline JPEG (SOF0/SOF1 sequential Huffman, 8-bit, grayscale or
+    YCbCr at any Hi/Vi subsampling, DRI/RSTn restart intervals) decoded
+    natively — numpy IDCT (orthogonal 8x8 basis), pure-Python canonical
+    Huffman per T.81. The module's image payload contract is the LUMA
+    plane, and for JPEG the Y component IS the luma — so chroma blocks
+    are entropy-decoded only to advance the serial bitstream and their
+    coefficients discarded, skipping 2/3 of the IDCT work in the 4:4:4
+    case.
+
+    Error contract (same boundary as :func:`_decode_png`):
+    ``NotImplementedError`` marks unsupported VARIANTS (progressive
+    SOF2, arithmetic coding, 12-bit precision, hierarchical) — install
+    PIL for those; CORRUPT data (truncated stream, bad Huffman code,
+    marker mid-stream, missing restart) raises ``ValueError``.
+
+    Scale note: entropy decoding is serial PER IMAGE by format design;
+    parallelism comes from many images per partition (mapInPandas
+    batches), not from within one image. The per-bit Python loop is
+    contract-scale honest work — swap in PIL for bulk production
+    decode, same output contract.
+    """
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, "np.ndarray"] = {}
+    dc_tab: dict[int, dict] = {}
+    ac_tab: dict[int, dict] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, Tq)
+    scan: list[tuple[int, int, int]] = []  # (comp index, Td, Ta)
+    restart = 0
+    i = 2
+    while i + 1 < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment (corrupt)")
+        m = data[i + 1]
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        ln = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg = data[i + 4 : i + 2 + ln]
+        if m == 0xDB:  # DQT: one or more tables, zigzag order on the wire
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq:
+                    raise NotImplementedError("16-bit JPEG quant tables (12-bit precision) are not supported")
+                tbl = np.zeros(64, np.int32)
+                for k in range(64):
+                    tbl[_JPEG_ZZ[k]] = seg[p + 1 + k]
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            if seg[0] != 8:
+                raise NotImplementedError(f"only 8-bit JPEG is supported (precision {seg[0]})")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                for c in range(nc)
+            ]
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended sequential Huffman JPEG (SOF0/SOF1) decodes "
+                "natively; progressive/arithmetic/hierarchical need PIL"
+            )
+        elif m == 0xC4:  # DHT: one or more tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1 : p + 17]
+                nsym = sum(counts)
+                tbl = _jpeg_huff_table(counts, seg[p + 17 : p + 17 + nsym])
+                (dc_tab if tc == 0 else ac_tab)[th] = tbl
+                p += 17 + nsym
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS — entropy data follows the header
+            ns = seg[0]
+            by_id = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
+            scan = [
+                (by_id[seg[1 + 2 * s]], seg[2 + 2 * s] >> 4, seg[2 + 2 * s] & 15)
+                for s in range(ns)
+            ]
+            i = i + 2 + ln
+            break
+        i += 2 + ln
+    if w is None or not scan:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG is not supported")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    yc, ytd, yta = scan[0]  # component 0 is Y (or the single component)
+    yH, yV = comps[yc][1], comps[yc][2]
+    idct = _jpeg_idct_matrix()
+    plane = np.zeros((mcuy * yV * 8, mcux * yH * 8), np.uint8)
+    yq = qt[comps[yc][3]].astype(np.float64)
+
+    br = _JpegBits(data, i)
+    preds = [0] * len(comps)
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            n_mcu = my * mcux + mx
+            if restart and n_mcu and n_mcu % restart == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            for ci, td, ta in scan:
+                _, ch, cv, _tq = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = br.huffdec(dc_tab[td])
+                        preds[ci] += _jpeg_extend(br.receive(t), t)
+                        coef = np.zeros(64) if ci == yc else None
+                        if coef is not None:
+                            coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huffdec(ac_tab[ta])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end (corrupt)")
+                            v = _jpeg_extend(br.receive(s), s)
+                            if coef is not None:
+                                coef[_JPEG_ZZ[k]] = v
+                            k += 1
+                        if coef is None:
+                            continue
+                        blk = idct.T @ (coef.reshape(8, 8) * yq) @ idct
+                        px = np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8)
+                        plane[
+                            (my * yV + by) * 8 : (my * yV + by) * 8 + 8,
+                            (mx * yH + bx) * 8 : (mx * yH + bx) * 8 + 8,
+                        ] = px
+    if yH != hmax or yV != vmax:  # luma subsampled below max: upsample
+        plane = np.repeat(np.repeat(plane, vmax // yV, 0), hmax // yH, 1)
+    return "image", w, h, 0, 0, plane[:h, :w].tobytes()
+
+
 def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Unified decode: (kind, width, height, n_frames, sample_rate,
-    payload). FAKM, WAV, PGM/PPM, 24-bit BMP and 8-bit non-interlaced
-    PNG decode for real; anything else raises ``NotImplementedError``
-    naming the missing dependency — the honest stub boundary for
-    JPEG/MP4 (and the exotic PNG variants)."""
+    payload). FAKM, WAV, PGM/PPM, 24-bit BMP, 8-bit non-interlaced
+    PNG and baseline JPEG (SOF0/SOF1) decode for real; anything else
+    raises ``NotImplementedError`` naming the missing dependency — the
+    honest stub boundary for MP4 (and the progressive-JPEG / exotic
+    PNG variants)."""
     data = bytes(data)
     if data[:4] == _MAGIC:
         return fakm_decode(data)
@@ -280,10 +527,13 @@ def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         return _decode_bmp(data)
     if data[:8] == _PNG_MAGIC:
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     raise NotImplementedError(
-        "this format needs a real codec library (PIL for JPEG, libav "
-        "for video), which is not installed; WAV, PGM/PPM, 24-bit BMP, "
-        "8-bit non-interlaced PNG and the FAKM container decode natively"
+        "this format needs a real codec library (libav for video), "
+        "which is not installed; WAV, PGM/PPM, 24-bit BMP, 8-bit "
+        "non-interlaced PNG, baseline JPEG and the FAKM container "
+        "decode natively"
     )
 
 
@@ -297,6 +547,8 @@ def _format_of(data: bytes) -> str:
         return "pnm"
     if data[:8] == _PNG_MAGIC:
         return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     return "bmp"
 
 

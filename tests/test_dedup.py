@@ -474,3 +474,91 @@ def test_incremental_near_dups_broadcasts_incoming_batch(spark):
 
     m = re.search(r"BroadcastHashJoin \[__band[^\n]*", plan)
     assert m, plan
+
+
+def test_simhash64_golden_fingerprints(spark):
+    """Fingerprints are PERSISTED artifacts (signature tables are
+    stored and re-queried, see simhash_pairs_from_signatures), so the
+    exact bit pattern is a compatibility contract — any drift silently
+    re-fingerprints stored corpora. These goldens also pin the
+    majority-vote TIE convention: in 'alpha beta' every bit where the
+    two token hashes disagree is an exact 1-vs-1 tie, which must
+    resolve to 0 (strict majority, cnt*2 > n), not 1."""
+    from skoltexter_by_ai_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    assert got == {
+        1: 36031307721027073,
+        2: 4751868084086861419,
+        3: -8970745664593772831,
+    }
+    # The tie convention, stated structurally: doc 1's fingerprint can
+    # only have bits where BOTH tokens' hashes agree on 1 — i.e. it
+    # must be the AND of the two singleton fingerprints' shared bits.
+    single = {
+        r.doc_id: r.simhash
+        for r in simhash64(
+            spark.createDataFrame(
+                [(10, "alpha"), (11, "beta")], "doc_id long, text string"
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert got[1] == single[10] & single[11]
+
+
+def test_simhash_radius_zero_is_exact_fingerprint_match(spark):
+    """max_hamming=0 is legal (exact-duplicate screen over a persisted
+    signature table) and must return exactly the equal-fingerprint
+    pairs."""
+    from skoltexter_by_ai_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+    )
+
+    sig = spark.createDataFrame(
+        [(1, 12345), (2, 12345), (3, 99999)], "doc_id long, simhash long"
+    )
+    got = {(r.id_a, r.id_b) for r in simhash_pairs_from_signatures(sig, "doc_id", 0).collect()}
+    assert got == {(1, 2)}
+
+
+def test_simhash_block_boundary_pair_at_radius_six(spark):
+    """Adversarial pigeonhole case for the 8-bit block-pair banding:
+    a pair differing at EXACTLY bits {8,16,24,32,40,48} touches blocks
+    1..6, leaving only the (0, 7) block pair clean — any drift in the
+    block offsets/widths (e.g. 9-bit blocks overlapping the boundary
+    bits) loses the one clean pair and misses the match."""
+    from skoltexter_by_ai_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+    )
+
+    b = sum(1 << k for k in (8, 16, 24, 32, 40, 48))
+    sig = spark.createDataFrame([(1, 0), (2, b)], "doc_id long, simhash long")
+    at6 = {(r.id_a, r.id_b) for r in simhash_pairs_from_signatures(sig, "doc_id", 6).collect()}
+    assert at6 == {(1, 2)}
+    at5 = simhash_pairs_from_signatures(sig, "doc_id", 5).collect()
+    assert at5 == []  # Hamming distance is exactly 6
+
+
+def test_jaccard_pairs_max_df_boundary_is_inclusive(spark):
+    """max_df is an INCLUSIVE document-frequency cap on the pruned
+    pairing index: a shingle shared by exactly max_df docs still
+    pairs; one past the cap is pruned. Pinned at max_df=3 with a
+    4-doc/3-doc shared-shingle corpus (the same arithmetic all
+    registry callers rely on at max_df=20)."""
+    from skoltexter_by_ai_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"common word tail{i}") for i in range(3)]  # df(common word)=3
+    rows += [(10 + i, f"busy term fill{i}") for i in range(4)]  # df(busy term)=4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, max_df=3).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert not any(a >= 10 and b >= 10 for a, b in got), got

@@ -147,12 +147,15 @@ def test_real_features_on_wav(spark, real_media_dir):
     assert r.kind == "audio" and r.n_bytes == 16  # 8 frames x 2 bytes
 
 
-def test_jpeg_still_raises_honest_stub(spark, tmp_path):
+def test_corrupt_jpeg_raises_value_error(spark, tmp_path):
+    # Corrupt JPEG is a DATA error (ValueError via the decode contract),
+    # never the missing-codec NotImplementedError: this stream's bogus
+    # APP0 length runs past the buffer, i.e. truncated.
     d = tmp_path / "jpg"
     d.mkdir()
     (d / "x.jpg").write_bytes(b"\xff\xd8\xff\xe0notreallyjpeg")
     df = mm.read_media_dir(spark, str(d), glob="*.jpg")
-    with pytest.raises(Exception, match="codec library|NotImplemented"):
+    with pytest.raises(Exception, match="truncated JPEG"):
         mm.decode_meta(df).collect()
 
 
@@ -369,3 +372,119 @@ def test_ppm_image_meta_fields_are_zero():
     data = b"P6\n1 1\n255\n" + bytes([10, 20, 30])
     kind, w, h, n, sr, payload = mm.decode_media(data)
     assert (kind, w, h, n, sr) == ("image", 1, 1, 0, 0)
+
+
+# --- baseline JPEG: real decode ------------------------------------------------
+# The reference encoder lives in tests/jpeg_ref.py — built independently
+# from the T.81 spec (only the published zigzag constant is shared, as a
+# literal copy), so a drift on either side breaks the round-trip instead
+# of cancelling out.
+
+
+def _jpeg_roundtrip(img, **kw):
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    kind, w, h, nf, sr, pl = mm.decode_media(encode(img, **kw))
+    assert (kind, nf, sr) == ("image", 0, 0)
+    assert (h, w) == img.shape and len(pl) == w * h
+    return np.frombuffer(pl, np.uint8).reshape(h, w)
+
+
+def test_jpeg_flat_block_decodes_exactly():
+    # DC-only block: quantization is exact, so every pixel must equal
+    # the input value — any IDCT scale/level-shift drift fails here.
+    import numpy as np
+
+    img = np.full((8, 8), 200, np.uint8)
+    assert (_jpeg_roundtrip(img) == 200).all()
+
+
+def test_jpeg_gray_q1_roundtrip_near_lossless():
+    # All-ones quant table: the only loss is DCT float rounding, so the
+    # full chain (zigzag, canonical Huffman, DC prediction, dequant,
+    # IDCT) must reproduce a random raster within |err| <= 2 — wrong
+    # for ANY permutation/sign/order drift anywhere in the chain.
+    import numpy as np
+
+    img = np.random.default_rng(7).integers(0, 256, (17, 24), np.uint8)
+    out = _jpeg_roundtrip(img)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_intervals_do_not_change_output():
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    img = np.random.default_rng(8).integers(0, 256, (17, 24), np.uint8)
+    plain = encode(img)
+    rst = encode(img, restart=2)
+    assert b"\xff\xdd" in rst and rst != plain
+    assert mm.decode_media(rst)[5] == mm.decode_media(plain)[5]
+
+
+def test_jpeg_420_color_interleave_recovers_luma():
+    # 4:2:0 MCUs interleave 4 Y blocks + Cb + Cr: the decoder must
+    # entropy-decode the chroma blocks to stay synchronized even though
+    # it only outputs Y. A mis-advance corrupts every later MCU's luma.
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    y = np.random.default_rng(9).integers(0, 256, (14, 20), np.uint8)
+    cb = np.full((8, 16), 128, np.uint8)
+    cr = np.full((8, 16), 90, np.uint8)
+    kind, w, h, _, _, pl = mm.decode_media(encode(y, cb, cr))
+    out = np.frombuffer(pl, np.uint8).reshape(h, w)
+    assert (h, w) == y.shape
+    assert np.abs(out.astype(int) - y.astype(int)).max() <= 2
+
+
+def test_jpeg_real_world_files_decode():
+    # Tiny public fixtures (CPython's own test assets, PSF-licensed):
+    # a 2x2 single-component gray and a 16x16 4:2:0 color JPEG.
+    import os
+
+    import numpy as np
+
+    here = os.path.join(os.path.dirname(__file__), "data")
+    for name, exp_w, exp_h in [("2x2.jpg", 2, 2), ("python.jpg", 16, 16)]:
+        data = open(os.path.join(here, name), "rb").read()
+        kind, w, h, nf, sr, pl = mm.decode_media(data)
+        assert (kind, w, h) == ("image", exp_w, exp_h), name
+        assert len(pl) == w * h
+        # deterministic decode
+        assert mm.decode_media(data)[5] == pl
+
+
+def test_jpeg_progressive_raises_honest_stub():
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    data = bytearray(encode(np.full((8, 8), 99, np.uint8)))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive|baseline"):
+        mm.decode_media(bytes(data))
+
+
+def test_jpeg_through_spark_decode_meta(spark, tmp_path):
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    d = tmp_path / "jpgs"
+    d.mkdir()
+    rng = np.random.default_rng(10)
+    imgs = {f"img{i}.jpg": rng.integers(0, 256, (8 + i, 9 + i), np.uint8) for i in range(3)}
+    for name, img in imgs.items():
+        (d / name).write_bytes(encode(img))
+    rows = mm.decode_meta(mm.read_media_dir(spark, str(d), glob="*.jpg")).collect()
+    assert len(rows) == 3
+    for r in rows:
+        img = imgs[r.media_id + ".jpg"]
+        assert (r.kind, r.meta.format) == ("image", "jpeg")
+        assert (r.meta.width, r.meta.height) == (img.shape[1], img.shape[0])
