@@ -544,3 +544,18 @@ def test_decontaminate_agrees_with_scan(spark):
     assert flagged, "fixture must flag at least one non-self pair"
     kept = {r.doc_id for r in decontaminate(train, evals, n=2, min_overlap=0.4).collect()}
     assert kept == {i for i, _ in rows} - flagged
+
+
+def test_epoch_shards_single_shard_is_legal(spark):
+    """n_shards=1 is the degenerate-but-legal boundary (one global
+    shard, every doc in it); 0 raises."""
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.curation import epoch_shards
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    rows = epoch_shards(df, "doc_id", n_shards=1, epoch=3).collect()
+    assert len(rows) == 6
+    assert {r.shard for r in rows} == {0}
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shards(df, "doc_id", n_shards=0, epoch=3)
