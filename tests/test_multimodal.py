@@ -488,3 +488,35 @@ def test_jpeg_through_spark_decode_meta(spark, tmp_path):
         img = imgs[r.media_id + ".jpg"]
         assert (r.kind, r.meta.format) == ("image", "jpeg")
         assert (r.meta.width, r.meta.height) == (img.shape[1], img.shape[0])
+
+
+def test_jpeg_idct_matches_textbook_definition():
+    # T.81 A.3.3: f(x,y) = 1/4 ΣuΣv C(u)C(v) F(u,v) cos((2x+1)uπ/16)
+    # cos((2y+1)vπ/16) — the matrix form used by the decoder must equal
+    # the quadruple loop on random coefficients (kills any basis-matrix
+    # scale/transpose drift the round-trip could mask symmetrically).
+    import math
+
+    import numpy as np
+
+    from skoltexter_by_ai_spark.operators.multimodal import _jpeg_idct_matrix
+
+    rng = np.random.default_rng(11)
+    coefs = rng.integers(-200, 200, (8, 8)).astype(np.float64)
+    m = _jpeg_idct_matrix()
+    fast = m.T @ coefs @ m
+    slow = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coefs[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            slow[x, y] = s / 4.0
+    assert np.abs(fast - slow).max() < 1e-9
