@@ -562,3 +562,22 @@ def test_jaccard_pairs_max_df_boundary_is_inclusive(spark):
     }
     assert {(0, 1), (0, 2), (1, 2)} <= got
     assert not any(a >= 10 and b >= 10 for a, b in got), got
+
+
+def test_simhash_near_dups_radius_zero_end_to_end(spark):
+    """max_hamming=0 must be legal on the TEXT-level entry point too
+    (simhash_near_dups has its own bounds check, separate from the
+    signature-level one): identical texts share a fingerprint and are
+    the only pair at radius 0."""
+    from skoltexter_by_ai_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [
+            (1, "same words repeated here exactly alike"),
+            (2, "same words repeated here exactly alike"),
+            (3, "completely different content on another topic entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b) for r in simhash_near_dups(df, "doc_id", "text", max_hamming=0).collect()}
+    assert got == {(1, 2)}
