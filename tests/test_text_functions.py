@@ -1155,3 +1155,32 @@ def test_ngram_novelty_conservation_random_corpora(spark):
         assert r.n_shingles == len(shs)
         assert r.n_novel == sum(1 for s in shs if first[s] == i)
         assert 0.0 <= r.novel_share <= 1.0
+
+
+def test_round8_operators_null_and_empty_text_edges(spark):
+    """NULL and whitespace-only text behave as empty token arrays in
+    every round-8 operator: diagnostics report zeros, the span
+    transform echoes an empty clean_text, and the LM scorer drops
+    token-less docs (it scores tokens, so they have no row)."""
+    from skoltexter_by_ai_spark.operators.retrieval import perplexity_buckets
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        ngram_novelty,
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    nv = {r.doc_id: r for r in ngram_novelty(df, "doc_id", "text", n=2).collect()}
+    assert (nv[1].n_shingles, nv[1].novel_share) == (0, 0.0)
+    assert (nv[2].n_shingles, nv[2].novel_share) == (0, 0.0)
+    assert nv[3].n_novel == 2
+
+    rs = {r.doc_id: r for r in remove_duplicate_spans(df, "doc_id", "text", n=2).collect()}
+    assert (rs[1].n_tokens, rs[1].n_removed, rs[1].clean_text) == (0, 0, "")
+    assert (rs[2].n_tokens, rs[2].clean_text) == (0, "")
+    assert rs[3].clean_text == "real words here"
+
+    pb = {r.doc_id: r.bucket for r in perplexity_buckets(df, "doc_id", "text").collect()}
+    assert set(pb) == {3}, "token-less docs have no LM score row"
