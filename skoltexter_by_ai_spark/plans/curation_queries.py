@@ -810,7 +810,9 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Compressibility-style quality gate (CCNet/RefinedWeb family):
     # per-document Shannon entropy over characters AND tokens, in
     # nats. Low char entropy = templated boilerplate; high char with
-    # low token entropy = encoded blobs. Purely in-row on both
+    # low token entropy = encoded blobs. Terms sum in SORTED
+    # distinct order on BOTH engines (run-length fold / list_sort) so
+    # the float accumulation order is deterministic. Purely in-row on both
     # engines; the `+ 0.0` neutralizes the IEEE -0.0 a single-element
     # distribution produces (ROUND keeps the sign bit otherwise and
     # the engines would hash-differ on 0.0 vs -0.0).
@@ -824,13 +826,13 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len(chars) AS BIGINT) AS n_chars,
                ROUND(CASE WHEN len(chars) > 0 THEN
-                   -list_sum(list_transform(list_distinct(chars),
+                   -list_sum(list_transform(list_sort(list_distinct(chars)),
                        d -> (CAST(len(list_filter(chars, c -> c = d)) AS DOUBLE) / len(chars))
                             * LN(CAST(len(list_filter(chars, c -> c = d)) AS DOUBLE) / len(chars))))
                    + 0.0
                ELSE 0.0 END, 6) AS char_entropy,
                ROUND(CASE WHEN len(toks) > 0 THEN
-                   -list_sum(list_transform(list_distinct(toks),
+                   -list_sum(list_transform(list_sort(list_distinct(toks)),
                        d -> (CAST(len(list_filter(toks, x -> x = d)) AS DOUBLE) / len(toks))
                             * LN(CAST(len(list_filter(toks, x -> x = d)) AS DOUBLE) / len(toks))))
                    + 0.0
