@@ -231,3 +231,18 @@ def test_perplexity_buckets_equal_window_ntile_on_random_corpora(spark):
             .collect()
         }
         assert got == expect, (trial, n_docs, k, got, expect)
+
+
+def test_rrf_fuse_top_k_one_is_legal(spark):
+    """top_k=1 is the legal lower bound (single best hybrid hit);
+    0 raises."""
+    import pytest
+
+    from skoltexter_by_ai_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 0.9), (2, 0.5)], "doc_id long, s double")
+    b = spark.createDataFrame([(2, 0.8), (1, 0.1)], "doc_id long, s double")
+    out = rrf_fuse([(a, "s", "ra"), (b, "s", "rb")], "doc_id", top_k=1).collect()
+    assert len(out) == 1 and out[0].doc_id in (1, 2)
+    with pytest.raises(ValueError, match="top_k"):
+        rrf_fuse([(a, "s", "ra")], "doc_id", top_k=0)
