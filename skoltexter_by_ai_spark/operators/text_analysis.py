@@ -1059,47 +1059,30 @@ def shannon_entropy(elements: Column) -> Column:
     column: ``-Σ p·ln p`` over element frequencies; 0.0 for an empty
     array. Pure higher-order Column expressions, no Python boundary.
 
-    Computed as one run-length fold over the SORTED array — O(n log n)
-    per row instead of the O(distinct · n) count-by-filter form (the
-    rewrite took x116 from the suite's heaviest in-row query to noise;
-    ~5x at sf1). Each run boundary contributes its finished run's
-    ``p·ln p`` term, so the float summation order is the SORTED
-    distinct order — deterministic and mirrored verbatim by the DuckDB
-    oracle's ``list_sort(list_distinct(...))``, which is strictly
-    stronger than the engine-unspecified distinct order the two sides
-    paired on before. The trailing ``+ 0.0`` normalizes the IEEE
-    ``-0.0`` a single-element array would otherwise produce (the
-    cross-engine hash canonicalizes ``0.0`` only).
+    Form: count-by-filter over the SORTED distinct elements —
+    O(distinct · n) comparisons per row. The sorted iteration makes
+    the float summation order deterministic and identical to the
+    DuckDB oracle's ``list_sort(list_distinct(...))`` (the original
+    unsorted form paired terms in each engine's unspecified distinct
+    order). A run-length fold over the sorted array (O(n log n)) was
+    MEASURED against this and is ~3x slower at sf0.1 AND sf1 — the
+    per-element struct allocation in the interpreted lambda costs more
+    than the extra integer comparisons, so the asymptotically-worse
+    form wins on real constants (record in SCALING.md; don't "fix"
+    this again without re-measuring under full result consumption —
+    `.count()` prunes the whole expression and measures nothing).
+    The trailing ``+ 0.0`` normalizes the IEEE ``-0.0`` a
+    single-element array would otherwise produce (the cross-engine
+    hash canonicalizes ``0.0`` only).
     """
-    s = F.array_sort(elements)
-    n = F.size(s).cast("double")
-
-    def _term(r: Column) -> Column:
-        p = r.cast("double") / n
-        return p * F.log(p)
-
-    init = F.struct(
-        F.lit(None).cast("string").alias("p"),
-        F.lit(0).cast("long").alias("r"),
-        F.lit(0.0).alias("a"),
+    n = F.size(elements)
+    probs = F.transform(
+        F.array_sort(F.array_distinct(elements)),
+        lambda d: F.size(F.filter(elements, lambda x: x == d)).cast("double")
+        / n.cast("double"),
     )
-    step = lambda acc, x: (
-        F.when(
-            acc["p"].isNotNull() & (x == acc["p"]),
-            F.struct(x.alias("p"), (acc["r"] + 1).alias("r"), acc["a"].alias("a")),
-        ).otherwise(
-            F.struct(
-                x.alias("p"),
-                F.lit(1).cast("long").alias("r"),
-                F.when(acc["r"] > 0, acc["a"] + _term(acc["r"])).otherwise(acc["a"]).alias("a"),
-            )
-        )
-    )
-    fin = lambda acc: F.when(acc["r"] > 0, acc["a"] + _term(acc["r"])).otherwise(
-        F.lit(0.0)
-    )
-    h = -F.aggregate(s, init, step, fin)
-    return F.when(F.size(s) > 0, h + F.lit(0.0)).otherwise(F.lit(0.0))
+    h = -F.aggregate(probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p))
+    return F.when(n > 0, h + F.lit(0.0)).otherwise(F.lit(0.0))
 
 
 def entropy_signals(
