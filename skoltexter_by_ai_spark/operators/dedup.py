@@ -199,6 +199,22 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH ------------------------------------------------------------
 
 
+def _exact_jaccard(a: str, b: str) -> Column:
+    """Exact set Jaccard of two shingle-array columns. Guarded: ANSI
+    mode makes /0 an error, and two shingle-less docs would otherwise
+    divide 0 by 0. ONE definition for every verify stage — the LSH
+    candidate paths (minhash_near_dups, incremental_near_dups) must
+    rank by the same number."""
+    return (
+        F.when(
+            F.size(F.array_union(a, b)) > 0,
+            F.size(F.array_intersect(a, b)).cast("double")
+            / F.size(F.array_union(a, b)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -340,15 +356,7 @@ def minhash_near_dups(
         .select(
             "id_a",
             "id_b",
-            # Guarded: ANSI mode makes /0 an error, and two shingle-less
-            # docs would otherwise divide 0 by 0.
-            F.when(
-                F.size(F.array_union("__sha", "__shb")) > 0,
-                F.size(F.array_intersect("__sha", "__shb")).cast("double")
-                / F.size(F.array_union("__sha", "__shb")).cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("jaccard"),
+            _exact_jaccard("__sha", "__shb").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
@@ -413,15 +421,7 @@ def incremental_near_dups(
         .select(
             "new_id",
             "existing_id",
-            # Guarded: ANSI mode makes /0 an error, and two shingle-less
-            # docs would otherwise divide 0 by 0.
-            F.when(
-                F.size(F.array_union("__sha", "__shb")) > 0,
-                F.size(F.array_intersect("__sha", "__shb")).cast("double")
-                / F.size(F.array_union("__sha", "__shb")).cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("jaccard"),
+            _exact_jaccard("__sha", "__shb").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )

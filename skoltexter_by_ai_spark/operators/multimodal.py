@@ -360,7 +360,12 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Baseline JPEG (SOF0/SOF1 sequential Huffman, 8-bit, grayscale or
     YCbCr at any Hi/Vi subsampling, DRI/RSTn restart intervals) decoded
     natively — numpy IDCT (orthogonal 8x8 basis), pure-Python canonical
-    Huffman per T.81. The module's image payload contract is the LUMA
+    Huffman per T.81. A one-component scan decodes non-interleaved
+    per T.81 A.2 (one data unit per MCU over the component's own
+    block grid, whatever the declared sampling factors); 3-component
+    images are treated as YCbCr (the JFIF guarantee; bare Adobe RGB
+    JPEGs are rare enough that we do not parse APP14). 0xFF fill
+    bytes between segments are skipped per B.1.1.2. The module's image payload contract is the LUMA
     plane, and for JPEG the Y component IS the luma — so chroma blocks
     are entropy-decoded only to advance the serial bitstream and their
     coefficients discarded, skipping 2/3 of the IDCT work in the 4:4:4
@@ -394,6 +399,9 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         if data[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment (corrupt)")
         m = data[i + 1]
+        if m == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
@@ -405,6 +413,8 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                 pq, tq = seg[p] >> 4, seg[p] & 15
                 if pq:
                     raise NotImplementedError("16-bit JPEG quant tables (12-bit precision) are not supported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated JPEG DQT segment (corrupt)")
                 tbl = np.zeros(64, np.int32)
                 for k in range(64):
                     tbl[_JPEG_ZZ[k]] = seg[p + 1 + k]
@@ -416,6 +426,15 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment (corrupt)")
+            if nc not in (1, 3):
+                # 4-component CMYK/YCCK (Adobe) has no luma plane to
+                # emit honestly — variant boundary, not a data error.
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) is not supported; "
+                    "grayscale and 3-component YCbCr decode natively"
+                )
             comps = [
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15, seg[8 + 3 * c])
                 for c in range(nc)
@@ -439,6 +458,8 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         elif m == 0xDA:  # SOS — entropy data follows the header
             ns = seg[0]
             by_id = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
+            if any(seg[1 + 2 * s] not in by_id for s in range(ns)):
+                raise ValueError("JPEG SOS references an undeclared component (corrupt)")
             scan = [
                 (by_id[seg[1 + 2 * s]], seg[2 + 2 * s] >> 4, seg[2 + 2 * s] & 15)
                 for s in range(ns)
@@ -453,10 +474,25 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
     yc, ytd, yta = scan[0]  # component 0 is Y (or the single component)
-    yH, yV = comps[yc][1], comps[yc][2]
+    if comps[yc][3] not in qt:
+        raise ValueError("JPEG scan references a missing quant table (corrupt)")
+    for _ci, _td, _ta in scan:
+        if _td not in dc_tab or _ta not in ac_tab:
+            raise ValueError("JPEG scan references a missing Huffman table (corrupt)")
+    if len(scan) == 1:
+        # T.81 A.2: a one-component scan is NON-interleaved — one data
+        # unit per MCU over the component's OWN block grid, sampling
+        # factors notwithstanding (a grayscale file declaring H=V=2
+        # still stores ceil(w/8) x ceil(h/8) blocks in raster order).
+        yH = yV = 1
+        hmax = vmax = 1
+        mcux = -(-w // 8)
+        mcuy = -(-h // 8)
+    else:
+        yH, yV = comps[yc][1], comps[yc][2]
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
     idct = _jpeg_idct_matrix()
     plane = np.zeros((mcuy * yV * 8, mcux * yH * 8), np.uint8)
     yq = qt[comps[yc][3]].astype(np.float64)
@@ -472,7 +508,10 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                 rst = (rst + 1) & 7
                 preds = [0] * len(comps)
             for ci, td, ta in scan:
-                _, ch, cv, _tq = comps[ci]
+                if len(scan) == 1:
+                    ch = cv = 1  # non-interleaved: one data unit per MCU
+                else:
+                    _, ch, cv, _tq = comps[ci]
                 for by in range(cv):
                     for bx in range(ch):
                         t = br.huffdec(dc_tab[td])

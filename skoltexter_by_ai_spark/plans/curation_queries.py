@@ -81,7 +81,7 @@ def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT train_id, eval_id, shared_ngrams, eval_ngrams,
                ROUND(shared_ngrams * 1.0 / eval_ngrams, 6) AS overlap_frac
         FROM shared JOIN evt USING (eval_id)
-        WHERE shared_ngrams * 1.0 / eval_ngrams >= 0.5
+        WHERE ROUND(shared_ngrams * 1.0 / eval_ngrams, 6) >= 0.5
         ORDER BY train_id, eval_id
     """,
     covers="benchmark-contamination scan: n-gram overlap train x eval (leakage)",
@@ -1038,7 +1038,7 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT train_id
             FROM shared JOIN evt USING (eval_id)
             WHERE train_id != eval_id
-              AND shared_ngrams * 1.0 / eval_ngrams >= 0.5
+              AND ROUND(shared_ngrams * 1.0 / eval_ngrams, 6) >= 0.5
         )
         SELECT doc_id, source, n_chars
         FROM documents

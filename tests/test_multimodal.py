@@ -520,3 +520,61 @@ def test_jpeg_idct_matches_textbook_definition():
                     )
             slow[x, y] = s / 4.0
     assert np.abs(fast - slow).max() < 1e-9
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    # T.81 A.2: Ns=1 scans are NON-interleaved — a grayscale file whose
+    # SOF declares H=V=2 (libjpeg keeps factors when dropping chroma)
+    # still stores ceil(w/8) x ceil(h/8) blocks in raster order. The
+    # bitstream is identical, so the decode must be too.
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    img = np.random.default_rng(12).integers(0, 256, (24, 24), np.uint8)
+    plain = encode(img)
+    i = plain.index(b"\xff\xc0")
+    # SOF0 layout: FF C0 len prec h h w w nc id HiVi Tq -> HiVi at +11
+    assert plain[i + 11] == 0x11
+    patched = plain[: i + 11] + bytes((0x22,)) + plain[i + 12 :]
+    assert mm.decode_media(patched)[5] == mm.decode_media(plain)[5]
+
+
+def test_jpeg_cmyk_raises_honest_stub():
+    # Well-formed 4-component SOF0: variant boundary, not a data error.
+    sof = bytes((8, 0, 8, 0, 8, 4)) + bytes(
+        b for c in range(4) for b in (c + 1, 0x11, 0)
+    )
+    data = b"\xff\xd8\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        mm.decode_media(data)
+
+
+def test_jpeg_fill_bytes_before_marker_are_skipped():
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    img = np.random.default_rng(13).integers(0, 256, (8, 8), np.uint8)
+    plain = encode(img)
+    i = plain.index(b"\xff\xc0")
+    padded = plain[:i] + b"\xff\xff\xff" + plain[i:]  # fills, then SOF
+    assert mm.decode_media(padded)[5] == mm.decode_media(plain)[5]
+
+
+def test_jpeg_corrupt_headers_raise_value_error_not_keyerror():
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    img = np.random.default_rng(14).integers(0, 256, (8, 8), np.uint8)
+    plain = bytearray(encode(img))
+    # SOS layout: FF DA len Ns id TdTa ...: component id at +5
+    i = plain.index(b"\xff\xda")
+    bad_comp = bytes(plain[: i + 5]) + bytes((9,)) + bytes(plain[i + 6 :])
+    with pytest.raises(ValueError, match="undeclared component"):
+        mm.decode_media(bad_comp)
+    # TdTa at +6 -> reference Huffman table id 3 (never declared)
+    bad_tab = bytes(plain[: i + 6]) + bytes((0x33,)) + bytes(plain[i + 7 :])
+    with pytest.raises(ValueError, match="missing Huffman table"):
+        mm.decode_media(bad_tab)
