@@ -448,14 +448,22 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
+                if tc > 1:
+                    raise ValueError(f"bad JPEG Huffman table class {tc} (corrupt)")
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment (corrupt)")
                 counts = seg[p + 1 : p + 17]
                 nsym = sum(counts)
+                if p + 17 + nsym > len(seg):
+                    raise ValueError("truncated JPEG DHT segment (corrupt)")
                 tbl = _jpeg_huff_table(counts, seg[p + 17 : p + 17 + nsym])
                 (dc_tab if tc == 0 else ac_tab)[th] = tbl
                 p += 17 + nsym
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS — entropy data follows the header
+            if not seg or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated JPEG SOS segment (corrupt)")
             ns = seg[0]
             by_id = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
             if any(seg[1 + 2 * s] not in by_id for s in range(ns)):
@@ -474,7 +482,7 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    yc, ytd, yta = scan[0]  # component 0 is Y (or the single component)
+    yc = scan[0][0]  # component 0 is Y (or the single component)
     if comps[yc][3] not in qt:
         raise ValueError("JPEG scan references a missing quant table (corrupt)")
     for _ci, _td, _ta in scan:
@@ -491,6 +499,13 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         mcuy = -(-h // 8)
     else:
         yH, yV = comps[yc][1], comps[yc][2]
+        if hmax % yH or vmax % yV:
+            # Legal per T.81 but the integer-repeat upsample below
+            # cannot reconstruct a w x h luma plane from it.
+            raise NotImplementedError(
+                f"non-integer luma sampling ratio (Y {yH}x{yV} vs max "
+                f"{hmax}x{vmax}) is not supported"
+            )
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
     idct = _jpeg_idct_matrix()
@@ -612,7 +627,8 @@ def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame
 def decode_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
     """Populate ``kind`` + ``meta`` by decoding headers (mapInPandas).
 
-    Real codecs where stdlib suffices (WAV/PGM/PPM/BMP) + FAKM.
+    Real codecs, no external library: WAV, PGM/PPM, 24-bit BMP,
+    8-bit PNG, baseline JPEG, and the FAKM dev container.
 
     Only headers are parsed — payload bytes pass through untouched, so
     the stage is CPU-light and keeps its input partitioning.

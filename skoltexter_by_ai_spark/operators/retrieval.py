@@ -279,8 +279,8 @@ def perplexity_buckets(
     (range-partition + per-partition offsets: one range shuffle over
     narrow (id, score) rows, two narrow passes, driver materializes
     only num_partitions counters). The bucket is then closed-form
-    arithmetic on the rank; N itself joins in as a broadcast scalar
-    read from the prefix pass's checkpoint, not a second corpus scan.
+    arithmetic on the rank; N itself is the offsets pass's own
+    by-product, attached as a driver-side literal — no second pass.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
@@ -296,9 +296,8 @@ def perplexity_buckets(
         F.lit(1).cast("bigint").alias("__one"),
     )
     ranked = distributed_prefix_sum(
-        scored, ["__ord", id_col], "__one", out_col="__rn"
+        scored, ["__ord", id_col], "__one", out_col="__rn", total_col="__N"
     )
-    n_total = ranked.agg(F.max("__rn").alias("__N"))
     k = F.lit(n_buckets).cast("bigint")
     rn = F.col("__rn")
     b = F.floor(F.col("__N") / k)
@@ -307,7 +306,7 @@ def perplexity_buckets(
     bucket = F.when(rn <= cut, F.floor((rn - 1) / (b + 1)) + 1).otherwise(
         rem + F.floor((rn - cut - 1) / F.greatest(b, F.lit(1))) + 1
     )
-    return ranked.crossJoin(F.broadcast(n_total)).select(
+    return ranked.select(
         F.col(id_col),
         F.col("n_tokens"),
         F.col("mean_logprob"),

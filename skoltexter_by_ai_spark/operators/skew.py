@@ -75,6 +75,7 @@ def distributed_prefix_sum(
     value_col: str,
     out_col: str = "running_total",
     num_ranges: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Global running total WITHOUT a single-task global window.
 
@@ -93,6 +94,12 @@ def distributed_prefix_sum(
     Cost: one range shuffle + two narrow passes; no step touches more
     than its partition. The driver materializes exactly
     ``num_partitions`` numbers.
+
+    ``total_col``: when set, the GRAND total (a by-product of the
+    offsets pass — the driver already holds it) is attached as a
+    literal column of that name, so callers needing N (e.g. exact
+    NTILE arithmetic) don't re-aggregate the mapInPandas output in a
+    second full pass.
     """
     import pandas as pd
 
@@ -140,4 +147,7 @@ def distributed_prefix_sum(
             out[out_col] = running
             yield out
 
-    return ranged.mapInPandas(cumsum, out_schema)
+    out = ranged.mapInPandas(cumsum, out_schema)
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc))
+    return out

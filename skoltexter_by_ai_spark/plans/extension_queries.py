@@ -1737,8 +1737,13 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    incoming = docs.filter(F.col("doc_id") % 10 == 0)
-    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    # Fixed-size incoming batch (the x62/x118 lesson applied to the
+    # OTHER side): the operator broadcasts the batch's band buckets on
+    # the batch-is-small contract, so the fixture must not grow the
+    # batch with the corpus — the fixed id window keeps it 50 docs at
+    # every scale factor (a no-op at the sf0.01 oracle scale).
+    incoming = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 500))
+    existing = docs.filter((F.col("doc_id") % 10 != 0) | (F.col("doc_id") >= 500))
     return dedup.incremental_near_dups(
         existing, incoming, "doc_id", "text", n=2, num_hashes=32, bands=8,
         seed=42, min_jaccard=0.5,

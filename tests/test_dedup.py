@@ -446,7 +446,7 @@ def test_incremental_near_dups_hand_fixture(spark):
             existing, incoming, "doc_id", "text", min_jaccard=0.3
         ).collect()
     }
-    # Exact bigram Jaccard of (100, 1): shingle sets share 4 of 6 -> 4/8.
+    # Exact bigram Jaccard of (100, 1): 4 shared of the 6-shingle union -> 4/6.
     a = {"alpha beta", "beta gamma", "gamma delta", "delta epsilon", "epsilon zeta"}
     b = {"alpha beta", "beta gamma", "gamma delta", "delta epsilon", "epsilon eta"}
     expect_j = len(a & b) / len(a | b)

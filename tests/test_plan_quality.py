@@ -469,7 +469,6 @@ _INTENTIONAL_NESTED_LOOP = {
     "x103_source_divergence",   # broadcast 1-row corpus-total scalar
     "x109_hybrid_rrf",          # composes x98's stats scalar + x05's query vector
     "x113_daily_volume_anomaly",  # broadcast 1-row mean/stddev onto day counts
-    "x119_perplexity_buckets",  # broadcast 1-row N scalar onto the ranked frame
     "x114_bigram_logprob",        # broadcast 1-row vocabulary-size scalar
 }
 

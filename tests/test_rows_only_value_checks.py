@@ -151,8 +151,8 @@ def test_x122_matches_exact_cross_boundary_twin(spark):
         .select("doc_id", word_shingles("text", 2).alias("shs"))
         .collect()
     ]
-    inc = [(i, s) for i, s in docs if i % 10 == 0]
-    ex = [(i, s) for i, s in docs if i % 10 != 0]
+    inc = [(i, s) for i, s in docs if i % 10 == 0 and i < 500]
+    ex = [(i, s) for i, s in docs if i % 10 != 0 or i >= 500]
     exact = set()
     for ni, ns in inc:
         for ei, es in ex:
