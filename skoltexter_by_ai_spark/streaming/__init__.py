@@ -600,3 +600,38 @@ def enrich_with_dimension(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def dedup_against_index(
+    incoming: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Streaming incremental EXACT dedup: drop every incoming document
+    whose text fingerprint (md5 of the raw text) already exists in a
+    STATIC index frame — the streaming twin of the batch
+    keep-first/anti-join dedup family
+    (`operators/dedup.py::exact_dedup`, x01) and the exact-match tier
+    of the incremental screen (x122). Plans as a stream-static LEFT
+    ANTI join, which Structured Streaming runs stateless in append
+    mode: no watermark, no state store — each micro-batch probes the
+    index and forwards only unseen docs.
+
+    ``index`` carries one ``fp_col`` column of md5 hex fingerprints
+    (produce it with the same ``F.md5(text)`` — pure column expr, so
+    stored and fresh fingerprints agree). At scale the index is a
+    persisted table; AQE/size stats decide the join strategy per
+    micro-batch.
+
+    The NEAR-dup tier of the same flow is the batch operator applied
+    per micro-batch: ``stream.writeStream.foreachBatch(lambda b, _:
+    sink(incremental_near_dups(existing, b, ...)))`` — each batch is a
+    plain DataFrame inside foreachBatch, so the banded-LSH screen runs
+    unchanged (parity pinned in tests/test_streaming.py).
+    """
+    from pyspark.sql import functions as F
+
+    return incoming.withColumn(fp_col, F.md5(F.col(text_col))).join(
+        index, fp_col, "left_anti"
+    )

@@ -542,3 +542,92 @@ def test_entropy_signals_stream_matches_x116(spark, tmp_path):
     batch = entropy_signals(batch_docs, "doc_id", "text")
     assert out.columns == batch.columns
     assert _rows(out, "doc_id") == _rows(batch, "doc_id")
+
+
+def test_dedup_against_index_stream_matches_batch(spark, tmp_path):
+    """Streaming incremental exact dedup == the batch anti join on the
+    same data: only docs whose md5 fingerprint is absent from the
+    static index survive, stateless append mode (no watermark)."""
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.streaming import (
+        dedup_against_index,
+        run_to_memory,
+    )
+
+    src = tmp_path / "docs"
+    rows = [(1, "seen before"), (2, "novel one"), (3, "seen before"), (4, "also new")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(src))
+    index = spark.createDataFrame([("seen before",)], "t string").select(
+        F.md5("t").alias("fp")
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    got = run_to_memory(
+        dedup_against_index(stream, index),
+        "inc_dedup_t",
+        str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    batch = dedup_against_index(
+        spark.read.parquet(str(src)), index
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in batch.collect()
+    ) == [2, 4]
+
+
+def test_incremental_near_dups_runs_per_micro_batch(spark, tmp_path):
+    """The LSH near-dup screen composes into streaming via
+    foreachBatch: each micro-batch is a plain DataFrame, so
+    incremental_near_dups runs unchanged against the static corpus and
+    the union of per-batch outputs equals the one-shot batch result."""
+    from skoltexter_by_ai_spark.operators.dedup import incremental_near_dups
+
+    existing = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming_rows = [
+        (100, "alpha beta gamma delta epsilon eta"),
+        (200, "totally unrelated words here now"),
+    ]
+    src = tmp_path / "incoming"
+    spark.createDataFrame(incoming_rows, "doc_id long, text string").write.parquet(
+        str(src)
+    )
+
+    seen: list = []
+
+    def screen(batch_df, _bid):
+        seen.extend(
+            (r.new_id, r.existing_id, round(r.jaccard, 6))
+            for r in incremental_near_dups(
+                existing, batch_df, "doc_id", "text", min_jaccard=0.3
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src))
+        .writeStream.foreachBatch(screen)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = {
+        (r.new_id, r.existing_id, round(r.jaccard, 6))
+        for r in incremental_near_dups(
+            existing,
+            spark.read.parquet(str(src)),
+            "doc_id",
+            "text",
+            min_jaccard=0.3,
+        ).collect()
+    }
+    assert set(seen) == batch and any(p[0] == 100 and p[1] == 1 for p in batch)
