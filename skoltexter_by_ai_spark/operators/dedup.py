@@ -392,8 +392,12 @@ def incremental_near_dups(
     index streams through one broadcast join and never shuffles (and
     in production the index side is a PERSISTED band_buckets table, so
     nothing recomputes signatures over old text). The verify join
-    touches only candidate rows; per-side shingle frames join on their
-    own id keys with no forced strategy.
+    touches only candidate rows — the existing side is LEFT SEMI
+    pruned to candidate ids BEFORE shingling, so only the (tiny)
+    candidate subset of the 100 TB corpus is ever re-tokenized; the
+    rest of the corpus contributes nothing past its persisted band
+    buckets (ADVICE r8: a post-join filter still shingled every
+    existing doc).
     """
     ex_b = band_buckets(
         existing, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
@@ -403,14 +407,28 @@ def incremental_near_dups(
     in_b = band_buckets(
         incoming, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
     ).select(F.col("__band"), F.col("__bucket"), F.col("__id").alias("new_id"))
+    # Pinned lazily: cands feeds BOTH the semi-join prune and the
+    # verify join; without a cache the band-bucket pipeline (signatures
+    # over batch + index probe) would run twice. persist() not
+    # localCheckpoint(): the builder must stay lazy (callers may never
+    # execute it) and the candidate pair set is tiny by the LSH
+    # contract.
     cands = (
         ex_b.join(F.broadcast(in_b), ["__band", "__bucket"])
         .filter(F.col("new_id") != F.col("existing_id"))
         .select("new_id", "existing_id")
         .distinct()
+        .persist()
     )
-    ex_sh = existing.select(
-        F.col(id_col).alias("existing_id"), word_shingles(text_col, n).alias("__sha")
+    # Prune the corpus to candidate rows BEFORE tokenizing/shingling:
+    # the semi join carries only (id) keys, and the broadcast candidate
+    # set keeps it shuffle-free on the corpus side. word_shingles then
+    # runs over |candidates| docs, not |corpus| docs.
+    cand_ex_ids = cands.select("existing_id").distinct()
+    ex_sh = (
+        existing.select(F.col(id_col).alias("existing_id"), F.col(text_col))
+        .join(F.broadcast(cand_ex_ids), "existing_id", "left_semi")
+        .select("existing_id", word_shingles(text_col, n).alias("__sha"))
     )
     in_sh = incoming.select(
         F.col(id_col).alias("new_id"), word_shingles(text_col, n).alias("__shb")

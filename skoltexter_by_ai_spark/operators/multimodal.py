@@ -405,6 +405,10 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
+        if m == 0xD9:  # EOI before SOS: standalone marker, not a
+            # length-prefixed segment — parsing it as one would consume
+            # arbitrary trailing bytes (ADVICE r8).
+            raise ValueError("truncated JPEG (EOI before SOF/SOS)")
         ln = int.from_bytes(data[i + 2 : i + 4], "big")
         seg = data[i + 4 : i + 2 + ln]
         if m == 0xDB:  # DQT: one or more tables, zigzag order on the wire
@@ -425,6 +429,14 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                 raise NotImplementedError(f"only 8-bit JPEG is supported (precision {seg[0]})")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            if h == 0:
+                # T.81 B.2.2: height 0 defers the row count to a DNL
+                # marker after the first scan — a real variant, not
+                # corruption; silently decoding an empty payload would
+                # be a wrong answer (ADVICE r8).
+                raise NotImplementedError(
+                    "DNL-deferred JPEG height (SOF h=0) is not supported"
+                )
             nc = seg[5]
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("truncated JPEG SOF segment (corrupt)")

@@ -624,6 +624,15 @@ def dedup_against_index(
     persisted table; AQE/size stats decide the join strategy per
     micro-batch.
 
+    Output schema == incoming schema: the working ``fp_col`` is
+    dropped after the anti join (ADVICE r8 — survivors previously
+    leaked the extra column). NULL-text rows hash to a NULL
+    fingerprint, and NULL never equi-matches in a join, so they ALWAYS
+    survive regardless of index contents — deliberate: a document with
+    no text has no dedup identity, and silently dropping it would lose
+    data; filter NULL text upstream if that is the intent (behavior
+    pinned in tests/test_streaming.py).
+
     The NEAR-dup tier of the same flow is the batch operator applied
     per micro-batch: ``stream.writeStream.foreachBatch(lambda b, _:
     sink(incremental_near_dups(existing, b, ...)))`` — each batch is a
@@ -632,6 +641,8 @@ def dedup_against_index(
     """
     from pyspark.sql import functions as F
 
-    return incoming.withColumn(fp_col, F.md5(F.col(text_col))).join(
-        index, fp_col, "left_anti"
+    return (
+        incoming.withColumn(fp_col, F.md5(F.col(text_col)))
+        .join(index, fp_col, "left_anti")
+        .drop(fp_col)
     )

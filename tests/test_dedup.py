@@ -474,6 +474,11 @@ def test_incremental_near_dups_broadcasts_incoming_batch(spark):
 
     m = re.search(r"BroadcastHashJoin \[__band[^\n]*", plan)
     assert m, plan
+    # The verify stage must prune the corpus to candidate ids BEFORE
+    # shingling (ADVICE r8: re-shingling every existing doc per batch
+    # defeats the persisted-index posture). The semi join shows up as a
+    # LeftSemi over existing_id in the executed plan.
+    assert re.search(r"LeftSemi", plan), plan
 
 
 def test_simhash64_golden_fingerprints(spark):

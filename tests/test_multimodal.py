@@ -459,6 +459,70 @@ def test_jpeg_real_world_files_decode():
         assert mm.decode_media(data)[5] == pl
 
 
+# T.81 Annex K.1 luminance quantization table — published spec data,
+# the standard non-identity table every real encoder ships.
+ANNEX_K_LUMA = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+
+
+def test_jpeg_nonidentity_quant_table_dequantizes_correctly():
+    # The q=1 round-trip is invariant to dequant/zigzag-permutation
+    # bugs in the DQT path (ADVICE r8): with all-ones tables, skipping
+    # dequantization entirely would still pass. Pin the lossy path
+    # against an INDEPENDENT test-side reconstruction
+    # IDCT(round(DCT/Q) * Q) computed with jpeg_ref's own DCT matrix —
+    # a mis-permuted, transposed, or skipped dequant diverges wildly.
+    import numpy as np
+
+    from jpeg_ref import _M, encode
+
+    q = np.array(ANNEX_K_LUMA, np.int32)
+    img = np.random.default_rng(11).integers(0, 256, (24, 16), np.uint8)
+    out = _jpeg_roundtrip(img, q_luma=q)
+
+    expected = np.zeros_like(img)
+    for by in range(3):
+        for bx in range(2):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            coef = np.round((_M @ (blk - 128.0) @ _M.T) / q)
+            rec = _M.T @ (coef * q) @ _M + 128.0
+            expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(rec), 0, 255
+            )
+    # Both sides apply the identical float pipeline; only rounding
+    # order differs.
+    assert np.abs(out.astype(int) - expected.astype(int)).max() <= 1
+
+
+def test_jpeg_eoi_before_sos_is_corrupt_not_segment():
+    # A standalone EOI must not be parsed as a length-prefixed segment
+    # (it would consume two arbitrary trailing bytes as a "length").
+    with pytest.raises(ValueError, match="EOI|truncated"):
+        mm.decode_media(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_dnl_deferred_height_is_explicit_variant():
+    # SOF h=0 defers the row count to a DNL marker (T.81 B.2.2) —
+    # must raise, not silently decode an empty payload.
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    data = bytearray(encode(np.full((8, 8), 50, np.uint8)))
+    i = data.index(b"\xff\xc0")
+    data[i + 5 : i + 7] = b"\x00\x00"  # SOF height := 0
+    with pytest.raises(NotImplementedError, match="DNL"):
+        mm.decode_media(bytes(data))
+
+
 def test_jpeg_progressive_raises_honest_stub():
     import numpy as np
 

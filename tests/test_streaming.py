@@ -575,6 +575,29 @@ def test_dedup_against_index_stream_matches_batch(spark, tmp_path):
     assert sorted(r.doc_id for r in got.collect()) == sorted(
         r.doc_id for r in batch.collect()
     ) == [2, 4]
+    # Output schema == incoming schema: the working fp column must not
+    # leak into survivors (ADVICE r8).
+    assert got.columns == ["doc_id", "text"]
+    assert batch.columns == ["doc_id", "text"]
+
+
+def test_dedup_against_index_null_text_passes_through(spark):
+    """NULL text hashes to a NULL fingerprint, which never equi-matches
+    in the anti join — such rows ALWAYS survive (documented contract:
+    no dedup identity, filter upstream to drop them)."""
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.streaming import dedup_against_index
+
+    docs = spark.createDataFrame(
+        [(1, "seen"), (2, None), (3, "fresh")], "doc_id long, text string"
+    )
+    index = spark.createDataFrame([("seen",), (None,)], "t string").select(
+        F.md5("t").alias("fp")
+    )
+    out = dedup_against_index(docs, index)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    assert out.columns == ["doc_id", "text"]
 
 
 def test_incremental_near_dups_runs_per_micro_batch(spark, tmp_path):
