@@ -13,14 +13,15 @@ extension for training-data pipelines. Design:
 - decode is pluggable behind :func:`decode_media`: WAV, netpbm
   PGM/PPM, uncompressed 24-bit BMP, 8-bit non-interlaced PNG
   (DEFLATE via stdlib ``zlib`` + the five scanline filters) and
-  baseline JPEG (SOF0/SOF1 sequential Huffman, numpy IDCT, any Hi/Vi
-  subsampling, restart intervals) decode FOR REAL with no PIL needed,
-  the deterministic pure-numpy "FAKM" container exercises the
-  plumbing in tests, and formats that genuinely need an external
-  codec (MP4 — libav is absent from this container, plus progressive
-  JPEG and palette/16-bit/Adam7 PNG) raise ``NotImplementedError``
-  with a clear message — the Spark-side dataflow is identical either
-  way.
+  JPEG — baseline/extended sequential (SOF0/SOF1) AND progressive
+  (SOF2, spectral selection + successive approximation) Huffman,
+  numpy IDCT, any Hi/Vi subsampling, restart intervals — decode FOR
+  REAL with no PIL needed, the deterministic pure-numpy "FAKM"
+  container exercises the plumbing in tests, and formats that
+  genuinely need an external codec (MP4 — libav is absent from this
+  container, plus arithmetic-coded JPEG and palette/16-bit/Adam7
+  PNG) raise ``NotImplementedError`` with a clear message — the
+  Spark-side dataflow is identical either way.
 
 Every operator is DataFrame-in / DataFrame-out and keeps the binary
 payload out of shuffles where possible (metadata-only projections).
@@ -110,11 +111,12 @@ def fakm_decode(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 
 # --- real stdlib codecs --------------------------------------------------------
 # WAV (the `wave` stdlib module), netpbm PGM/PPM (binary P5/P6),
-# uncompressed 24-bit BMP, 8-bit PNG (stdlib zlib) and baseline JPEG
-# (pure-Python Huffman + numpy IDCT) need no external library, so
-# those decode FOR REAL; MP4 video and the progressive/arithmetic
-# JPEG variants genuinely require libav/PIL (absent from this
-# container) and keep the honest NotImplementedError. Images normalize
+# uncompressed 24-bit BMP, 8-bit PNG (stdlib zlib) and JPEG — both
+# sequential and progressive Huffman (pure-Python Huffman + numpy
+# IDCT) — need no external library, so those decode FOR REAL; MP4
+# video and the arithmetic-coded JPEG variants genuinely require
+# libav/PIL (absent from this container) and keep the honest
+# NotImplementedError. Images normalize
 # to a grayscale u8 plane (integer BT.601 luma for RGB inputs), audio
 # to its raw PCM bytes — the same payload contract FAKM uses, so every
 # downstream stage (resize, features, frames) is codec-agnostic.
@@ -356,6 +358,65 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _jpeg_parse_dqt(seg: bytes, qt: dict) -> None:
+    """DQT: one or more tables, zigzag order on the wire."""
+    import numpy as np
+
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 15
+        if pq:
+            raise NotImplementedError("16-bit JPEG quant tables (12-bit precision) are not supported")
+        if p + 65 > len(seg):
+            raise ValueError("truncated JPEG DQT segment (corrupt)")
+        tbl = np.zeros(64, np.int32)
+        for k in range(64):
+            tbl[_JPEG_ZZ[k]] = seg[p + 1 + k]
+        qt[tq] = tbl.reshape(8, 8)
+        p += 65
+
+
+def _jpeg_parse_dht(seg: bytes, dc_tab: dict, ac_tab: dict) -> None:
+    """DHT: one or more tables."""
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 15
+        if tc > 1:
+            raise ValueError(f"bad JPEG Huffman table class {tc} (corrupt)")
+        if p + 17 > len(seg):
+            raise ValueError("truncated JPEG DHT segment (corrupt)")
+        counts = seg[p + 1 : p + 17]
+        nsym = sum(counts)
+        if p + 17 + nsym > len(seg):
+            raise ValueError("truncated JPEG DHT segment (corrupt)")
+        tbl = _jpeg_huff_table(counts, seg[p + 17 : p + 17 + nsym])
+        (dc_tab if tc == 0 else ac_tab)[th] = tbl
+        p += 17 + nsym
+
+
+def _jpeg_next_marker(data: bytes, j: int) -> int:
+    """Position of the next real marker at/after ``j``, skipping
+    entropy bytes, 0xFF00 stuffing, 0xFF fill runs and RSTn markers —
+    how a progressive decoder finds the scan boundary (T.81 E.2.2),
+    and how scans for components we discard are skipped WITHOUT
+    entropy-decoding them (markers are byte-aligned and cannot occur
+    unescaped inside coded data, so the scan is a pure byte search)."""
+    while j + 1 < len(data):
+        if data[j] != 0xFF:
+            j += 1
+            continue
+        m = data[j + 1]
+        if m == 0x00:
+            j += 2
+        elif m == 0xFF:
+            j += 1
+        elif 0xD0 <= m <= 0xD7:
+            j += 2
+        else:
+            return j
+    raise ValueError("truncated JPEG (no marker after scan data)")
+
+
 def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Baseline JPEG (SOF0/SOF1 sequential Huffman, 8-bit, grayscale or
     YCbCr at any Hi/Vi subsampling, DRI/RSTn restart intervals) decoded
@@ -371,10 +432,14 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     coefficients discarded, skipping 2/3 of the IDCT work in the 4:4:4
     case.
 
+    Progressive JPEG (SOF2) is dispatched to
+    :func:`_decode_jpeg_progressive` at the first SOS, once this
+    header loop has collected the tables.
+
     Error contract (same boundary as :func:`_decode_png`):
-    ``NotImplementedError`` marks unsupported VARIANTS (progressive
-    SOF2, arithmetic coding, 12-bit precision, hierarchical) — install
-    PIL for those; CORRUPT data (truncated stream, bad Huffman code,
+    ``NotImplementedError`` marks unsupported VARIANTS (arithmetic
+    coding, 12-bit precision, hierarchical, lossless) — install PIL
+    for those; CORRUPT data (truncated stream, bad Huffman code,
     marker mid-stream, missing restart) raises ``ValueError``.
 
     Scale note: entropy decoding is serial PER IMAGE by format design;
@@ -394,6 +459,7 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, Tq)
     scan: list[tuple[int, int, int]] = []  # (comp index, Td, Ta)
     restart = 0
+    progressive = False
     i = 2
     while i + 1 < len(data):
         if data[i] != 0xFF:
@@ -411,20 +477,9 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             raise ValueError("truncated JPEG (EOI before SOF/SOS)")
         ln = int.from_bytes(data[i + 2 : i + 4], "big")
         seg = data[i + 4 : i + 2 + ln]
-        if m == 0xDB:  # DQT: one or more tables, zigzag order on the wire
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 15
-                if pq:
-                    raise NotImplementedError("16-bit JPEG quant tables (12-bit precision) are not supported")
-                if p + 65 > len(seg):
-                    raise ValueError("truncated JPEG DQT segment (corrupt)")
-                tbl = np.zeros(64, np.int32)
-                for k in range(64):
-                    tbl[_JPEG_ZZ[k]] = seg[p + 1 + k]
-                qt[tq] = tbl.reshape(8, 8)
-                p += 65
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        if m == 0xDB:
+            _jpeg_parse_dqt(seg, qt)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError(f"only 8-bit JPEG is supported (precision {seg[0]})")
             h = int.from_bytes(seg[1:3], "big")
@@ -451,29 +506,19 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15, seg[8 + 3 * c])
                 for c in range(nc)
             ]
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = m == 0xC2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended sequential Huffman JPEG (SOF0/SOF1) decodes "
-                "natively; progressive/arithmetic/hierarchical need PIL"
+                "only Huffman sequential (SOF0/SOF1) and progressive (SOF2) JPEG "
+                "decode natively; lossless/arithmetic/hierarchical need PIL"
             )
-        elif m == 0xC4:  # DHT: one or more tables
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 15
-                if tc > 1:
-                    raise ValueError(f"bad JPEG Huffman table class {tc} (corrupt)")
-                if p + 17 > len(seg):
-                    raise ValueError("truncated JPEG DHT segment (corrupt)")
-                counts = seg[p + 1 : p + 17]
-                nsym = sum(counts)
-                if p + 17 + nsym > len(seg):
-                    raise ValueError("truncated JPEG DHT segment (corrupt)")
-                tbl = _jpeg_huff_table(counts, seg[p + 17 : p + 17 + nsym])
-                (dc_tab if tc == 0 else ac_tab)[th] = tbl
-                p += 17 + nsym
+        elif m == 0xC4:
+            _jpeg_parse_dht(seg, dc_tab, ac_tab)
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS — entropy data follows the header
+            if progressive:
+                return _decode_jpeg_progressive(data, i, qt, dc_tab, ac_tab, w, h, comps, restart)
             if not seg or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated JPEG SOS segment (corrupt)")
             ns = seg[0]
@@ -575,13 +620,316 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     return "image", w, h, 0, 0, plane[:h, :w].tobytes()
 
 
+def _decode_jpeg_progressive(
+    data: bytes,
+    i: int,
+    qt: dict,
+    dc_tab: dict,
+    ac_tab: dict,
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    restart: int,
+) -> tuple[str, int, int, int, int, bytes]:
+    """Progressive JPEG (SOF2): spectral-selection + successive-
+    approximation scans per T.81 Annexes B.2.3 and G. Called from
+    :func:`_decode_jpeg` with the header already parsed and ``i`` at
+    the first SOS marker; runs its own marker loop because DHT/DQT/DRI
+    segments may legally appear BETWEEN scans.
+
+    Each scan delivers one (band, bit-plane) slice of the quantized
+    DCT coefficients; they accumulate in an int32 coefficient grid and
+    a single vectorized dequant + IDCT (einsum over all blocks at
+    once) runs at the end. The payload contract is the luma plane, so:
+
+    - scans that do not include Y are SKIPPED as a pure byte search
+      for the next marker (:func:`_jpeg_next_marker`) — no entropy
+      decode at all, since each progressive scan is its own
+      byte-aligned entropy segment (unlike baseline, where chroma
+      blocks interleave into one serial bitstream);
+    - interleaved DC scans (the only multi-component scans the spec
+      allows in progressive) entropy-decode chroma DC to stay
+      synchronized but store only Y.
+
+    Refinement follows the public libjpeg/stb conventions, which are
+    what T.81 G.1.2.3 specifies: newly-nonzero AC coefficients arrive
+    as ±1<<Al with a 1=positive sign bit; history-nonzero
+    coefficients consume one correction bit each, applied only when
+    bit Al is still clear; DC refinement ORs 1<<Al into the (two's
+    complement) DC term; an EOB run of N blocks is coded as symbol
+    r<<4 plus r literal bits with N = (1<<r) + bits.
+
+    Error contract matches :func:`_decode_jpeg`: structural damage
+    raises ``ValueError``; the remaining variant boundaries
+    (arithmetic coding, 12-bit, hierarchical) raise
+    ``NotImplementedError`` in the header loop before this runs.
+    """
+    import numpy as np
+
+    ncomp = len(comps)
+    yc = 0  # JFIF component order: Y first
+    if ncomp == 1:
+        hmax = vmax = 1
+        samp = [(1, 1)]
+    else:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        samp = [(c[1], c[2]) for c in comps]
+        if hmax % samp[yc][0] or vmax % samp[yc][1]:
+            raise NotImplementedError(
+                f"non-integer luma sampling ratio (Y {samp[yc][0]}x{samp[yc][1]} "
+                f"vs max {hmax}x{vmax}) is not supported"
+            )
+    yH, yV = samp[yc]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # Non-interleaved block grid per component (T.81 A.2.2: the
+    # component's own ceil(cw/8) x ceil(ch/8) raster, which for Y is a
+    # sub-grid of the MCU-padded storage below).
+    nb = []
+    for _cid, H, V, _tq in (comps if ncomp > 1 else [(0, 1, 1, 0)]):
+        cw = -(-(w * H) // hmax)
+        ch = -(-(h * V) // vmax)
+        nb.append((-(-cw // 8), -(-ch // 8)))
+    ycoef = np.zeros((mcuy * yV, mcux * yH, 64), np.int64)
+
+    n_scans = 0
+    while i + 1 < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment (corrupt)")
+        m = data[i + 1]
+        if m == 0xFF:
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg = data[i + 4 : i + 2 + ln]
+        if m == 0xDB:
+            _jpeg_parse_dqt(seg, qt)
+        elif m == 0xC4:
+            _jpeg_parse_dht(seg, dc_tab, ac_tab)
+        elif m == 0xDD:
+            restart = int.from_bytes(seg[0:2], "big")
+        elif 0xC0 <= m <= 0xCF and m != 0xC8:
+            raise ValueError("second SOF inside a progressive JPEG (corrupt)")
+        elif m == 0xDA:
+            if not seg or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated JPEG SOS segment (corrupt)")
+            ns = seg[0]
+            by_id = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
+            sel = []
+            for s_ in range(ns):
+                if seg[1 + 2 * s_] not in by_id:
+                    raise ValueError("JPEG SOS references an undeclared component (corrupt)")
+                sel.append(
+                    (by_id[seg[1 + 2 * s_]], seg[2 + 2 * s_] >> 4, seg[2 + 2 * s_] & 15)
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            pos = i + 2 + ln
+            n_scans += 1
+            if ss == 0 and se != 0:
+                raise ValueError("progressive JPEG DC scan with Se != 0 (corrupt)")
+            if ss > 0 and (ns != 1 or ss > se or se > 63):
+                raise ValueError("bad progressive JPEG AC scan header (corrupt)")
+            if not any(ci == yc for ci, _, _ in sel):
+                i = _jpeg_next_marker(data, pos)  # chroma-only scan: skip
+                continue
+            if ss == 0:
+                i = _jpeg_next_marker(
+                    data,
+                    _prog_dc_scan(
+                        data, pos, sel, samp, nb, dc_tab, ycoef, yc,
+                        mcux, mcuy, ah, al, restart,
+                    ),
+                )
+            else:
+                ci, _td, ta = sel[0]
+                if ta not in ac_tab:
+                    raise ValueError("JPEG scan references a missing Huffman table (corrupt)")
+                i = _jpeg_next_marker(
+                    data,
+                    _prog_ac_scan(
+                        data, pos, ycoef, nb[yc], ac_tab[ta], ss, se, ah, al, restart
+                    ),
+                )
+            continue
+        i += 2 + ln
+    if not n_scans:
+        raise ValueError("truncated JPEG (no scan data)")
+    if comps[yc][3] not in qt:
+        raise ValueError("JPEG scan references a missing quant table (corrupt)")
+
+    idct = _jpeg_idct_matrix()
+    yq = qt[comps[yc][3]].astype(np.float64)
+    nby_s, nbx_s = ycoef.shape[0], ycoef.shape[1]
+    # Coefficients are stored in natural (raster) order within each
+    # block, so [..., u, v] after the reshape; one einsum IDCTs every
+    # block at once: out = M.T @ (C * Q) @ M per block.
+    coefs = ycoef.reshape(nby_s, nbx_s, 8, 8).astype(np.float64) * yq
+    spatial = np.einsum("ab,yxbc,cd->yxad", idct.T, coefs, idct)
+    plane = (
+        np.clip(np.round(spatial) + 128, 0, 255)
+        .astype(np.uint8)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby_s * 8, nbx_s * 8)
+    )
+    if yH != hmax or yV != vmax:
+        plane = np.repeat(np.repeat(plane, vmax // yV, 0), hmax // yH, 1)
+    return "image", w, h, 0, 0, plane[:h, :w].tobytes()
+
+
+def _prog_dc_scan(
+    data, pos, sel, samp, nb, dc_tab, ycoef, yc, mcux, mcuy, ah, al, restart
+) -> int:
+    """One progressive DC scan (Ss=Se=0). Ah=0: Huffman DC-difference
+    decode, stored << Al; Ah>0: one raw refinement bit per block, OR'd
+    into bit Al (two's complement makes OR correct for negative DC —
+    the encoder emits bit Al of the arithmetic-shifted value).
+    Returns the byte position after the consumed entropy data."""
+    interleaved = len(sel) > 1
+    if ah == 0:
+        for _ci, td, _ta in sel:
+            if td not in dc_tab:
+                raise ValueError("JPEG scan references a missing Huffman table (corrupt)")
+    br = _JpegBits(data, pos)
+    preds = [0] * len(samp)
+    rst = 0
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        nbx_c, nby_c = nb[sel[0][0]]
+        units = nbx_c * nby_c
+    for u in range(units):
+        if restart and u and u % restart == 0:
+            br.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(samp)
+        for ci, td, _ta in sel:
+            if interleaved:
+                ch_, cv_ = samp[ci]
+                my, mx = divmod(u, mcux)
+                blocks = [
+                    (my * cv_ + by, mx * ch_ + bx)
+                    for by in range(cv_)
+                    for bx in range(ch_)
+                ]
+            else:
+                by_, bx_ = divmod(u, nb[ci][0])
+                blocks = [(by_, bx_)]
+            for ry, rx in blocks:
+                if ah == 0:
+                    t = br.huffdec(dc_tab[td])
+                    preds[ci] += _jpeg_extend(br.receive(t), t)
+                    if ci == yc:
+                        ycoef[ry, rx, 0] = preds[ci] << al
+                else:
+                    bit = br.bit()
+                    if ci == yc and bit:
+                        ycoef[ry, rx, 0] = int(ycoef[ry, rx, 0]) | (1 << al)
+    return br.i
+
+
+def _prog_ac_scan(data, pos, ycoef, grid, ac, ss, se, ah, al, restart) -> int:
+    """One progressive AC scan (Ss>0, single component = Y, raster
+    order over the component's non-interleaved block grid). First pass
+    (Ah=0) places coefficients << Al with EOB-run skipping; refinement
+    (Ah>0) walks the band applying one correction bit per
+    history-nonzero coefficient and inserting ±1<<Al newly-nonzero
+    terms — the T.81 G.1.2.3 algorithm as implemented by libjpeg/stb.
+    Returns the byte position after the consumed entropy data."""
+    nbx_c, nby_c = grid
+    br = _JpegBits(data, pos)
+    eob_run = 0
+    rst = 0
+    bit = 1 << al
+    zz = _JPEG_ZZ
+
+    def refine(blk, idx):
+        if br.bit():
+            cur = int(blk[idx])
+            if not (cur & bit):
+                blk[idx] = cur + bit if cur >= 0 else cur - bit
+
+    for u in range(nbx_c * nby_c):
+        if restart and u and u % restart == 0:
+            br.restart(rst)
+            rst = (rst + 1) & 7
+            eob_run = 0
+        byy, bxx = divmod(u, nbx_c)
+        blk = ycoef[byy, bxx]
+        if ah == 0:
+            if eob_run:
+                eob_run -= 1
+                continue
+            k = ss
+            while True:
+                rs = br.huffdec(ac)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eob_run = (1 << r) - 1
+                        if r:
+                            eob_run += br.receive(r)
+                        break
+                    k += 16
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end (corrupt)")
+                    blk[zz[k]] = _jpeg_extend(br.receive(s), s) << al
+                    k += 1
+                if k > se:
+                    break
+        else:
+            if eob_run:
+                eob_run -= 1
+                for k in range(ss, se + 1):
+                    if blk[zz[k]]:
+                        refine(blk, zz[k])
+                continue
+            k = ss
+            while k <= se:
+                rs = br.huffdec(ac)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eob_run = (1 << r) - 1
+                        if r:
+                            eob_run += br.receive(r)
+                        r = 64  # refine-to-band-end mode, no placement
+                    # else ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad JPEG AC refinement symbol (corrupt)")
+                    val = bit if br.bit() else -bit
+                while k <= se:
+                    idx = zz[k]
+                    if blk[idx]:
+                        refine(blk, idx)
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[idx] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+    return br.i
+
+
 def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Unified decode: (kind, width, height, n_frames, sample_rate,
     payload). FAKM, WAV, PGM/PPM, 24-bit BMP, 8-bit non-interlaced
-    PNG and baseline JPEG (SOF0/SOF1) decode for real; anything else
-    raises ``NotImplementedError`` naming the missing dependency — the
-    honest stub boundary for MP4 (and the progressive-JPEG / exotic
-    PNG variants)."""
+    PNG and Huffman JPEG (sequential SOF0/SOF1 and progressive SOF2)
+    decode for real; anything else raises ``NotImplementedError``
+    naming the missing dependency — the honest stub boundary for MP4
+    (and the arithmetic-JPEG / exotic PNG variants)."""
     data = bytes(data)
     if data[:4] == _MAGIC:
         return fakm_decode(data)
@@ -598,8 +946,8 @@ def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     raise NotImplementedError(
         "this format needs a real codec library (libav for video), "
         "which is not installed; WAV, PGM/PPM, 24-bit BMP, 8-bit "
-        "non-interlaced PNG, baseline JPEG and the FAKM container "
-        "decode natively"
+        "non-interlaced PNG, sequential + progressive JPEG and the "
+        "FAKM container decode natively"
     )
 
 

@@ -255,3 +255,291 @@ def encode(
     out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+# --- progressive (SOF2) encoder ------------------------------------------------
+# Spectral selection + successive approximation per T.81 Annex G,
+# EOB-run coding across blocks, per-scan canonical Huffman tables.
+# Independent of the decoder for the same reason as the baseline
+# encoder above: a convention drift on either side (sign-bit polarity,
+# EOB-run bias, correction-bit order) breaks the round-trip instead of
+# cancelling out.
+
+
+def encode_progressive(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    q_luma: np.ndarray = Q_ONES,
+    q_chroma: np.ndarray = Q_ONES,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    restart: int = 0,
+) -> bytes:
+    """Encode a grayscale or 4:2:0 YCbCr PROGRESSIVE JPEG (same plane
+    contract as :func:`encode`). ``scans`` is a list of
+    ``(component_indices, Ss, Se, Ah, Al)``; the default script splits
+    the DC term and two AC bands and sends two successive-approximation
+    stages, so a decoder must get the first pass, refinement, EOB-run
+    and ZRL paths all right. The scripts reconstruct every coefficient
+    bit, so the decode must equal the baseline :func:`encode` decode of
+    the same image exactly.
+    """
+    h, w = y.shape
+    color = cb is not None
+    yp = _plane_blocks(y)
+    if color:
+        assert cr is not None and cb.shape == cr.shape
+        assert cb.shape == (-(-h // 16) * 8, -(-w // 16) * 8), (
+            "cb/cr must be ceil(h/16)x8 x ceil(w/16)x8 (4:2:0 padded)"
+        )
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        big = np.empty((ph, pw), np.uint8)
+        big[: yp.shape[0], : yp.shape[1]] = yp
+        if ph > yp.shape[0]:
+            big[yp.shape[0] :, : yp.shape[1]] = yp[-1:, :]
+        if pw > yp.shape[1]:
+            big[:, yp.shape[1] :] = big[:, yp.shape[1] - 1 : yp.shape[1]]
+        yp = big
+    comps: list[dict] = [
+        {"q": q_luma, "H": 2 if color else 1, "V": 2 if color else 1, "plane": yp, "tid": 0}
+    ]
+    if color:
+        comps.append({"q": q_chroma, "H": 1, "V": 1, "plane": cb, "tid": 1})
+        comps.append({"q": q_chroma, "H": 1, "V": 1, "plane": cr, "tid": 1})
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    mcux = yp.shape[1] // (8 * hmax)
+    mcuy = yp.shape[0] // (8 * vmax)
+    for c in comps:
+        gy, gx = c["plane"].shape[0] // 8, c["plane"].shape[1] // 8
+        zz = np.zeros((gy, gx, 64), np.int64)
+        for by in range(gy):
+            for bx in range(gx):
+                coef = _fdct_quant(c["plane"][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], c["q"])
+                zz[by, bx] = [int(coef.flat[ZZ[k]]) for k in range(64)]
+        c["zz"] = zz
+        # non-interleaved block grid (T.81 A.2.2)
+        cw = -(-(w * c["H"]) // hmax)
+        ch = -(-(h * c["V"]) // vmax)
+        c["nbx"], c["nby"] = -(-cw // 8), -(-ch // 8)
+
+    if scans is None:
+        if color:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([0], 1, 63, 2, 1),
+                ([0], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+
+    def scan_events(comp_idx, s_lo, s_hi, ah, al):
+        """-> (event list, {(cls, tid): symbol set}). Events are
+        ("sym", (cls, tid), symbol) / ("bits", value, nbits) /
+        ("rst",) in exact wire order."""
+        ev: list[tuple] = []
+        sym_sets: dict[tuple[str, int], set[int]] = {}
+
+        def sym(cls, tid, s_):
+            ev.append(("sym", (cls, tid), s_))
+            sym_sets.setdefault((cls, tid), set()).add(s_)
+
+        def bits(v, n):
+            if n:
+                ev.append(("bits", v & ((1 << n) - 1), n))
+
+        if s_lo == 0:  # DC scan (may be interleaved)
+            interleaved = len(comp_idx) > 1
+            preds = {ci: 0 for ci in comp_idx}
+            if interleaved:
+                units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+            else:
+                c0 = comps[comp_idx[0]]
+                units = [(by, bx) for by in range(c0["nby"]) for bx in range(c0["nbx"])]
+            for n_mcu, u in enumerate(units):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    ev.append(("rst",))
+                    preds = {ci: 0 for ci in comp_idx}
+                for ci in comp_idx:
+                    c = comps[ci]
+                    blocks = (
+                        [
+                            (u[0] * c["V"] + by, u[1] * c["H"] + bx)
+                            for by in range(c["V"])
+                            for bx in range(c["H"])
+                        ]
+                        if interleaved
+                        else [u]
+                    )
+                    for ry, rx in blocks:
+                        v0 = int(c["zz"][ry, rx, 0])
+                        if ah == 0:
+                            v = v0 >> al  # arithmetic shift (T.81 G.1.2.1)
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s_ = _size(diff)
+                            sym("dc", c["tid"], s_)
+                            bits(diff if diff >= 0 else diff + (1 << s_) - 1, s_)
+                        else:
+                            bits((v0 >> al) & 1, 1)
+            return ev, sym_sets
+
+        # AC scan: exactly one component, non-interleaved raster order
+        ci = comp_idx[0]
+        c = comps[ci]
+        tid = c["tid"]
+        eob = {"run": 0, "bits": []}
+
+        def flush():
+            if eob["run"]:
+                nb_ = eob["run"].bit_length() - 1
+                sym("ac", tid, nb_ << 4)
+                bits(eob["run"] - (1 << nb_), nb_)
+                for b in eob["bits"]:
+                    bits(b, 1)
+                eob["run"], eob["bits"] = 0, []
+
+        n_mcu = 0
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    flush()
+                    ev.append(("rst",))
+                n_mcu += 1
+                zzb = c["zz"][by, bx]
+                if ah == 0:  # first pass: sign-magnitude point transform
+                    vals = []
+                    for k in range(s_lo, s_hi + 1):
+                        cv = int(zzb[k])
+                        mag = abs(cv) >> al
+                        vals.append(mag if cv >= 0 else -mag)
+                    last = max((ix for ix, v in enumerate(vals) if v), default=-1)
+                    if last < 0:
+                        eob["run"] += 1
+                        if eob["run"] == 0x7FFF:
+                            flush()
+                        continue
+                    flush()
+                    r = 0
+                    for ix in range(last + 1):
+                        v = vals[ix]
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            sym("ac", tid, 0xF0)
+                            r -= 16
+                        s_ = _size(v)
+                        sym("ac", tid, (r << 4) | s_)
+                        bits(v if v >= 0 else v + (1 << s_) - 1, s_)
+                        r = 0
+                    if last < s_hi - s_lo:
+                        eob["run"] += 1
+                        if eob["run"] == 0x7FFF:
+                            flush()
+                else:  # refinement (libjpeg encode_mcu_AC_refine order)
+                    absv = [abs(int(zzb[k])) >> al for k in range(s_lo, s_hi + 1)]
+                    eobi = max((ix for ix, t in enumerate(absv) if t == 1), default=-1)
+                    r = 0
+                    br: list[int] = []  # correction bits pending emission
+                    for ix, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        # ZRL only when a newly-nonzero coef still follows;
+                        # trailing runs fold into the EOB run.
+                        while r > 15 and ix <= eobi:
+                            flush()
+                            sym("ac", tid, 0xF0)
+                            r -= 16
+                            for b in br:
+                                bits(b, 1)
+                            br = []
+                        if t > 1:  # history-nonzero: buffer one correction bit
+                            br.append(t & 1)
+                            continue
+                        flush()
+                        sym("ac", tid, (r << 4) | 1)
+                        bits(1 if int(zzb[s_lo + ix]) > 0 else 0, 1)
+                        for b in br:
+                            bits(b, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        eob["run"] += 1
+                        eob["bits"].extend(br)
+                        if eob["run"] == 0x7FFF:
+                            flush()
+        flush()
+        return ev, sym_sets
+
+    # ---- emit the stream
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes((0xFF, marker)))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    def dqt(tid_: int, q: np.ndarray) -> None:
+        body = bytearray((tid_,))
+        for k in range(64):
+            body.append(int(q.flat[ZZ[k]]))
+        seg(0xDB, bytes(body))
+
+    dqt(0, q_luma)
+    if color:
+        dqt(1, q_chroma)
+    sof = bytearray((8,))
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(comps))
+    for ci, c in enumerate(comps):
+        sof += bytes((ci + 1, (c["H"] << 4) | c["V"], 0 if ci == 0 else 1))
+    seg(0xC2, bytes(sof))
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+
+    for comp_idx, s_lo, s_hi, ah, al in scans:
+        ev, sym_sets = scan_events(comp_idx, s_lo, s_hi, ah, al)
+        tables: dict[tuple[str, int], dict[int, tuple[int, int]]] = {}
+        for key in sorted(sym_sets, key=str):
+            counts, syms, enc = _canonical(sym_sets[key] or {0})
+            tables[key] = enc
+            cls_bit = 0x00 if key[0] == "dc" else 0x10
+            seg(0xC4, bytes((cls_bit | key[1],)) + counts + syms)
+        sos = bytearray((len(comp_idx),))
+        for ci in comp_idx:
+            tid_ = comps[ci]["tid"]
+            sos += bytes((ci + 1, (tid_ << 4) | tid_))
+        sos += bytes((s_lo, s_hi, (ah << 4) | al))
+        seg(0xDA, bytes(sos))
+        bw = _BitWriter()
+        rstc = 0
+        for e in ev:
+            if e[0] == "rst":
+                bw.align()
+                bw.out.extend(bytes((0xFF, 0xD0 + (rstc & 7))))
+                rstc += 1
+            elif e[0] == "sym":
+                code, ln = tables[e[1]][e[2]]
+                bw.put(code, ln)
+            else:
+                bw.put(e[1], e[2])
+        bw.align()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

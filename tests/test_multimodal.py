@@ -523,15 +523,131 @@ def test_jpeg_dnl_deferred_height_is_explicit_variant():
         mm.decode_media(bytes(data))
 
 
-def test_jpeg_progressive_raises_honest_stub():
+# --- progressive JPEG (SOF2): real decode ---------------------------------------
+# The test-side encoder (jpeg_ref.encode_progressive) reconstructs
+# every coefficient bit across its scan script, so the progressive
+# decode must BYTE-EQUAL the baseline decode of the same image — a
+# drift anywhere in the EOB-run / refinement / sign conventions on
+# either side breaks the equality instead of cancelling out.
+
+
+def test_jpeg_progressive_gray_matches_baseline_decode():
+    import numpy as np
+
+    from jpeg_ref import encode, encode_progressive
+
+    img = np.random.default_rng(7).integers(0, 256, (17, 24), np.uint8)
+    assert mm.decode_media(encode_progressive(img)) == mm.decode_media(encode(img))
+
+
+def test_jpeg_progressive_color_420_matches_baseline_decode():
+    # Interleaved DC scan (Y+Cb+Cr) + per-component AC scans; the
+    # decoder must entropy-decode chroma DC to stay synchronized and
+    # byte-skip the chroma AC scans entirely.
+    import numpy as np
+
+    from jpeg_ref import encode, encode_progressive
+
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (14, 20), np.uint8)
+    cb = rng.integers(0, 256, (8, 16), np.uint8)
+    cr = rng.integers(0, 256, (8, 16), np.uint8)
+    assert mm.decode_media(encode_progressive(y, cb, cr)) == mm.decode_media(
+        encode(y, cb, cr)
+    )
+
+
+def test_jpeg_progressive_restart_intervals():
+    # RSTn markers inside progressive scans reset the DC predictor AND
+    # the EOB run; a missed reset corrupts every later block.
+    import numpy as np
+
+    from jpeg_ref import encode, encode_progressive
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (33, 41), np.uint8)
+    prog = encode_progressive(img, restart=3)
+    assert b"\xff\xdd" in prog
+    assert mm.decode_media(prog) == mm.decode_media(encode(img))
+    y = rng.integers(0, 256, (14, 20), np.uint8)
+    cb = rng.integers(0, 256, (8, 16), np.uint8)
+    cr = rng.integers(0, 256, (8, 16), np.uint8)
+    assert mm.decode_media(encode_progressive(y, cb, cr, restart=2)) == mm.decode_media(
+        encode(y, cb, cr)
+    )
+
+
+def test_jpeg_progressive_eob_runs_on_sparse_image():
+    # A mostly-flat image makes whole bands zero -> multi-block EOB
+    # runs with buffered refinement correction bits: the Annex G path
+    # a dense random raster never exercises.
+    import numpy as np
+
+    from jpeg_ref import encode, encode_progressive
+
+    img = np.full((64, 64), 128, np.uint8)
+    img[5, 5] = 250
+    img[40, 33] = 3
+    assert mm.decode_media(encode_progressive(img)) == mm.decode_media(encode(img))
+
+
+def test_jpeg_progressive_nonidentity_quant_table():
+    import numpy as np
+
+    from jpeg_ref import encode, encode_progressive
+
+    q = np.array(ANNEX_K_LUMA, np.int32)
+    img = np.random.default_rng(11).integers(0, 256, (24, 16), np.uint8)
+    assert mm.decode_media(encode_progressive(img, q_luma=q)) == mm.decode_media(
+        encode(img, q_luma=q)
+    )
+
+
+def test_jpeg_progressive_random_scan_scripts():
+    # Random spectral splits and successive-approximation depths (the
+    # scan script is the encoder's free choice; any legal script must
+    # reconstruct the identical coefficients).
+    import numpy as np
+
+    from jpeg_ref import encode, encode_progressive
+
+    for trial in range(8):
+        r = np.random.default_rng(100 + trial)
+        hh, ww = int(r.integers(1, 40)), int(r.integers(1, 40))
+        img = r.integers(0, 256, (hh, ww), np.uint8)
+        cut = int(r.integers(1, 63))
+        al1 = int(r.integers(0, 3))
+        scans = [([0], 0, 0, 0, al1), ([0], 1, cut, 0, al1), ([0], cut + 1, 63, 0, al1)]
+        for a in range(al1, 0, -1):
+            scans += [([0], 1, 63, a, a - 1), ([0], 0, 0, a, a - 1)]
+        prog = encode_progressive(img, scans=scans, restart=int(r.integers(0, 4)))
+        assert mm.decode_media(prog) == mm.decode_media(encode(img)), (trial, hh, ww)
+
+
+def test_jpeg_sequential_stream_with_sof2_marker_is_corrupt():
+    # A baseline entropy stream relabeled SOF2 parses as a progressive
+    # "DC" scan with Se=63 — structurally invalid, so ValueError
+    # (corrupt), no longer the variant stub.
     import numpy as np
 
     from jpeg_ref import encode
 
     data = bytearray(encode(np.full((8, 8), 99, np.uint8)))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive|baseline"):
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se|corrupt"):
+        mm.decode_media(bytes(data))
+
+
+def test_jpeg_arithmetic_still_raises_honest_stub():
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    data = bytearray(encode(np.full((8, 8), 99, np.uint8)))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC9  # SOF9: arithmetic-coded sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         mm.decode_media(bytes(data))
 
 
