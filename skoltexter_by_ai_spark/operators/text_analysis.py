@@ -1089,6 +1089,7 @@ def entropy_signals(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document character- and token-level Shannon entropy — the
     compressibility-style quality gate real curation pipelines run
@@ -1100,20 +1101,105 @@ def entropy_signals(
     entropies in nats, rounded to 6 (the cross-engine convention),
     0.0 for empty documents.
 
-    Scale posture: entirely in-row Column expressions (split +
-    higher-order distinct/filter/aggregate) — a narrow map-only pass
-    with ZERO shuffles; stateless, so it is trivially streaming-safe
-    and composes into any gate projection for free.
+    Two implementations, value-identical (pinned by test):
+
+    - ``impl="arrow"`` (default): Arrow-batched ``mapInPandas`` —
+      characters become a numeric code-point array
+      (``encode("utf-32-le")`` → uint32), so the per-row distinct
+      count is one vectorized ``np.unique(return_counts=True)``
+      instead of the interpreted O(distinct·n) HOF comparisons.
+      Measured ~4x faster at sf0.1 under full consumption
+      (tools/ab_entropy_arrow.py; record in QUALITY.md) — this is the
+      Arrow A/B the expression form's docstring anticipated, and
+      unlike the reverted run-length fold it sidesteps interpreted
+      lambda allocation entirely rather than re-arranging it.
+    - ``impl="expr"``: pure higher-order Column expressions
+      (:func:`shannon_entropy`), no Python boundary — kept as the
+      cross-checkable reference form and for plans that must stay
+      UDF-free.
+
+    Value parity notes: both sum p·ln(p) over distinct values in
+    SORTED order (numpy's unique sorts; code-point order equals
+    UTF8String's binary order because UTF-8 preserves code-point
+    ordering), both left-fold (``cumsum`` accumulates left-to-right),
+    and both normalize the IEEE ``-0.0`` a single-element
+    distribution produces.
+
+    Scale posture: a narrow map-only pass with ZERO shuffles either
+    way; ``mapInPandas`` is stream-safe, so the streaming twins are
+    unaffected.
     """
-    c = F.col(text_col)
-    chars = F.filter(F.split(c, ""), lambda x: x != "")
-    toks = tokens(text_col)
-    return _spread(df, id_col).select(
-        F.col(id_col),
-        F.size(chars).cast("bigint").alias("n_chars"),
-        F.round(shannon_entropy(chars), 6).alias("char_entropy"),
-        F.round(shannon_entropy(toks), 6).alias("token_entropy"),
+    if impl == "expr":
+        c = F.col(text_col)
+        chars = F.filter(F.split(c, ""), lambda x: x != "")
+        toks = tokens(text_col)
+        return _spread(df, id_col).select(
+            F.col(id_col),
+            F.size(chars).cast("bigint").alias("n_chars"),
+            F.round(shannon_entropy(chars), 6).alias("char_entropy"),
+            F.round(shannon_entropy(toks), 6).alias("token_entropy"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"unknown entropy_signals impl: {impl!r}")
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("n_chars", LongType()),
+            StructField("char_entropy", DoubleType()),
+            StructField("token_entropy", DoubleType()),
+        ]
     )
+
+    def gen(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+
+        def ent(counts: "np.ndarray") -> float:
+            # sorted-distinct left fold, -0.0 normalized — the exact
+            # summation contract of shannon_entropy / the oracle SQL
+            p = counts / counts.sum()
+            return float(-(p * np.log(p)).cumsum()[-1] + 0.0)
+
+        for pdf in batches:
+            n = len(pdf)
+            # object column: NULL text -> NULL n_chars (split(NULL) is
+            # NULL in both engines; the entropies fall through the
+            # WHEN to 0.0) — the same contract as the expression form.
+            n_chars = np.empty(n, object)
+            ce = np.zeros(n, np.float64)
+            te = np.zeros(n, np.float64)
+            for j, text in enumerate(pdf[text_col]):
+                if text is None:
+                    continue
+                n_chars[j] = 0
+                if not text:
+                    continue
+                cps = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+                n_chars[j] = cps.size
+                ce[j] = ent(np.unique(cps, return_counts=True)[1])
+                toks = [t for t in ws.split(text) if t]
+                if toks:
+                    te[j] = ent(
+                        np.unique(np.array(toks, object), return_counts=True)[1]
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_chars": n_chars,
+                    "char_entropy": np.round(ce, 6) + 0.0,
+                    "token_entropy": np.round(te, 6) + 0.0,
+                }
+            )
+
+    return _spread(df, id_col).select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def intra_doc_repetition(

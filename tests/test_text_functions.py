@@ -997,6 +997,46 @@ def test_entropy_signals_hand_values(spark):
     assert math.copysign(1.0, got[3].token_entropy) == 1.0
 
 
+def test_entropy_signals_impls_agree(spark):
+    """The Arrow-batched default and the pure-expression reference
+    form must agree EXACTLY (same sorted-distinct left-fold summation,
+    same rounding, same -0.0 normalization) on edge inputs: NULL,
+    empty, tab/newline whitespace, non-BMP code points (emoji —
+    code-point chars, not UTF-16 units), repeated single tokens."""
+    from skoltexter_by_ai_spark.operators.text_analysis import entropy_signals
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "\t aé b\n\nc  d\t"),
+        (4, "😀😀 héllo 😀"),
+        (5, "x " * 200 + "y"),
+        (6, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r.doc_id: r
+        for r in entropy_signals(df, "doc_id", "text", impl="arrow").collect()
+    }
+    e = {
+        r.doc_id: r
+        for r in entropy_signals(df, "doc_id", "text", impl="expr").collect()
+    }
+    assert set(a) == set(e)
+    for k in a:
+        assert (a[k].n_chars, a[k].char_entropy, a[k].token_entropy) == (
+            e[k].n_chars,
+            e[k].char_entropy,
+            e[k].token_entropy,
+        ), k
+    # emoji counts as ONE character on both sides (10 code points:
+    # two emoji + space + 5-letter word + space + emoji)
+    assert a[4].n_chars == 10
+    with pytest.raises(ValueError, match="impl"):
+        entropy_signals(df, "doc_id", "text", impl="bogus")
+
+
 def test_pack_context_len_boundaries(spark):
     """context_len=0 must raise; context_len=1 is legal (one token per
     chunk)."""
