@@ -646,3 +646,70 @@ def dedup_against_index(
         .join(index, fp_col, "left_anti")
         .drop(fp_col)
     )
+
+
+def decontaminate_stream(
+    incoming: DataFrame,
+    evals: DataFrame,
+    n: int = 3,
+    min_overlap: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Streaming twin of the benchmark-decontamination FILTER
+    (`operators/curation.py::decontaminate`, x118): forward only the
+    incoming documents whose text does NOT overlap any benchmark/eval
+    document at or above ``min_overlap`` (fraction of the eval doc's
+    distinct word n-grams present in the doc, rounded to 6 like the
+    batch form before comparing).
+
+    The batch operator's per-(train, eval) aggregation would be a
+    stateful streaming agg; this twin restates it STATELESS by folding
+    the eval side into ONE static row — an array of
+    ``{eval_id, shingles}`` structs (benchmark sets are small by
+    contract, the same bound that lets the batch scan broadcast its
+    exploded eval shingles) — joined to every incoming row on a
+    constant key (stream-static inner equi-join, stateless in append
+    mode; the single-row static side broadcasts). Contamination is
+    then a pure in-row ``exists`` over the array:
+    ``|intersect(doc_shingles, e.shingles)| / |e.shingles|``.
+    Value parity with the batch filter is pinned in
+    tests/test_streaming.py.
+
+    No watermark, no state store; each micro-batch re-resolves the
+    static side, so persist ``evals``'s source for cheap re-reads (or
+    pre-materialize the folded row) in production. NULL/empty text
+    shingles to an empty array, never matches, and always survives —
+    identical to the batch anti-join behavior.
+    """
+    from skoltexter_by_ai_spark.operators.dedup import word_shingles
+
+    ev = (
+        evals.select(
+            F.col(id_col).alias("__eval_id"),
+            word_shingles(text_col, n).alias("__esh"),
+        )
+        .filter(F.size("__esh") > 0)
+        .agg(F.collect_list(F.struct("__eval_id", "__esh")).alias("__evals"))
+        .withColumn("__k", F.lit(1))
+    )
+
+    def contaminated(e):
+        frac = F.round(
+            F.size(F.array_intersect(e["__esh"], F.col("__tsh"))).cast("double")
+            / F.size(e["__esh"]).cast("double"),
+            6,
+        )
+        hit = frac >= F.lit(float(min_overlap))
+        if exclude_self:
+            hit = hit & (e["__eval_id"] != F.col(id_col))
+        return hit
+
+    return (
+        incoming.withColumn("__tsh", word_shingles(text_col, n))
+        .withColumn("__k", F.lit(1))
+        .join(ev, "__k")
+        .where(~F.exists("__evals", contaminated))
+        .drop("__tsh", "__evals", "__k")
+    )

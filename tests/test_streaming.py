@@ -654,3 +654,58 @@ def test_incremental_near_dups_runs_per_micro_batch(spark, tmp_path):
         ).collect()
     }
     assert set(seen) == batch and any(p[0] == 100 and p[1] == 1 for p in batch)
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Streaming decontamination == the batch filter on the same data:
+    docs overlapping an eval doc at >= min_overlap (distinct 2-gram
+    share of the EVAL doc) are dropped; exclude_self spares a doc from
+    disqualifying itself; NULL/empty text always survives. The twin is
+    stateless append mode (stream-static equi-join on a constant key,
+    in-row exists) — no watermark, no state store."""
+    from skoltexter_by_ai_spark.operators.curation import decontaminate
+    from skoltexter_by_ai_spark.streaming import decontaminate_stream, run_to_memory
+
+    rows = [
+        (1, "the quick brown fox jumps"),   # superset of eval 10 -> dropped
+        (2, "totally unrelated words here"),
+        (3, "the quick red fox"),           # 1/3 of eval 10's shingles -> survives at 0.5
+        (4, None),
+        (5, ""),
+        (10, "the quick brown fox"),        # same id as an eval: exclude_self spares it
+    ]
+    evals = [(10, "the quick brown fox"), (11, "alpha beta gamma")]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(src))
+    ev = spark.createDataFrame(evals, "doc_id long, text string")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    got = run_to_memory(
+        decontaminate_stream(stream, ev, n=2, min_overlap=0.5),
+        "decon_t",
+        str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    batch = decontaminate(
+        spark.read.parquet(str(src)), ev, n=2, min_overlap=0.5
+    )
+    assert (
+        sorted(r.doc_id for r in got.collect())
+        == sorted(r.doc_id for r in batch.collect())
+        == [2, 3, 4, 5, 10]
+    )
+    # schema passes through unchanged (no working columns leak)
+    assert got.columns == ["doc_id", "text"]
+
+    # exclude_self=False: doc 10 now disqualifies itself; and an empty
+    # eval set keeps everything (the folded static row is an empty
+    # array, never a dropped join).
+    strict = decontaminate_stream(
+        spark.read.parquet(str(src)), ev, n=2, min_overlap=0.5, exclude_self=False
+    )
+    assert sorted(r.doc_id for r in strict.collect()) == [2, 3, 4, 5]
+    empty_ev = ev.filter("doc_id < 0")
+    keep_all = decontaminate_stream(
+        spark.read.parquet(str(src)), empty_ev, n=2, min_overlap=0.5
+    )
+    assert keep_all.count() == len(rows)
