@@ -8,6 +8,8 @@ crossings; at 100 TB these are narrow map-only passes with no shuffle.
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -834,8 +836,9 @@ def learn_bpe_merges(
     identical.
 
     ``stats_out``: pass a dict to receive ``{"rounds": int,
-    "batch_sizes": list[int]}`` — the number of counting rounds
-    actually run (the serial-depth metric) and the per-round batch
+    "batch_sizes": list[int], "round_walls": list[float]}`` — the
+    number of counting rounds actually run (the serial-depth metric),
+    per-round wall seconds, and the per-round batch
     sizes (mass at 1 means the prefix rule bound the batch; mass
     between 2 and batch_k-1 means the dominance bound did).
     """
@@ -857,9 +860,11 @@ def learn_bpe_merges(
     )
     merges: list[tuple[str, str, int]] = []
     batch_sizes: list[int] = []
+    round_walls: list[float] = []
     rounds = 0
     while len(merges) < n_merges:
         rounds += 1
+        _t_round = _time.perf_counter()
         pairs = words.select(
             "__c",
             F.explode(
@@ -975,9 +980,11 @@ def learn_bpe_merges(
         )
         if rounds % checkpoint_every == 0:
             words = words.localCheckpoint()
+        round_walls.append(_time.perf_counter() - _t_round)
     if stats_out is not None:
         stats_out["rounds"] = rounds
         stats_out["batch_sizes"] = batch_sizes
+        stats_out["round_walls"] = round_walls
     return merges
 
 

@@ -93,6 +93,31 @@ def main() -> int:
     )
     wall = time.perf_counter() - t0
     rounds = stats.get("rounds", 0)
+    # depth segments: realized factor + wall as the vocabulary deepens
+    # (the r8 "32k ≈ 7.5k rounds" claim was extrapolated from 512; the
+    # segment table shows whether the factor decays at depth)
+    sizes = stats.get("batch_sizes", [])
+    walls = stats.get("round_walls", [])
+    segments = []
+    seg_edges = [0, 256, 512, 1024, 2048, 4096, 8192, 1 << 30]
+    cum, seg_rounds, seg_wall, edge_i = 0, 0, 0.0, 1
+    for i, b in enumerate(sizes):
+        cum += b
+        seg_rounds += 1
+        seg_wall += walls[i] if i < len(walls) else 0.0
+        if cum >= seg_edges[edge_i] or i == len(sizes) - 1:
+            lo, hi = seg_edges[edge_i - 1], cum
+            segments.append(
+                {
+                    "merges": f"{lo}..{hi}",
+                    "rounds": seg_rounds,
+                    "factor": round((hi - lo) / seg_rounds, 2),
+                    "wall_sec": round(seg_wall, 1),
+                    "sec_per_round": round(seg_wall / seg_rounds, 2),
+                }
+            )
+            edge_i += 1
+            seg_rounds, seg_wall = 0, 0.0
     out = {
         "corpus_docs": len(texts),
         "corpus_chars": sum(len(t) for t in texts),
@@ -101,6 +126,7 @@ def main() -> int:
         "rounds": rounds,
         "realized_factor": round(len(merges) / rounds, 3) if rounds else None,
         "wall_sec": round(wall, 1),
+        "depth_segments": segments,
         "batch_size_hist": {
             str(k): stats.get("batch_sizes", []).count(k)
             for k in sorted(set(stats.get("batch_sizes", [])))

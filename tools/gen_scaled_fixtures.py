@@ -18,8 +18,25 @@ Usage::
 
     python tools/gen_scaled_fixtures.py --sf 1 --out /tmp/scaledata/sf1
     python tools/gen_scaled_fixtures.py --sf 0.1 --out /tmp/scaledata/sf0.1
+    python tools/gen_scaled_fixtures.py --sf 1 --skew 1.1 --out /tmp/scaledata/sf1-skew
 
-Deterministic for a given (sf, seed). Writes one parquet per table.
+Deterministic for a given (sf, seed, skew). Writes one parquet per table.
+
+``--skew ALPHA`` (VERDICT r8 item 2) replaces the uniform key draws
+with a bounded Zipf(ALPHA) law on every hot-path key — the 100 TB
+reality where domains/users/brands/tokens are power-law distributed,
+which the driver's near-uniform fixtures never stress:
+
+    o_custkey, l_partkey, l_suppkey (join/agg fan-in),
+    events.user_id (sessionization/agg), part.p_brand (x38's
+    quadratic blocking key), documents.source (domain cap), and the
+    document TOKEN draws themselves (hot shingles for the
+    x102/x110/x120 shingle-shuffle family).
+
+Row counts, value ranges and dup rates are unchanged — only the key
+DISTRIBUTIONS move, so uniform-vs-skew at the same sf isolates the
+skew cost and small-vs-big within the skew law gives apples-to-apples
+growth.
 """
 
 from __future__ import annotations
@@ -63,15 +80,33 @@ def write(out: str, name: str, table: pa.Table) -> None:
     print(f"{name}: {table.num_rows} rows", file=sys.stderr)
 
 
+def _zipf_p(n_keys: int, alpha: float) -> np.ndarray:
+    ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+    p = ranks**-alpha
+    return p / p.sum()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--skew",
+        type=float,
+        default=0.0,
+        help="Zipf alpha for hot-path keys (0 = uniform, the driver law)",
+    )
     args = ap.parse_args()
     sf, out = args.sf, args.out
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
+
+    def keys(n_keys: int, size: int) -> np.ndarray:
+        """Key draws: uniform, or bounded Zipf(--skew) with key 0 hottest."""
+        if not args.skew:
+            return rng.integers(0, n_keys, size)
+        return rng.choice(n_keys, size=size, p=_zipf_p(n_keys, args.skew))
 
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -113,7 +148,7 @@ def main() -> int:
             f"{P_ADJ[a]} {P_NOUN[b]}"
             for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
         ],
-        "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(1, 26, n_part)]),
+        "p_brand": pa.array([f"Brand#{b + 1}" for b in keys(25, n_part)]),
         "p_type": pa.array(np.array(P_TYPES)[rng.integers(0, 6, n_part)]),
         "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
         "p_retailprice": np.round(900.0 + 0.1 * np.arange(n_part), 2),
@@ -123,7 +158,7 @@ def main() -> int:
     odate_day = rng.integers(0, 2405, n_ord)
     write(out, "orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_custkey": pa.array(keys(n_cust, n_ord), pa.int64()),
         "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)]),
         "o_totalprice": np.round(rng.uniform(1_000, 400_000, n_ord), 2),
         "o_orderdate": _ts_us("1995-01-01", odate_day * DAY_US),
@@ -138,8 +173,8 @@ def main() -> int:
     li_ship_day = np.repeat(odate_day, lines) + rng.integers(1, 96, n_li)
     write(out, "lineitem", pa.table({
         "l_orderkey": pa.array(okey, pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_partkey": pa.array(keys(n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(keys(n_supp, n_li), pa.int64()),
         "l_linenumber": pa.array(linenum, pa.int32()),
         "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
         "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
@@ -154,7 +189,7 @@ def main() -> int:
     write(out, "events", pa.table({
         "event_id": pa.array(np.arange(n_evt), pa.int64()),
         "ts": _ts_us("2024-01-01", rng.integers(0, 30 * DAY_US, n_evt)),
-        "user_id": pa.array(rng.integers(0, n_user, n_evt), pa.int64()),
+        "user_id": pa.array(keys(n_user, n_evt), pa.int64()),
         "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_evt)]),
         "value": np.round(np.minimum(rng.exponential(50.0, n_evt), 560.0), 2),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_evt)]),
@@ -168,7 +203,7 @@ def main() -> int:
     doc_lens = rng.integers(8, 116, n_doc)
     texts: list[str] = []
     for i in range(n_doc):
-        words = vocab[rng.integers(0, len(vocab), doc_lens[i])]
+        words = vocab[keys(len(vocab), doc_lens[i])]
         texts.append(" ".join(words))
     n_dup = max(1, n_doc // 200)
     for src, dst in zip(
@@ -187,7 +222,7 @@ def main() -> int:
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),
         "text": texts,
         "lang": pa.array(rng.choice(LANGS, n_doc, p=LANG_P)),
-        "source": pa.array([f"src{i % 20}" for i in rng.integers(0, 10**9, n_doc)]),
+        "source": pa.array([f"src{i}" for i in keys(20, n_doc)]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 

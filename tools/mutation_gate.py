@@ -119,6 +119,39 @@ TARGETS: dict[str, list[str]] = {
     ],
 }
 
+# Documented-equivalent mutants (standard mutation-testing practice:
+# equivalent mutants are excluded from the killable denominator, never
+# from the report). Every entry must carry the WHY; the argument's
+# long form lives in QUALITY.md. Entries are matched against the
+# enumerated site description exactly — a stale entry (line drift
+# after an edit) is reported as such so it can't silently mask a new
+# killable site at the same description.
+EQUIVALENT_MUTANTS: dict[str, dict[str, str]] = {
+    "skoltexter_by_ai_spark/operators/curation.py": {
+        "L244: False -> True": (
+            "hash_shingles default (ngram_contamination): the hashed-shingle "
+            "join is output-equal to the string form (equivalence "
+            "unit-tested; QUALITY r8)"
+        ),
+        "L316: False -> True": (
+            "hash_shingles default (decontaminate): same equivalence as "
+            "L244 — the flag only changes join-key encoding (QUALITY r8)"
+        ),
+        "L223: Add -> Sub": (
+            "(conv+1) md5 draw guard: behavioral only on md5 prefix "
+            "00000000 (p=2^-32/row); unkillable by construction (QUALITY r8)"
+        ),
+        "L537: True -> False": (
+            "localCheckpoint eagerness: resource-only, no output content "
+            "(QUALITY r8 class: eager flags)"
+        ),
+        "L609: True -> False": (
+            "localCheckpoint eagerness: resource-only (QUALITY r8 class)"
+        ),
+    },
+}
+
+
 _CMP_FLIP = {
     ast.Eq: ast.NotEq,
     ast.NotEq: ast.Eq,
@@ -262,6 +295,13 @@ def main() -> int:
         default=None,
         help="substring filter on target module paths (re-run one module)",
     )
+    ap.add_argument(
+        "--seed",
+        type=int,
+        default=None,
+        help="draw a RANDOM per-module sample with this seed instead of "
+        "the deterministic strided one (fresh-sample sweeps)",
+    )
     args = ap.parse_args()
 
     # A hard kill (SIGKILL / session timeout) mid-run can strand a
@@ -297,12 +337,31 @@ def main() -> int:
             src = open(path).read()
             tree = ast.parse(src)
             sites = enumerate_sites(tree)
-            picked = list(range(len(sites)))
+            equiv = EQUIVALENT_MUTANTS.get(rel, {})
+            site_descs = {d for _, d in sites}
+            stale = sorted(set(equiv) - site_descs)
+            # killable sites = everything not registered equivalent
+            killable_idx = [i for i, (_, d) in enumerate(sites) if d not in equiv]
+            picked = killable_idx
             if per_file_budget and len(picked) > per_file_budget:
-                stride = len(picked) / per_file_budget
-                picked = [int(i * stride) for i in range(per_file_budget)]
+                if args.seed is not None:
+                    import random
+
+                    picked = sorted(
+                        random.Random(args.seed + hash(rel) % 10**6).sample(
+                            killable_idx, per_file_budget
+                        )
+                    )
+                else:
+                    stride = len(picked) / per_file_budget
+                    picked = [killable_idx[int(i * stride)] for i in range(per_file_budget)]
             if args.list:
-                summary[rel] = {"sites": len(sites), "picked": [sites[i][1] for i in picked]}
+                summary[rel] = {
+                    "sites": len(sites),
+                    "equivalent_registered": len(equiv),
+                    "stale_equiv_entries": stale,
+                    "picked": [sites[i][1] for i in picked],
+                }
                 continue
 
             survivors: list[str] = []
@@ -325,6 +384,10 @@ def main() -> int:
             with open(box_path, "w") as fh:
                 fh.write(src)
             summary[rel] = _module_summary(sites, picked, killed, survivors)
+            if equiv:
+                summary[rel]["equivalent_registered"] = len(equiv)
+            if stale:
+                summary[rel]["stale_equiv_entries"] = stale
             total_tested += len(picked)
             total_killed += killed
     finally:
