@@ -815,3 +815,60 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.col("n_distinct").cast("bigint").alias("n_distinct"),
         )
     )
+
+
+# PII scrubbing patterns: (kind, regex, replacement token). ASCII-only
+# constructs (character classes, {m,n}, \b) that mean the same thing
+# in Java regex (Spark) and RE2 (DuckDB), so the oracle can mirror the
+# scrub exactly. Conservative by design: high-precision patterns a
+# production pipeline would extend, not a claim of PII completeness.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Regex PII redaction — the pre-release hygiene pass every
+    training-corpus pipeline runs (emails, IPv4 addresses,
+    international phone numbers by default; pass your own
+    ``(kind, regex, token)`` triples to extend).
+
+    Patterns apply SEQUENTIALLY, and each kind's count is taken on the
+    text as it stands when that pattern runs (so an email containing a
+    ``+digits`` local part is counted once, as an email — the
+    replacement token contains no digits, so later patterns cannot
+    re-match inside it). Output:
+    ``(id_col, clean_text, n_<kind>..., n_redactions)``.
+
+    NULL text passes through as NULL with zero counts (no PII
+    identity), matching the engine's other text-gate operators.
+
+    Scale posture: pure column expressions (``regexp_count`` +
+    ``regexp_replace``, JVM regex inside codegen) — a narrow map-only
+    pass with ZERO shuffles, trivially streaming-safe, and composable
+    into any curation funnel projection for free.
+    """
+    cur = F.col(text_col)
+    counts: list[Column] = []
+    names: list[str] = []
+    for kind, pat, token in patterns:
+        c = F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).cast("bigint")
+        counts.append(c)
+        names.append(f"n_{kind}")
+        cur = F.regexp_replace(cur, pat, token)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.select(
+        F.col(id_col),
+        cur.alias("clean_text"),
+        *[c.alias(n) for c, n in zip(counts, names)],
+        total.alias("n_redactions"),
+    )

@@ -1148,3 +1148,75 @@ def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "x123_scrub_pii",
+    # PII redaction gate. The fixture corpus is PII-free word salad,
+    # so the query INJECTS deterministic PII derived from doc_id on
+    # BOTH engines (an email, an international phone, an IPv4 per
+    # doc) and then scrubs it — the counts and the rebuilt clean_text
+    # are therefore non-trivially hash-checked, not a vacuous no-op
+    # pass. Patterns are ASCII-only constructs with identical
+    # semantics in Java regex and RE2; DuckDB's regexp_replace needs
+    # the explicit 'g' flag to match Spark's replace-all default.
+    oracle=r"""
+        WITH inj AS (
+            SELECT doc_id,
+                   COALESCE(text, '') || ' contact user'
+                   || CAST(doc_id AS VARCHAR) || '@example.com or +1415555'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' from ' || CAST(doc_id % 256 AS VARCHAR) || '.0.0.1' AS text
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+            FROM inj
+        ),
+        s2 AS (
+            SELECT doc_id, n_email,
+                   CAST(len(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t, '\+\d{7,15}')) AS BIGINT) AS n_phone,
+                   regexp_replace(t, '\+\d{7,15}', '<PHONE>', 'g') AS t
+            FROM s2
+        )
+        SELECT doc_id, t AS clean_text, n_email, n_ipv4, n_phone,
+               n_email + n_ipv4 + n_phone AS n_redactions
+        FROM s3
+        ORDER BY doc_id
+    """,
+    covers="PII scrubbing: sequential regex redaction (email/IPv4/phone) with per-kind counts, zero-shuffle in-row",
+    tags=("text", "curation"),
+    min_rows=400,
+)
+def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.curation import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1415555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from "),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.0.1"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected, "doc_id", "text").orderBy("doc_id")

@@ -559,3 +559,53 @@ def test_epoch_shards_single_shard_is_legal(spark):
     assert {r.shard for r in rows} == {0}
     with pytest.raises(ValueError, match="n_shards"):
         epoch_shards(df, "doc_id", n_shards=0, epoch=3)
+
+
+def test_scrub_pii_hand_values(spark):
+    """Crafted PII rows: per-kind counts, replace-ALL semantics,
+    sequential ordering (an email with a +digits local part is counted
+    once as an email — the token masks the digits before the phone
+    pattern runs), NULL pass-through, and no false hits on plain
+    prose or on decimals that are not IPv4-shaped."""
+    from skoltexter_by_ai_spark.operators.curation import scrub_pii
+
+    rows = [
+        (1, "mail a@b.io and c.d+1234567@e-f.org twice"),
+        (2, "call +4915112345678 or +123456789012345 now"),
+        (3, "from 10.0.0.1 to 255.255.255.255"),
+        (4, "no pii here, just 3.14 and version 1.2"),
+        (5, None),
+        (6, "mix x@y.de at 192.168.0.7 via +1234567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df, "doc_id", "text").collect()}
+
+    assert got[1].n_email == 2 and got[1].n_redactions == 2
+    assert got[1].clean_text == "mail <EMAIL> and <EMAIL> twice"
+    assert got[2].n_phone == 2
+    assert got[2].clean_text == "call <PHONE> or <PHONE> now"
+    assert got[3].n_ipv4 == 2
+    assert got[3].clean_text == "from <IP> to <IP>"
+    # "3.14" / "1.2" are not 4-octet shapes; nothing fires
+    assert got[4].n_redactions == 0 and got[4].clean_text == rows[3][1]
+    assert got[5].clean_text is None and got[5].n_redactions == 0
+    assert (got[6].n_email, got[6].n_ipv4, got[6].n_phone) == (1, 1, 1)
+    assert got[6].clean_text == "mix <EMAIL> at <IP> via <PHONE>"
+
+    # ordering: the +1234567 inside the email local part must NOT be
+    # double-counted as a phone (masked by <EMAIL> first)
+    one = scrub_pii(
+        spark.createDataFrame([(9, "ping c+1234567@x.org ok")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    ).collect()[0]
+    assert (one.n_email, one.n_phone, one.clean_text) == (1, 0, "ping <EMAIL> ok")
+
+    # custom pattern set extends the gate
+    custom = scrub_pii(
+        spark.createDataFrame([(1, "id ABC-12-34 x")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+        patterns=(("badge", r"\b[A-Z]{3}-\d{2}-\d{2}\b", "<BADGE>"),),
+    ).collect()[0]
+    assert (custom.n_badge, custom.clean_text) == (1, "id <BADGE> x")
