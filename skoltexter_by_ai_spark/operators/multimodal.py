@@ -475,8 +475,12 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             # length-prefixed segment — parsing it as one would consume
             # arbitrary trailing bytes (ADVICE r8).
             raise ValueError("truncated JPEG (EOI before SOF/SOS)")
+        if i + 4 > len(data) or int.from_bytes(data[i + 2 : i + 4], "big") < 2:
+            raise ValueError("truncated JPEG segment header (corrupt)")
         ln = int.from_bytes(data[i + 2 : i + 4], "big")
         seg = data[i + 4 : i + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated JPEG segment (corrupt)")
         if m == 0xDB:
             _jpeg_parse_dqt(seg, qt)
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
@@ -706,8 +710,12 @@ def _decode_jpeg_progressive(
             continue
         if m == 0xD9:  # EOI
             break
+        if i + 4 > len(data) or int.from_bytes(data[i + 2 : i + 4], "big") < 2:
+            raise ValueError("truncated JPEG segment header (corrupt)")
         ln = int.from_bytes(data[i + 2 : i + 4], "big")
         seg = data[i + 4 : i + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated JPEG segment (corrupt)")
         if m == 0xDB:
             _jpeg_parse_dqt(seg, qt)
         elif m == 0xC4:

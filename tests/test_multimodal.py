@@ -758,3 +758,41 @@ def test_jpeg_corrupt_headers_raise_value_error_not_keyerror():
     bad_tab = bytes(plain[: i + 6]) + bytes((0x33,)) + bytes(plain[i + 7 :])
     with pytest.raises(ValueError, match="missing Huffman table"):
         mm.decode_media(bad_tab)
+
+
+def test_jpeg_progressive_noninterleaved_dc_script():
+    # T.81 allows per-component (Ns=1) DC scans too; the decoder's
+    # chroma-DC byte-skip and the non-interleaved Y grid must both
+    # hold, with and without restart markers.
+    import numpy as np
+
+    from jpeg_ref import encode, encode_progressive
+
+    rng = np.random.default_rng(21)
+    y = rng.integers(0, 256, (14, 20), np.uint8)
+    cb = rng.integers(0, 256, (8, 16), np.uint8)
+    cr = rng.integers(0, 256, (8, 16), np.uint8)
+    scans = [
+        ([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1), ([2], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+        ([0], 0, 0, 1, 0), ([1], 0, 0, 1, 0), ([2], 0, 0, 1, 0),
+    ]
+    base = mm.decode_media(encode(y, cb, cr))
+    assert mm.decode_media(encode_progressive(y, cb, cr, scans=scans)) == base
+    assert (
+        mm.decode_media(encode_progressive(y, cb, cr, scans=scans, restart=2)) == base
+    )
+
+
+def test_jpeg_progressive_truncation_always_valueerror():
+    # Chopping a progressive stream anywhere must raise ValueError —
+    # never a silent partial answer, never a non-contract exception.
+    import numpy as np
+
+    from jpeg_ref import encode_progressive
+
+    rng = np.random.default_rng(22)
+    full = encode_progressive(rng.integers(0, 256, (14, 20), np.uint8))
+    for cut in range(20, len(full) - 1, 53):
+        with pytest.raises(ValueError):
+            mm.decode_media(full[:cut])
