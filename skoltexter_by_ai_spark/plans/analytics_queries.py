@@ -158,27 +158,28 @@ def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    # Only ~25 distinct brands: a plain shuffle join on the blocking
-    # key leaves <=25 tasks carrying the quadratic comparison work,
-    # and an unconditional full-table broadcast (round 1) ships the
-    # whole table to every executor — a multi-GB broadcast at 100x
-    # scale. Salted replication fixes both: side A carries one
-    # deterministic salt per row, side B replicates across all salt
-    # values, and the join key becomes (brand, salt) — salt_n x 25
-    # independent tasks with bounded memory and no broadcast. Each
-    # (a, b) pair still meets exactly once (A has exactly one salt).
-    # AQE may still *choose* a broadcast at small scale — that is the
-    # threshold-guarded degradation, not a hard-coded hint.
-    salt_n = 16
+    # Distance work collapses to DISTINCT (brand, name) pairs: the
+    # levenshtein between two names does not depend on which rows
+    # carry them, so compute it once per distinct pair and fan the
+    # result back out to part keys with two equi-joins. Comparison
+    # count becomes sum_brand(distinct_names^2) — independent of how
+    # many ROWS each brand has, which is exactly what a Zipf-hot
+    # blocking key breaks in the naive sum(block^2) form (the r8
+    # salted block-join did bounded-memory block^2; this does not do
+    # block^2 at all). Floor: with near-unique names the distinct
+    # frame IS the table and the plan degrades to the classic grouped
+    # quadratic — the declared contract — at the cost of one extra
+    # hash-aggregate shuffle. The OUTPUT (key pairs at distance <= 3)
+    # is still quadratic in duplicated names by definition; that part
+    # is the answer, not overhead.
+    names = part.select("p_brand", "p_name").distinct()
 
     # Character-SET mask: one edit changes the set of distinct letters
     # by at most 2 (a substitution can retire one letter and introduce
     # another), so levenshtein(a, b) <= 3 implies
     # bit_count(mask_a XOR mask_b) <= 6 — a SOUND per-pair prefilter
     # costing one xor+bit_count against the banded levenshtein's
-    # diagonal walk. Computed once per input row; rejects 63% of the
-    # length-surviving pairs on this fixture (7.7M -> 2.9M distance
-    # calls at sf0.1).
+    # diagonal walk.
     def _charset_mask(col: str):
         chars = F.array_distinct(F.split(F.lower(F.col(col)), ""))
         return F.aggregate(
@@ -189,50 +190,58 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    # Pin the join parallelism with user-specified repartition counts:
-    # the (id, name) shuffle rows are tiny, so AQE would coalesce the
-    # join down to one partition by size — and then the quadratic
-    # intra-bucket pair expansion (which AQE cannot see) runs serially.
-    # Explicit numPartitions repartitions are exempt from AQE
-    # coalescing, keeping all salt_n x 25 buckets spread over cores.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = part.select(
+    a = names.select(
         F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.length("p_name").alias("len_a"),
         _charset_mask("p_name").alias("mask_a"),
-        F.pmod(F.hash("p_partkey"), F.lit(salt_n)).cast("int").alias("salt"),
-    ).repartition(shuffle_n, "brand", "salt")
-    b = (
-        part.select(
-            F.col("p_brand").alias("brand"),
-            F.col("p_partkey").alias("key_b"),
-            F.col("p_name").alias("name_b"),
-            F.length("p_name").alias("len_b"),
-            _charset_mask("p_name").alias("mask_b"),
-        )
-        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
-        .repartition(shuffle_n, "brand", "salt")
     )
-    # Lengths are computed once per input row (not once per joined
-    # pair), and the distance uses the banded threshold form —
-    # levenshtein(a, b, k) walks a (2k+1)-wide diagonal band and
-    # returns -1 when the distance exceeds k, instead of filling the
-    # full O(m*n) matrix only to discard the row.
-    return (
-        a.join(b, ["brand", "salt"])
-        .filter(F.col("key_a") < F.col("key_b"))
+    b = names.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("len_b"),
+        _charset_mask("p_name").alias("mask_b"),
+    )
+    # FULL cross within the brand (both orders AND the name==name
+    # diagonal): key pairs are ordered by p_partkey, not by name, so
+    # the fan-out join below needs (nA, nB), (nB, nA) and (n, n) all
+    # present. The banded levenshtein(a, b, 3) walks a 7-wide diagonal
+    # and returns -1 past the threshold instead of filling O(m*n).
+    cand = (
+        a.join(b, "brand")
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 3)
-        .filter(
-            F.bit_count(F.col("mask_a").bitwiseXOR(F.col("mask_b"))) <= 6
-        )
+        .filter(F.bit_count(F.col("mask_a").bitwiseXOR(F.col("mask_b"))) <= 6)
         .select(
-            "key_a",
-            "key_b",
+            "brand",
+            "name_a",
+            "name_b",
             F.levenshtein("name_a", "name_b", 3).alias("dist"),
         )
         .filter(F.col("dist") >= 0)
+    )
+    pa = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_partkey").alias("key_a"),
+    )
+    pb = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_partkey").alias("key_b"),
+    )
+    # Explicit repartition before the expanding join: the pair fan-out
+    # happens AT the join, which AQE cannot see from shuffle-read
+    # sizes — a coalesce-to-few-tasks decision would serialize the
+    # output generation. User repartitions are exempt from AQE
+    # coalescing (same reasoning the r8 salted form pinned).
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    mid = pa.join(cand, ["brand", "name_a"]).repartition(
+        shuffle_n, "brand", "name_b"
+    )
+    return (
+        mid.join(pb, ["brand", "name_b"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "dist")
         .orderBy("key_a", "key_b")
     )
 

@@ -118,12 +118,14 @@ def test_point_lookup_pushes_key_filter(spark):
     assert m and "EqualTo(c_custkey,42)" in m.group(1), plan
 
 
-def test_fuzzy_pairs_salted_shuffle_no_full_broadcast(spark):
-    # x38: the build side must NOT be an unconditional full-table
-    # broadcast (multi-GB at 100x scale). With auto-broadcast disabled
-    # the plan must degrade to a shuffle join spread over the salted
-    # (brand, salt) key — any surviving BroadcastExchange would prove
-    # a hard-coded broadcast hint.
+def test_fuzzy_pairs_distinct_distance_no_full_broadcast(spark):
+    # x38 (r9 form): levenshtein must run on the DISTINCT (brand,
+    # name) pair frame, never per key pair — the plan carries a
+    # distinct aggregate over (p_brand, p_name) upstream of the
+    # distance, and the distance appears in a projection keyed by
+    # names (before the key fan-out joins). With auto-broadcast
+    # disabled no BroadcastExchange may survive (nothing hard-codes a
+    # full-table broadcast).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -132,7 +134,10 @@ def test_fuzzy_pairs_salted_shuffle_no_full_broadcast(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "BroadcastExchange" not in plan, plan
-    assert "salt" in plan and "explode" in plan, plan
+    assert "levenshtein" in plan, plan
+    # the distinct pass: a HashAggregate whose grouping keys are
+    # exactly the brand+name columns
+    assert re.search(r"HashAggregate.*keys=\[p_brand[^\]]*p_name", plan), plan
 
 
 def test_token_vocabulary_picks_ranking_path_by_request(spark):
