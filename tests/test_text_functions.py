@@ -1224,3 +1224,75 @@ def test_round8_operators_null_and_empty_text_edges(spark):
 
     pb = {r.doc_id: r.bucket for r in perplexity_buckets(df, "doc_id", "text").collect()}
     assert set(pb) == {3}, "token-less docs have no LM score row"
+
+
+def test_chunk_documents_default_stride_is_24(spark):
+    """The unpinned signature default: a 40-token doc chunks into
+    [0..32) and [24..40) at the default stride 24 — the second chunk
+    must start at token index 24 and carry 16 tokens."""
+    from skoltexter_by_ai_spark.operators.text_analysis import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(40))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r.chunk_id: r for r in chunk_documents(df, "doc_id", "text").collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_chunk_tokens == 32 and rows[0].chunk_text.startswith("t0 ")
+    assert rows[1].n_chunk_tokens == 16
+    assert rows[1].chunk_text.split(" ")[0] == "t24"
+
+
+def test_boilerplate_share_path_selection_contract(spark):
+    """Path selection is part of the contract (the r7 token_vocabulary
+    precedent): the DEFAULT must take the rare-shingle counting path
+    (min/max-id aggregates, NO per-shingle Window — a hot shingle
+    would serialize a window partition at scale); min_df=3 is still
+    inside the rare path (<= boundary); min_df=4 takes the generic
+    join path; single_pass=True opts into the window form."""
+    from skoltexter_by_ai_spark.operators.text_analysis import boilerplate_share
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y")], "doc_id long, text string"
+    )
+
+    def plan(**kw):
+        return (
+            boilerplate_share(df, "doc_id", "text", n=2, **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p_default = plan()
+    assert "Window" not in p_default and "min(doc_id" in p_default, p_default
+    p3 = plan(min_df=3)
+    assert "Window" not in p3 and "min(doc_id" in p3, p3
+    p4 = plan(min_df=4)
+    assert "min(doc_id" not in p4 and "Window" not in p4, p4
+    p_w = plan(single_pass=True)
+    assert "Window" in p_w, p_w
+    # all four paths agree on values (the output-equality base the
+    # plan contract sits on)
+    vals = {
+        name: sorted(
+            (r.doc_id, r.n_shingles, r.boilerplate_share)
+            for r in boilerplate_share(df, "doc_id", "text", n=2, **kw).collect()
+        )
+        for name, kw in {
+            "default": {},
+            "mindf3": {"min_df": 3},
+            "single": {"single_pass": True},
+        }.items()
+    }
+    assert vals["default"] == vals["single"]
+
+
+def test_bpe_segment_merges_down_to_single_symbol(spark):
+    """The merge loop must keep going while TWO symbols remain: a word
+    whose final rule fuses the last pair into one piece (here
+    'a' + '</w>') must come out as ONE token, not stall at two."""
+    from skoltexter_by_ai_spark.operators.text_analysis import bpe_segment
+
+    merges = [("a", "</w>", 1), ("a</w>", "", 2)][:1]
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    row = bpe_segment(df, "doc_id", "text", merges).collect()[0]
+    assert row.pieces == ["a</w>"] and row.n_pieces == 1

@@ -148,6 +148,31 @@ EQUIVALENT_MUTANTS: dict[str, dict[str, str]] = {
         "L609: True -> False": (
             "localCheckpoint eagerness: resource-only (QUALITY r8 class)"
         ),
+        "L561: Lt -> LtE": (
+            "on_half_grid tolerance |x| < 0.01: the discriminant is ~0 on "
+            "the half grid and >= 0.5 units off it; exactly 0.01 is "
+            "unreachable, so < vs <= cannot differ (QUALITY r9)"
+        ),
+    },
+    "skoltexter_by_ai_spark/operators/retrieval.py": {
+        "L223: Sub -> Add": (
+            "bigram shift slice length size-1 -> size+1: Spark's slice "
+            "clamps past the array end, so both lengths return elements "
+            "2..end; the r8-argued L229 class, line drifted (QUALITY r8/r9)"
+        ),
+        "L223: 0 -> 1": (
+            "greatest(size-1, 0) -> greatest(size-1, 1): only differs on "
+            "size<=1 arrays, where slice(arr, 2, 1) and slice(arr, 2, 0) "
+            "are both [] (start past end); clamp class, hand-verified "
+            "(QUALITY r9)"
+        ),
+    },
+    "skoltexter_by_ai_spark/operators/text_analysis.py": {
+        "L981: Eq -> NotEq": (
+            "localCheckpoint cadence (rounds % checkpoint_every == 0): "
+            "checkpoint frequency is lineage/resource-only, output "
+            "identical (QUALITY r8 class: eager/cadence flags)"
+        ),
     },
 }
 

@@ -80,16 +80,32 @@ def main() -> int:
     # rehearsal would.
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
-    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey).groupBy(
-        "p_brand"
-    ).agg(F.sum("l_extendedprice").alias("rev"))
-    _consume(joined)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # Factor: a partition is "skewed" when > factor x median AND above
+    # the byte floor. The fixture's hot partition is ~4x median (15%
+    # of rows + co-resident keys vs 1/32 median), real 100 TB hot
+    # partitions are orders of magnitude past both bars; 2 keeps the
+    # rehearsal faithful to the RULE, not to production constants.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    # Plan capture: run THE DATASET'S OWN QueryExecution to completion
+    # (executeCollect) and read back its finalized adaptive plan — a
+    # noop-sink write runs a SEPARATE QueryExecution and the dataset's
+    # own plan stays isFinalPlan=false, silently reporting "no skew
+    # split" forever (the bug this probe's first version had). The
+    # skinny projection keeps the collected result tiny; an inner join
+    # cannot be pruned away by it.
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey).select(
+        part.p_brand
+    )
+    qe = joined._jdf.queryExecution()
+    qe.executedPlan().executeCollect()
+    plan = qe.executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     out["aqe_skew_split_fired"] = "skew=true" in plan
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
     spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
 
     # --- 2. salted_agg vs plain groupBy on the Zipf-hot l_suppkey
     aggs = {"n": ("count", None), "revenue": ("sum_cents", "l_extendedprice")}
