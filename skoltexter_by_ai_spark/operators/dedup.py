@@ -294,6 +294,29 @@ def band_buckets(
     )
 
 
+def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` members — the
+    standard mega-bucket guard for discriminative dedup. A bucket that
+    big means its key is shared boilerplate-level structure, not a
+    discriminative fingerprint: the pair expansion it would feed is
+    quadratic in bucket size, and (measured, SCALING.md round 9) a
+    Zipf-token corpus degenerates into buckets whose ALL-PAIRS answer
+    is the whole corpus squared. Recall contract: only pairs whose
+    EVERY shared band is a mega-bucket are lost — i.e. members of a
+    >max_bucket near-dup cluster; when those clusters are what you
+    want, use the components path (dedup_clusters →
+    cluster_representatives) instead of pairwise output. The sizing
+    agg shares the join's shuffle key, so the guard co-partitions with
+    the self-join it protects.
+    """
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1: {max_bucket}")
+    sizes = buckets.groupBy(*keys).agg(F.count("*").alias("__bsz"))
+    return buckets.join(
+        sizes.filter(F.col("__bsz") <= max_bucket), keys
+    ).drop("__bsz")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -302,6 +325,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -312,13 +336,22 @@ def minhash_lsh_candidates(
 
     Scale posture: signatures are computed in one narrow pass (no
     shuffle), candidates come from a single shuffle keyed by
-    (band_id, band_hash) — the LSH guarantee keeps bucket sizes small
-    for any corpus where near-dup clusters are small relative to the
-    corpus. Skewed buckets (boilerplate docs) are split by AQE.
+    (band_id, band_hash). The LSH guarantee keeps bucket sizes small
+    only while near-dup clusters are small relative to the corpus;
+    AQE splits a hot bucket's JOIN TASKS but cannot shrink its
+    quadratic pair OUTPUT. On corpora where repeated boilerplate
+    makes whole swathes of documents mutually similar (measured on
+    the Zipf-token fixture: candidate count grows ~quadratically,
+    SCALING.md round 9), pass ``max_bucket`` to drop non-discriminative
+    mega-buckets — see :func:`_cap_buckets` for the exact recall
+    contract — or switch to the components path when clusters, not
+    pairs, are the goal.
     """
     buckets = band_buckets(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
     )
+    if max_bucket is not None:
+        buckets = _cap_buckets(buckets, ["__band", "__bucket"], max_bucket)
     left = buckets.select("__band", "__bucket", F.col("__id").alias("id_a"))
     right = buckets.select("__band", "__bucket", F.col("__id").alias("id_b"))
     return (
@@ -338,14 +371,19 @@ def minhash_near_dups(
     bands: int = 8,
     seed: int = 42,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates re-ranked by exact Jaccard (verify step).
 
     The candidate set is tiny relative to the corpus, so the exact
-    verification join touches only candidate rows.
+    verification join touches only candidate rows. ``max_bucket``
+    passes through to the candidate stage (mega-bucket guard for
+    boilerplate-degenerate corpora; see
+    :func:`minhash_lsh_candidates`).
     """
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed,
+        max_bucket=max_bucket,
     )
     sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
@@ -596,6 +634,7 @@ def simhash_near_dups(
     text_col: str,
     max_hamming: int = 3,
     reliable_checkpoint: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= ``max_hamming``.
 
@@ -673,11 +712,11 @@ def simhash_near_dups(
         )
     else:
         sig = raw_sig.localCheckpoint(eager=False)
-    return simhash_pairs_from_signatures(sig, id_col, max_hamming)
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming, max_bucket=max_bucket)
 
 
 def simhash_pairs_from_signatures(
-    sig: DataFrame, id_col: str, max_hamming: int = 3
+    sig: DataFrame, id_col: str, max_hamming: int = 3, max_bucket: int | None = None
 ) -> DataFrame:
     """Banded Hamming-radius pairs over a PRECOMPUTED signature table
     ``(id_col, simhash bigint)`` — the second half of
@@ -724,6 +763,8 @@ def simhash_pairs_from_signatures(
     # bias-concentrated corpus the candidate mass is ~100x the true pair
     # mass (2.0M candidates -> 15.6k pairs at sf0.1); a rejected
     # candidate costs one xor+bit_count and never leaves the join task.
+    if max_bucket is not None:
+        buckets = _cap_buckets(buckets, ["__band", "__chunk"], max_bucket)
     a, b = buckets.alias("a"), buckets.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # distinct() collapses the per-band re-emissions of each true pair

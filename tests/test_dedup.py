@@ -586,3 +586,41 @@ def test_simhash_near_dups_radius_zero_end_to_end(spark):
     )
     got = {(r.id_a, r.id_b) for r in simhash_near_dups(df, "doc_id", "text", max_hamming=0).collect()}
     assert got == {(1, 2)}
+
+
+def test_max_bucket_guard_drops_only_mega_buckets(spark):
+    """The mega-bucket guard: identical boilerplate docs form one giant
+    bucket whose all-pairs output is quadratic — with max_bucket they
+    vanish from the pairwise output, while a small genuine near-dup
+    pair (distinct bucket) is untouched. Applies to both LSH families."""
+    from skoltexter_by_ai_spark.operators.dedup import minhash_lsh_candidates
+
+    boiler = [(i, "the same boilerplate text repeated everywhere") for i in range(12)]
+    pair = [(100, "a genuinely unique document about gears"),
+            (101, "a genuinely unique document about gear")]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    uncapped = minhash_lsh_candidates(df, "doc_id", "text").collect()
+    capped = minhash_lsh_candidates(df, "doc_id", "text", max_bucket=5).collect()
+    # uncapped: 12*11/2 boilerplate pairs + the genuine pair
+    assert len(uncapped) == 66 + 1
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+
+    # simhash leg with crafted signatures (deterministic distances):
+    # 12 identical fingerprints = one mega-bucket in every band; ids
+    # 100/101 differ by one bit = a genuine radius-1 pair.
+    from skoltexter_by_ai_spark.operators.dedup import simhash_pairs_from_signatures
+
+    sig_rows = [(i, 0xDEADBEEF) for i in range(12)] + [(100, 0x55AA), (101, 0x55AB)]
+    sig = spark.createDataFrame(sig_rows, "doc_id long, simhash long")
+    s_uncapped = simhash_pairs_from_signatures(sig, "doc_id", max_hamming=3).collect()
+    assert len(s_uncapped) == 66 + 1
+    s_capped = simhash_pairs_from_signatures(
+        sig, "doc_id", max_hamming=3, max_bucket=5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in s_capped} == {(100, 101)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_lsh_candidates(df, "doc_id", "text", max_bucket=0)
