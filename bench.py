@@ -26,6 +26,17 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (field 8 of /proc/stat cpu
+    line), 0 where unavailable — embedded in the run conditions so a
+    noisy-neighbor run is distinguishable from a real regression."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except Exception:
+        return 0
+
+
 def _shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
     """Size shuffle partitions to the data, the way a production job
     would (≈4 MB of input per partition), clamped to [8, 3×cores].
@@ -54,6 +65,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_start = os.getloadavg()
+    steal_start = _steal_jiffies()
 
     from skoltexter_by_ai_spark.plans.registry import all_queries
     from skoltexter_by_ai_spark.session import default_parallelism, get_spark
@@ -154,6 +166,11 @@ def main() -> None:
     conditions = {
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # Hypervisor CPU steal during the run (jiffies, ~10ms each):
+        # on this shared box a noisy neighbor shows up here, not in
+        # loadavg — round 9 saw ~100k stolen jiffies turn an 89 s
+        # suite into 115 s with loadavg near zero.
+        "steal_jiffies": _steal_jiffies() - steal_start,
         "cpus": os.cpu_count(),
         "policy": "per query: 1 untimed warm run, then min of 2 timed runs",
     }
