@@ -855,10 +855,20 @@ def scrub_pii(
     pass with ZERO shuffles, trivially streaming-safe, and composable
     into any curation funnel projection for free.
     """
+    if not patterns:
+        raise ValueError("patterns must contain at least one (kind, regex, token) triple")
     cur = F.col(text_col)
     counts: list[Column] = []
     names: list[str] = []
     for kind, pat, token in patterns:
+        if "$" in token or "\\" in token:
+            # Java regexp_replace treats $ and \ in the REPLACEMENT as
+            # group references/escapes — an unescaped user token would
+            # fail at runtime (or silently substitute a capture).
+            raise ValueError(
+                f"replacement token {token!r} for {kind!r} must not contain "
+                "'$' or '\\' (Java group-reference syntax in regexp_replace)"
+            )
         c = F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).cast("bigint")
         counts.append(c)
         names.append(f"n_{kind}")

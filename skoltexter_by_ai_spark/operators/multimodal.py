@@ -394,6 +394,21 @@ def _jpeg_parse_dht(seg: bytes, dc_tab: dict, ac_tab: dict) -> None:
         p += 17 + nsym
 
 
+def _jpeg_segment(data: bytes, i: int) -> tuple[bytes, int]:
+    """Length-prefixed segment body at marker position ``i`` ->
+    ``(seg, ln)``. Shared by the sequential and progressive marker
+    loops so the truncation hardening can never drift between them:
+    a stream ending inside the length field or the body raises the
+    contract ValueError."""
+    if i + 4 > len(data) or int.from_bytes(data[i + 2 : i + 4], "big") < 2:
+        raise ValueError("truncated JPEG segment header (corrupt)")
+    ln = int.from_bytes(data[i + 2 : i + 4], "big")
+    seg = data[i + 4 : i + 2 + ln]
+    if len(seg) != ln - 2:
+        raise ValueError("truncated JPEG segment (corrupt)")
+    return seg, ln
+
+
 def _jpeg_next_marker(data: bytes, j: int) -> int:
     """Position of the next real marker at/after ``j``, skipping
     entropy bytes, 0xFF00 stuffing, 0xFF fill runs and RSTn markers —
@@ -475,12 +490,7 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             # length-prefixed segment — parsing it as one would consume
             # arbitrary trailing bytes (ADVICE r8).
             raise ValueError("truncated JPEG (EOI before SOF/SOS)")
-        if i + 4 > len(data) or int.from_bytes(data[i + 2 : i + 4], "big") < 2:
-            raise ValueError("truncated JPEG segment header (corrupt)")
-        ln = int.from_bytes(data[i + 2 : i + 4], "big")
-        seg = data[i + 4 : i + 2 + ln]
-        if len(seg) != ln - 2:
-            raise ValueError("truncated JPEG segment (corrupt)")
+        seg, ln = _jpeg_segment(data, i)
         if m == 0xDB:
             _jpeg_parse_dqt(seg, qt)
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
@@ -710,12 +720,7 @@ def _decode_jpeg_progressive(
             continue
         if m == 0xD9:  # EOI
             break
-        if i + 4 > len(data) or int.from_bytes(data[i + 2 : i + 4], "big") < 2:
-            raise ValueError("truncated JPEG segment header (corrupt)")
-        ln = int.from_bytes(data[i + 2 : i + 4], "big")
-        seg = data[i + 4 : i + 2 + ln]
-        if len(seg) != ln - 2:
-            raise ValueError("truncated JPEG segment (corrupt)")
+        seg, ln = _jpeg_segment(data, i)
         if m == 0xDB:
             _jpeg_parse_dqt(seg, qt)
         elif m == 0xC4:

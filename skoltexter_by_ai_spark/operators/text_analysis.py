@@ -900,6 +900,10 @@ def learn_bpe_merges(
                 .collect()
             )
             if not top:
+                # terminal round (pair table empty): it still ran a
+                # full counting job — record its wall so
+                # len(round_walls) == rounds in stats_out.
+                round_walls.append(_time.perf_counter() - _t_round)
                 break
             cands = [(r["__p"]["l"], r["__p"]["r"], int(r["__n"])) for r in top]
             complete = want > 1 and len(cands) < cap
@@ -1167,7 +1171,12 @@ def entropy_signals(
         import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"\s+")
+        # Java/RE2 \s is ASCII-only; Python \s is Unicode. The expr
+        # form and the DuckDB oracle tokenize with the former, so the
+        # Arrow twin must spell the ASCII class out — a non-breaking
+        # space is TOKEN TEXT here, not a separator (parity pinned in
+        # test_entropy_signals_impls_agree's U+00A0 row).
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         def ent(counts: "np.ndarray") -> float:
             # sorted-distinct left fold, -0.0 normalized — the exact

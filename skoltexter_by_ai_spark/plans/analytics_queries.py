@@ -207,6 +207,11 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fan-out join below needs (nA, nB), (nB, nA) and (n, n) all
     # present. The banded levenshtein(a, b, 3) walks a 7-wide diagonal
     # and returns -1 past the threshold instead of filling O(m*n).
+    # Deliberately NOT halved to name_a <= name_b + a swapped union:
+    # without a materialization barrier both union branches recompute
+    # the half-frame, so the distance count stays D^2 anyway — and on
+    # the distinct-name frame D^2 is thousands of microsecond-scale
+    # calls, not the cost center (the key fan-out is).
     cand = (
         a.join(b, "brand")
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 3)

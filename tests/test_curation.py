@@ -609,3 +609,18 @@ def test_scrub_pii_hand_values(spark):
         patterns=(("badge", r"\b[A-Z]{3}-\d{2}-\d{2}\b", "<BADGE>"),),
     ).collect()[0]
     assert (custom.n_badge, custom.clean_text) == (1, "id <BADGE> x")
+
+
+def test_scrub_pii_rejects_degenerate_inputs(spark):
+    """Empty pattern set and group-reference tokens fail fast with a
+    named ValueError instead of an IndexError / a runtime Java
+    IllegalArgumentException inside regexp_replace."""
+    from skoltexter_by_ai_spark.operators.curation import scrub_pii
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one"):
+        scrub_pii(df, "doc_id", "text", patterns=())
+    with pytest.raises(ValueError, match="group-reference"):
+        scrub_pii(df, "doc_id", "text", patterns=(("c", r"\d+", "$REDACTED"),))
+    with pytest.raises(ValueError, match="group-reference"):
+        scrub_pii(df, "doc_id", "text", patterns=(("c", r"\d+", "\\1"),))

@@ -1013,6 +1013,10 @@ def test_entropy_signals_impls_agree(spark):
         (4, "😀😀 héllo 😀"),
         (5, "x " * 200 + "y"),
         (6, "z"),
+        # Unicode whitespace is NOT a token separator in Java/RE2 \s:
+        # 'a b' is ONE token on both engines; the Arrow twin must
+        # agree (its first version used Python's Unicode \s and split it).
+        (7, "a b c d"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     a = {

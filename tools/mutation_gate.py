@@ -371,9 +371,14 @@ def main() -> int:
             if per_file_budget and len(picked) > per_file_budget:
                 if args.seed is not None:
                     import random
+                    import zlib
 
+                    # crc32, NOT hash(): str hashes are salted per
+                    # process, which would make "--seed N" pick a
+                    # different sample every run and the recorded
+                    # kill/survive results unreplayable.
                     picked = sorted(
-                        random.Random(args.seed + hash(rel) % 10**6).sample(
+                        random.Random(args.seed + zlib.crc32(rel.encode())).sample(
                             killable_idx, per_file_budget
                         )
                     )
