@@ -450,7 +450,12 @@ def incremental_near_dups(
     # over batch + index probe) would run twice. persist() not
     # localCheckpoint(): the builder must stay lazy (callers may never
     # execute it) and the candidate pair set is tiny by the LSH
-    # contract.
+    # contract. LIFECYCLE: the cached blocks live until the caller
+    # releases them — long-running callers (foreachBatch loops) MUST
+    # call release_candidate_cache(result) once the verified pairs are
+    # consumed, or cached candidate sets accumulate across micro-
+    # batches (ADVICE r9). The handle rides on the returned DataFrame
+    # as ``_sg_persisted``.
     cands = (
         ex_b.join(F.broadcast(in_b), ["__band", "__bucket"])
         .filter(F.col("new_id") != F.col("existing_id"))
@@ -471,7 +476,7 @@ def incremental_near_dups(
     in_sh = incoming.select(
         F.col(id_col).alias("new_id"), word_shingles(text_col, n).alias("__shb")
     )
-    return (
+    out = (
         cands.join(ex_sh, "existing_id")
         .join(in_sh, "new_id")
         .select(
@@ -481,6 +486,29 @@ def incremental_near_dups(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    # Hand the caller the persisted intermediate so repeated invocations
+    # (one per micro-batch in the streaming use) can release executor
+    # storage; release_candidate_cache() consumes it.
+    out._sg_persisted = cands
+    return out
+
+
+def release_candidate_cache(result: DataFrame) -> bool:
+    """Unpersist the candidate-pair cache attached to an
+    :func:`incremental_near_dups` result (the ``_sg_persisted``
+    handle). Returns True if a cache was found and released. Safe to
+    call more than once and on DataFrames from other builders (no-op,
+    returns False) — so a generic foreachBatch sink can call it
+    unconditionally after consuming any batch result. Call it AFTER
+    the result is fully consumed (collected / written): unpersisting
+    first would only forfeit the cache, not break correctness, since
+    the lineage is intact (persist, not localCheckpoint)."""
+    cands = getattr(result, "_sg_persisted", None)
+    if cands is None:
+        return False
+    cands.unpersist()
+    result._sg_persisted = None
+    return True
 
 
 # --- cluster assignment -------------------------------------------------------

@@ -890,6 +890,14 @@ def _prog_ac_scan(data, pos, ycoef, grid, ac, ss, se, ah, al, restart) -> int:
                             eob_run += br.receive(r)
                         break
                     k += 16
+                    # ZRL writes 16 zeros at k-16..k-1; all must land in
+                    # the band, so k may reach se+1 (ZRL filling exactly
+                    # to the band end is representable, if wasteful) but
+                    # never beyond — same corrupt-stream contract as the
+                    # coefficient-run check below (ADVICE r9: this
+                    # overrun previously exited the block loop silently).
+                    if k > se + 1:
+                        raise ValueError("JPEG AC run past band end (corrupt)")
                 else:
                     k += r
                     if k > se:

@@ -633,14 +633,34 @@ def dedup_against_index(
     data; filter NULL text upstream if that is the intent (behavior
     pinned in tests/test_streaming.py).
 
+    ``fp_col`` must NOT already exist on ``incoming`` — the working
+    column is added and dropped internally, so a pre-existing column of
+    that name would be silently overwritten and then removed, breaking
+    the schema contract above; the guard raises instead (ADVICE r9).
+
     The NEAR-dup tier of the same flow is the batch operator applied
-    per micro-batch: ``stream.writeStream.foreachBatch(lambda b, _:
-    sink(incremental_near_dups(existing, b, ...)))`` — each batch is a
-    plain DataFrame inside foreachBatch, so the banded-LSH screen runs
-    unchanged (parity pinned in tests/test_streaming.py).
+    per micro-batch, with the candidate cache released at batch end so
+    a long-running stream does not accumulate persisted blocks::
+
+        def _sink(b, _):
+            pairs = incremental_near_dups(existing, b, ...)
+            sink(pairs)
+            release_candidate_cache(pairs)
+        stream.writeStream.foreachBatch(_sink)
+
+    — each batch is a plain DataFrame inside foreachBatch, so the
+    banded-LSH screen runs unchanged (parity pinned in
+    tests/test_streaming.py).
     """
     from pyspark.sql import functions as F
 
+    if fp_col in incoming.columns:
+        raise ValueError(
+            f"dedup_against_index: incoming already has a column named "
+            f"{fp_col!r}; pass a different fp_col — the working "
+            f"fingerprint column is added and dropped internally and "
+            f"would destroy the existing column"
+        )
     return (
         incoming.withColumn(fp_col, F.md5(F.col(text_col)))
         .join(index, fp_col, "left_anti")

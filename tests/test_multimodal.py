@@ -784,6 +784,43 @@ def test_jpeg_progressive_noninterleaved_dc_script():
     )
 
 
+def test_jpeg_progressive_zrl_past_band_end_is_corrupt():
+    """An AC-first ZRL that advances past Se+1 is the same corrupt-
+    stream class as a coefficient run past the band end and must raise
+    the SAME ValueError — it previously exited the block loop silently,
+    half-accepting a spec-invalid stream (ADVICE r9). Hand-built
+    stream: one 8x8 component, DC scan, then an AC-first scan whose
+    entropy data is four ZRL symbols (64 zeros from k=1 -> k=65 > 64).
+    The AC Huffman table holds ONLY the ZRL symbol (canonical code '0')
+    so the bitstream is unambiguous."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    # one code of length 1 in each table: DC symbol 0x00, AC symbol 0xF0
+    dht_dc = seg(0xC4, bytes([0x00, 1] + [0] * 15 + [0x00]))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0xF0]))
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + b"\x7f"  # diff=0, pad 1s
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x0f"  # ZRL x4
+    data = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos_dc + sos_ac + b"\xff\xd9"
+    with pytest.raises(ValueError, match="band end"):
+        mm.decode_media(data)
+    # Control: the same stream with THREE ZRLs (k -> 49) then an EOB-
+    # run symbol is spec-questionable but in-band; it must not trip the
+    # band-end check (the guard fires only past Se+1). Three ZRL bits
+    # 000 then... the only AC symbol is ZRL, so instead assert the
+    # corrupt stream above is the raising case and a normal encoder
+    # round-trip still decodes (guard is not over-eager).
+    import numpy as np
+
+    from jpeg_ref import encode, encode_progressive
+
+    img = np.random.default_rng(77).integers(0, 256, (16, 16), np.uint8)
+    assert mm.decode_media(encode_progressive(img)) == mm.decode_media(encode(img))
+
+
 def test_jpeg_progressive_truncation_always_valueerror():
     # Chopping a progressive stream anywhere must raise ValueError —
     # never a silent partial answer, never a non-contract exception.

@@ -600,6 +600,62 @@ def test_dedup_against_index_null_text_passes_through(spark):
     assert out.columns == ["doc_id", "text"]
 
 
+def test_dedup_against_index_rejects_fp_col_collision(spark):
+    """A pre-existing incoming column named fp_col would be silently
+    overwritten by the working fingerprint and then dropped, breaking
+    the output-schema==input-schema contract — the guard raises
+    instead (ADVICE r9)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.streaming import dedup_against_index
+
+    docs = spark.createDataFrame(
+        [(1, "a", "keep-me")], "doc_id long, text string, fp string"
+    )
+    index = spark.createDataFrame([("a",)], "t string").select(
+        F.md5("t").alias("fp")
+    )
+    with pytest.raises(ValueError, match="fp"):
+        dedup_against_index(docs, index)
+    # renaming the working column (on BOTH sides — the index carries
+    # the fp_col column by contract) restores the operator
+    out = dedup_against_index(
+        docs, index.withColumnRenamed("fp", "__fp"), fp_col="__fp"
+    )
+    assert out.columns == ["doc_id", "text", "fp"]
+    assert out.count() == 0
+
+
+def test_incremental_near_dups_release_candidate_cache(spark):
+    """incremental_near_dups persists its candidate set (it feeds both
+    the semi-prune and the verify join); in the per-micro-batch use the
+    caller must release it or cached blocks accumulate for the life of
+    the stream (ADVICE r9). release_candidate_cache drops exactly that
+    cache, is idempotent, and no-ops on foreign DataFrames."""
+    from skoltexter_by_ai_spark.operators.dedup import (
+        incremental_near_dups,
+        release_candidate_cache,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = incremental_near_dups(existing, incoming, "doc_id", "text")
+    assert out.count() == 1  # materializes the persisted candidates
+    handle = out._sg_persisted
+    assert handle is not None and handle.storageLevel.useMemory
+    assert release_candidate_cache(out) is True
+    assert not handle.storageLevel.useMemory  # unpersisted
+    assert release_candidate_cache(out) is False  # idempotent
+    assert release_candidate_cache(existing) is False  # foreign frame no-op
+
+
 def test_incremental_near_dups_runs_per_micro_batch(spark, tmp_path):
     """The LSH near-dup screen composes into streaming via
     foreachBatch: each micro-batch is a plain DataFrame, so

@@ -39,10 +39,14 @@ def main() -> None:
     # value parity first: the two forms must agree exactly
     a = entropy_signals(docs, "doc_id", "text", impl="arrow")
     e = entropy_signals(docs, "doc_id", "text", impl="expr")
-    diff = a.join(e, "doc_id").where(
-        (a.n_chars != e.n_chars)
-        | (a.char_entropy != e.char_entropy)
-        | (a.token_entropy != e.token_entropy)
+    # eqNullSafe, not `!=`: a plain inequality is NULL when either side
+    # is NULL, so a NULL-vs-value divergence would never count as a
+    # difference (ADVICE r9). Also catch rows one impl drops entirely
+    # with a full outer join on the key.
+    diff = a.join(e, "doc_id", "full_outer").where(
+        ~a.n_chars.eqNullSafe(e.n_chars)
+        | ~a.char_entropy.eqNullSafe(e.char_entropy)
+        | ~a.token_entropy.eqNullSafe(e.token_entropy)
     )
     n_diff = diff.count()
 

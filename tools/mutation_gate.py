@@ -168,13 +168,60 @@ EQUIVALENT_MUTANTS: dict[str, dict[str, str]] = {
         ),
     },
     "skoltexter_by_ai_spark/operators/text_analysis.py": {
-        "L981: Eq -> NotEq": (
+        # was L981 when registered in r9; line drifted with the r9/r10
+        # edits — re-verified and re-keyed with its content fingerprint
+        "L985: Eq -> NotEq": (
             "localCheckpoint cadence (rounds % checkpoint_every == 0): "
             "checkpoint frequency is lineage/resource-only, output "
             "identical (QUALITY r8 class: eager/cadence flags)"
         ),
     },
 }
+
+# Content fingerprints for every EQUIVALENT_MUTANTS entry: crc32 (hex)
+# of the STRIPPED source line the registration points at. "L<line>:
+# <op>" alone is not a stable key — after code drift a genuinely new
+# killable mutant can land on the same line number with the same
+# operator shape and silently inherit the equivalence (ADVICE r9).
+# An entry whose line content no longer matches is reported as
+# DRIFTED and its site returns to the killable denominator until the
+# registration is re-verified. Regenerate a fingerprint with:
+#   python - <<'EOF'
+#   import zlib; line = open(MOD).read().splitlines()[LINENO-1]
+#   print(format(zlib.crc32(line.strip().encode()), "08x"))
+#   EOF
+EQUIVALENT_MUTANT_FPS: dict[str, dict[str, str]] = {
+    "skoltexter_by_ai_spark/operators/curation.py": {
+        "L244: False -> True": "9e5bd523",
+        "L316: False -> True": "9e5bd523",
+        "L223: Add -> Sub": "11ddb7a1",
+        "L537: True -> False": "7a601744",
+        "L609: True -> False": "a49202ab",
+        "L561: Lt -> LtE": "6c6a5efa",
+    },
+    "skoltexter_by_ai_spark/operators/retrieval.py": {
+        "L223: Sub -> Add": "1745f804",
+        "L223: 0 -> 1": "1745f804",
+    },
+    "skoltexter_by_ai_spark/operators/text_analysis.py": {
+        "L985: Eq -> NotEq": "2d97c1e0",
+    },
+}
+
+
+def _line_fp(src_lines: list[str], desc: str) -> str | None:
+    """crc32 hex of the stripped source line a site description names,
+    or None when the line number is out of range (post-drift)."""
+    import re
+    import zlib
+
+    m = re.match(r"L(\d+):", desc)
+    if not m:
+        return None
+    ln = int(m.group(1))
+    if not 1 <= ln <= len(src_lines):
+        return None
+    return format(zlib.crc32(src_lines[ln - 1].strip().encode()), "08x")
 
 
 _CMP_FLIP = {
@@ -365,8 +412,19 @@ def main() -> int:
             equiv = EQUIVALENT_MUTANTS.get(rel, {})
             site_descs = {d for _, d in sites}
             stale = sorted(set(equiv) - site_descs)
+            # Content-fingerprint check: an entry only holds while the
+            # source line it was argued against is byte-identical; a
+            # drifted line returns the site to the killable pool.
+            src_lines = src.splitlines()
+            fps = EQUIVALENT_MUTANT_FPS.get(rel, {})
+            drifted = sorted(
+                d
+                for d in equiv
+                if d in site_descs and fps.get(d) not in (None, _line_fp(src_lines, d))
+            )
+            equiv_live = {d for d in equiv if d in site_descs and d not in drifted}
             # killable sites = everything not registered equivalent
-            killable_idx = [i for i, (_, d) in enumerate(sites) if d not in equiv]
+            killable_idx = [i for i, (_, d) in enumerate(sites) if d not in equiv_live]
             picked = killable_idx
             if per_file_budget and len(picked) > per_file_budget:
                 if args.seed is not None:
@@ -390,6 +448,7 @@ def main() -> int:
                     "sites": len(sites),
                     "equivalent_registered": len(equiv),
                     "stale_equiv_entries": stale,
+                    "drifted_equiv_entries": drifted,
                     "picked": [sites[i][1] for i in picked],
                 }
                 continue
@@ -418,6 +477,8 @@ def main() -> int:
                 summary[rel]["equivalent_registered"] = len(equiv)
             if stale:
                 summary[rel]["stale_equiv_entries"] = stale
+            if drifted:
+                summary[rel]["drifted_equiv_entries"] = drifted
             total_tested += len(picked)
             total_killed += killed
     finally:
