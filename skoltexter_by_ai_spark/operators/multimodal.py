@@ -12,14 +12,15 @@ extension for training-data pipelines. Design:
   directory layout);
 - decode is pluggable behind :func:`decode_media`: WAV, netpbm
   PGM/PPM, uncompressed 24-bit BMP, 8-bit non-interlaced PNG
-  (DEFLATE via stdlib ``zlib`` + the five scanline filters) and
+  incl. indexed palette (DEFLATE via stdlib ``zlib`` + the five
+  scanline filters + PLTE/tRNS handling) and
   JPEG — baseline/extended sequential (SOF0/SOF1) AND progressive
   (SOF2, spectral selection + successive approximation) Huffman,
   numpy IDCT, any Hi/Vi subsampling, restart intervals — decode FOR
   REAL with no PIL needed, the deterministic pure-numpy "FAKM"
   container exercises the plumbing in tests, and formats that
   genuinely need an external codec (MP4 — libav is absent from this
-  container, plus arithmetic-coded JPEG and palette/16-bit/Adam7
+  container, plus arithmetic-coded JPEG and 16-bit/Adam7
   PNG) raise ``NotImplementedError`` with a clear message — the
   Spark-side dataflow is identical either way.
 
@@ -181,17 +182,24 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
-    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) via
-    stdlib ``zlib`` — DEFLATE inflate + the five scanline filters
-    (None/Sub/Up/Average/Paeth, PNG spec §9). Sub/None/Up unfilter
-    vectorized (Sub is a per-channel cumsum mod 256); Average/Paeth
-    carry a left-neighbour dependency and run a per-pixel loop — fine
-    for contract-scale rasters, install PIL for bulk production decode.
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA /
+    indexed-palette) via stdlib ``zlib`` — DEFLATE inflate + the five
+    scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
+    Sub/None/Up unfilter vectorized (Sub is a per-channel cumsum mod
+    256); Average/Paeth carry a left-neighbour dependency and run a
+    per-pixel loop — fine for contract-scale rasters, install PIL for
+    bulk production decode. Color type 3 unfilters one index channel,
+    validates every index against the PLTE entry count, maps
+    index→RGB through the palette (PNG spec §11.2.3) and takes the
+    same BT.601 luma as truecolor; tRNS per-entry alpha is parsed and
+    length-validated but ignored for luma, exactly like the RGBA
+    alpha channel.
 
     Error contract: ``NotImplementedError`` marks a genuinely
-    unsupported VARIANT (palette, 16-bit, Adam7-interlaced) — the
+    unsupported VARIANT (sub-8/16-bit depth, Adam7-interlaced) — the
     documented missing-codec stub boundary; CORRUPT data (truncated
-    stream, raster size mismatch, unknown filter byte) raises
+    stream, raster size mismatch, unknown filter byte, missing/
+    malformed PLTE, palette index out of range, oversize tRNS) raises
     ``ValueError``, so callers that catch ``NotImplementedError`` as
     "format we cannot decode" never swallow data errors.
     """
@@ -201,6 +209,7 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 
     pos, idat = 8, []
     w = h = bitd = ctype = interlace = None
+    plte = trns = None
     while pos + 8 <= len(data):
         ln, typ = struct.unpack_from(">I4s", data, pos)
         chunk = data[pos + 8 : pos + 8 + ln]
@@ -208,6 +217,10 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"tRNS":
+            trns = chunk
         elif typ == b"IDAT":
             idat.append(chunk)
         elif typ == b"IEND":
@@ -219,9 +232,19 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         raise NotImplementedError(f"only 8-bit PNG is supported (bit depth {bitd})")
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNG is not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
-        raise NotImplementedError(f"palette PNG (color type {ctype}) is not supported")
+        raise NotImplementedError(f"PNG color type {ctype} is not supported")
+    if ctype == 3:
+        # PLTE is mandatory for indexed color (spec §11.2.3): 1..256
+        # RGB triples; tRNS, when present, holds at most one alpha
+        # byte per palette entry.
+        if plte is None:
+            raise ValueError("palette PNG without a PLTE chunk (corrupt)")
+        if len(plte) == 0 or len(plte) % 3 or len(plte) > 768:
+            raise ValueError("malformed PLTE chunk length (corrupt)")
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("tRNS longer than the palette (corrupt)")
     stride = w * channels
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if raw.size != h * (stride + 1):
@@ -258,13 +281,18 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         else:
             raise ValueError(f"unknown PNG filter type {f}")
     px = out.reshape(h, w, channels)
-    if ctype == 0:
+    if ctype in (0, 4):  # gray / gray+alpha: keep the gray channel
         plane = px[..., 0]
-    elif ctype == 4:  # gray + alpha: keep the gray channel
-        plane = px[..., 0]
-    else:  # RGB / RGBA: integer BT.601 luma, alpha ignored
-        rgb = px[..., :3].astype(np.uint32)
-        plane = (
+    else:
+        if ctype == 3:  # indexed: palette lookup, then the shared luma
+            idx = px[..., 0]
+            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+            if int(idx.max()) >= pal.shape[0]:
+                raise ValueError("PNG palette index out of range (corrupt)")
+            rgb = pal[idx].astype(np.uint32)
+        else:  # RGB / RGBA: alpha ignored
+            rgb = px[..., :3].astype(np.uint32)
+        plane = (  # integer BT.601 luma
             (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
         ).astype(np.uint8)
     return "image", w, h, 0, 0, plane.tobytes()
@@ -440,7 +468,11 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     per T.81 A.2 (one data unit per MCU over the component's own
     block grid, whatever the declared sampling factors); 3-component
     images are treated as YCbCr (the JFIF guarantee; bare Adobe RGB
-    JPEGs are rare enough that we do not parse APP14). 0xFF fill
+    JPEGs are rare enough that we do not honor APP14 transform for
+    them). 4-component images decode as Adobe CMYK — all four planes
+    are kept, upsampled and combined into the luma payload; the APP14
+    transform flag selects plain inverted CMYK (0 / absent) vs YCCK
+    (2, the YCbCr-transformed variant Adobe emits). 0xFF fill
     bytes between segments are skipped per B.1.1.2. The module's image payload contract is the LUMA
     plane, and for JPEG the Y component IS the luma — so chroma blocks
     are entropy-decoded only to advance the serial bitstream and their
@@ -475,6 +507,7 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     scan: list[tuple[int, int, int]] = []  # (comp index, Td, Ta)
     restart = 0
     progressive = False
+    adobe_transform = None  # APP14 color-transform flag (0/1/2)
     i = 2
     while i + 1 < len(data):
         if data[i] != 0xFF:
@@ -509,12 +542,11 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             nc = seg[5]
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("truncated JPEG SOF segment (corrupt)")
-            if nc not in (1, 3):
-                # 4-component CMYK/YCCK (Adobe) has no luma plane to
-                # emit honestly — variant boundary, not a data error.
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{nc}-component JPEG (CMYK/YCCK) is not supported; "
-                    "grayscale and 3-component YCbCr decode natively"
+                    f"{nc}-component JPEG is not supported; grayscale, "
+                    "3-component YCbCr and 4-component CMYK/YCCK decode "
+                    "natively"
                 )
             comps = [
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15, seg[8 + 3 * c])
@@ -530,8 +562,18 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             _jpeg_parse_dht(seg, dc_tab, ac_tab)
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
+        elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14 Adobe marker: byte 11 is the color-transform flag
+            # (0 = none / CMYK stored directly, 1 = YCbCr, 2 = YCCK).
+            adobe_transform = seg[11]
         elif m == 0xDA:  # SOS — entropy data follows the header
             if progressive:
+                if len(comps) == 4:
+                    raise NotImplementedError(
+                        "progressive 4-component (CMYK/YCCK) JPEG is not "
+                        "supported; sequential CMYK/YCCK and progressive "
+                        "grayscale/YCbCr decode natively"
+                    )
                 return _decode_jpeg_progressive(data, i, qt, dc_tab, ac_tab, w, h, comps, restart)
             if not seg or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("truncated JPEG SOS segment (corrupt)")
@@ -554,8 +596,14 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     yc = scan[0][0]  # component 0 is Y (or the single component)
-    if comps[yc][3] not in qt:
-        raise ValueError("JPEG scan references a missing quant table (corrupt)")
+    # CMYK/YCCK needs ALL four planes for the luma (the K channel
+    # scales every color); gray/YCbCr keeps only Y and discards chroma
+    # coefficients after entropy-advancing past them.
+    cmyk = len(comps) == 4
+    keep = set(range(len(comps))) if cmyk else {yc}
+    for ci in keep:
+        if comps[ci][3] not in qt:
+            raise ValueError("JPEG scan references a missing quant table (corrupt)")
     for _ci, _td, _ta in scan:
         if _td not in dc_tab or _ta not in ac_tab:
             raise ValueError("JPEG scan references a missing Huffman table (corrupt)")
@@ -564,24 +612,30 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         # unit per MCU over the component's OWN block grid, sampling
         # factors notwithstanding (a grayscale file declaring H=V=2
         # still stores ceil(w/8) x ceil(h/8) blocks in raster order).
-        yH = yV = 1
         hmax = vmax = 1
+        eff = {yc: (1, 1)}
         mcux = -(-w // 8)
         mcuy = -(-h // 8)
     else:
-        yH, yV = comps[yc][1], comps[yc][2]
-        if hmax % yH or vmax % yV:
-            # Legal per T.81 but the integer-repeat upsample below
-            # cannot reconstruct a w x h luma plane from it.
-            raise NotImplementedError(
-                f"non-integer luma sampling ratio (Y {yH}x{yV} vs max "
-                f"{hmax}x{vmax}) is not supported"
-            )
+        eff = {ci: (comps[ci][1], comps[ci][2]) for ci in keep}
+        for ci in keep:
+            if hmax % eff[ci][0] or vmax % eff[ci][1]:
+                # Legal per T.81 but the integer-repeat upsample below
+                # cannot reconstruct a w x h plane from it.
+                raise NotImplementedError(
+                    f"non-integer sampling ratio (component {ci} "
+                    f"{eff[ci][0]}x{eff[ci][1]} vs max {hmax}x{vmax}) "
+                    "is not supported"
+                )
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
+    yH, yV = eff[yc]
     idct = _jpeg_idct_matrix()
-    plane = np.zeros((mcuy * yV * 8, mcux * yH * 8), np.uint8)
-    yq = qt[comps[yc][3]].astype(np.float64)
+    planes = {
+        ci: np.zeros((mcuy * eff[ci][1] * 8, mcux * eff[ci][0] * 8), np.uint8)
+        for ci in keep
+    }
+    qs = {ci: qt[comps[ci][3]].astype(np.float64) for ci in keep}
 
     br = _JpegBits(data, i)
     preds = [0] * len(comps)
@@ -602,7 +656,7 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                     for bx in range(ch):
                         t = br.huffdec(dc_tab[td])
                         preds[ci] += _jpeg_extend(br.receive(t), t)
-                        coef = np.zeros(64) if ci == yc else None
+                        coef = np.zeros(64) if ci in keep else None
                         if coef is not None:
                             coef[0] = preds[ci]
                         k = 1
@@ -623,15 +677,42 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                             k += 1
                         if coef is None:
                             continue
-                        blk = idct.T @ (coef.reshape(8, 8) * yq) @ idct
+                        blk = idct.T @ (coef.reshape(8, 8) * qs[ci]) @ idct
                         px = np.clip(np.round(blk) + 128, 0, 255).astype(np.uint8)
-                        plane[
-                            (my * yV + by) * 8 : (my * yV + by) * 8 + 8,
-                            (mx * yH + bx) * 8 : (mx * yH + bx) * 8 + 8,
+                        planes[ci][
+                            (my * cv + by) * 8 : (my * cv + by) * 8 + 8,
+                            (mx * ch + bx) * 8 : (mx * ch + bx) * 8 + 8,
                         ] = px
-    if yH != hmax or yV != vmax:  # luma subsampled below max: upsample
-        plane = np.repeat(np.repeat(plane, vmax // yV, 0), hmax // yH, 1)
-    return "image", w, h, 0, 0, plane[:h, :w].tobytes()
+
+    def upsampled(ci):
+        p, (H, V) = planes[ci], eff[ci]
+        if H != hmax or V != vmax:
+            p = np.repeat(np.repeat(p, vmax // V, 0), hmax // H, 1)
+        return p[:h, :w]
+
+    if not cmyk:
+        return "image", w, h, 0, 0, upsampled(yc).tobytes()
+    # 4-component color: Adobe convention (the only one in the wild —
+    # libjpeg's guess too). Values are stored INVERTED (stored =
+    # 255 - ink), so R = stored_C * stored_K / 255, etc. APP14
+    # transform 2 (YCCK) stores the inverted CMY channels YCbCr-
+    # transformed; undo that first. No APP14 / transform 0 = plain
+    # inverted CMYK.
+    c0, c1, c2, kk = (upsampled(ci).astype(np.float64) for ci in range(4))
+    if adobe_transform == 2:
+        yv, cb, cr = c0, c1 - 128.0, c2 - 128.0
+        c0 = np.clip(np.round(yv + 1.402 * cr), 0, 255)
+        c1 = np.clip(np.round(yv - 0.344136 * cb - 0.714136 * cr), 0, 255)
+        c2 = np.clip(np.round(yv + 1.772 * cb), 0, 255)
+    elif adobe_transform not in (None, 0):
+        raise ValueError(
+            f"APP14 transform {adobe_transform} on a 4-component JPEG "
+            "(corrupt: only 0=CMYK and 2=YCCK are defined)"
+        )
+    luma = (
+        299 * (c0 * kk) + 587 * (c1 * kk) + 114 * (c2 * kk)
+    ) / (1000.0 * 255.0)
+    return "image", w, h, 0, 0, np.clip(np.round(luma), 0, 255).astype(np.uint8).tobytes()
 
 
 def _decode_jpeg_progressive(
@@ -947,10 +1028,11 @@ def _prog_ac_scan(data, pos, ycoef, grid, ac, ss, se, ah, al, restart) -> int:
 def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Unified decode: (kind, width, height, n_frames, sample_rate,
     payload). FAKM, WAV, PGM/PPM, 24-bit BMP, 8-bit non-interlaced
-    PNG and Huffman JPEG (sequential SOF0/SOF1 and progressive SOF2)
-    decode for real; anything else raises ``NotImplementedError``
-    naming the missing dependency — the honest stub boundary for MP4
-    (and the arithmetic-JPEG / exotic PNG variants)."""
+    PNG (incl. indexed palette) and Huffman JPEG (sequential
+    SOF0/SOF1 and progressive SOF2) decode for real; anything else
+    raises ``NotImplementedError`` naming the missing dependency —
+    the honest stub boundary for MP4 (and the arithmetic-JPEG /
+    interlaced-or-16-bit-PNG variants)."""
     data = bytes(data)
     if data[:4] == _MAGIC:
         return fakm_decode(data)

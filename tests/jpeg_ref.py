@@ -543,3 +543,123 @@ def encode_progressive(
         out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+# --- 4-component (Adobe CMYK/YCCK) baseline encoder -----------------------------
+# Independent of the decoder like the encoders above: plane padding,
+# per-component sampling, the APP14 flag and the inverted-CMYK storage
+# convention are all re-stated here from the public spec/libjpeg docs,
+# so a convention drift on either side breaks the round-trip.
+
+
+def encode_cmyk(
+    planes: list[np.ndarray],
+    h: int,
+    w: int,
+    samp: list[tuple[int, int]] | None = None,
+    q: np.ndarray = Q_ONES,
+    transform: int | None = 0,
+    restart: int = 0,
+) -> bytes:
+    """Baseline 4-component JPEG per the Adobe convention. ``planes``
+    are the four STORED (already-inverted, and for transform=2
+    already-YCCK) uint8 channels; planes[i] must be the component's
+    own resolution ``ceil(h*Vi/vmax) x ceil(w*Hi/hmax)`` (the encoder
+    edge-pads to the MCU grid). ``transform`` writes the APP14 flag
+    (None = omit the marker entirely — decoders must then assume
+    plain CMYK)."""
+    samp = samp or [(1, 1)] * 4
+    assert len(planes) == 4 and len(samp) == 4
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comps = []
+    for (H, V), p in zip(samp, planes):
+        cw, ch_ = -(-(w * H) // hmax), -(-(h * V) // vmax)
+        assert p.shape == (ch_, cw), (p.shape, (ch_, cw))
+        padded = np.empty((mcuy * V * 8, mcux * H * 8), np.uint8)
+        padded[:ch_, :cw] = p
+        padded[ch_:, :cw] = p[ch_ - 1 : ch_, :]
+        padded[:, cw:] = padded[:, cw - 1 : cw]
+        comps.append({"q": q, "H": H, "V": V, "plane": padded})
+
+    def mcu_stream():
+        preds = [0] * 4
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    yield ("rst", None, None)
+                    preds = [0] * 4
+                n_mcu += 1
+                for ci, c in enumerate(comps):
+                    for by in range(c["V"]):
+                        for bx in range(c["H"]):
+                            yy = (my * c["V"] + by) * 8
+                            xx = (mx * c["H"] + bx) * 8
+                            blk = c["plane"][yy : yy + 8, xx : xx + 8]
+                            coef = _fdct_quant(blk, c["q"])
+                            zz = [int(coef.flat[ZZ[k]]) for k in range(64)]
+                            syms = _block_symbols(zz, preds[ci])
+                            preds[ci] = zz[0]
+                            yield ("blk", ci, syms)
+
+    dc_set: set[int] = set()
+    ac_set: set[int] = set()
+    recorded = []
+    for kind, ci, syms in mcu_stream():
+        recorded.append((kind, ci, syms))
+        if kind == "blk":
+            for sk, sym, _v in syms:
+                (dc_set if sk == "dc" else ac_set).add(sym)
+    dc_counts, dc_syms, dc_enc = _canonical(dc_set or {0})
+    ac_counts, ac_syms, ac_enc = _canonical(ac_set or {0})
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes((0xFF, marker)))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    if transform is not None:
+        seg(0xEE, b"Adobe" + bytes((0, 100, 0, 0, 0, 0, transform)))
+    body = bytearray((0,))
+    for k in range(64):
+        body.append(int(q.flat[ZZ[k]]))
+    seg(0xDB, bytes(body))
+    sof = bytearray((8,))
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(4)
+    for ci, c in enumerate(comps):
+        sof += bytes((ci + 1, (c["H"] << 4) | c["V"], 0))
+    seg(0xC0, bytes(sof))
+    seg(0xC4, bytes((0x00,)) + dc_counts + dc_syms)
+    seg(0xC4, bytes((0x10,)) + ac_counts + ac_syms)
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytearray((4,))
+    for ci in range(4):
+        sos += bytes((ci + 1, 0x00))
+    sos += bytes((0, 63, 0))
+    seg(0xDA, bytes(sos))
+
+    bw = _BitWriter()
+    rst = 0
+    for kind, ci, syms in recorded:
+        if kind == "rst":
+            bw.align()
+            bw.out.extend(bytes((0xFF, 0xD0 + (rst & 7))))
+            rst += 1
+            continue
+        for sk, sym, v in syms:
+            code, ln = (dc_enc if sk == "dc" else ac_enc)[sym]
+            bw.put(code, ln)
+            s = sym & 15 if sk == "ac" else sym
+            if s:
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+    bw.align()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -159,14 +159,21 @@ def test_corrupt_jpeg_raises_value_error(spark, tmp_path):
         mm.decode_meta(df).collect()
 
 
-def _png_bytes(w, h, channels, pixels, filters):
+def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None):
     """Minimal PNG encoder for the contract tests: one IDAT, caller
     picks each row's filter type (exercising the decoder's unfilter
-    paths). `pixels` is a bytes raster of h*w*channels."""
+    paths). `pixels` is a bytes raster of h*w*channels. With
+    `palette` (bytes of RGB triples), channels must be 1 and the
+    raster holds palette indices (color type 3); `trns` adds a tRNS
+    chunk of per-entry alpha bytes."""
     import struct
     import zlib
 
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if palette is not None:
+        assert channels == 1
+        ctype = 3
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
 
     def chunk(typ, body):
         return (
@@ -204,9 +211,15 @@ def _png_bytes(w, h, channels, pixels, filters):
         out.extend(enc)
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    mid = b""
+    if palette is not None:
+        mid += chunk(b"PLTE", palette)
+    if trns is not None:
+        mid += chunk(b"tRNS", trns)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + mid
         + chunk(b"IDAT", zlib.compress(bytes(out)))
         + chunk(b"IEND", b"")
     )
@@ -256,13 +269,76 @@ def test_real_png_unsupported_variants_raise():
            + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="interlaced"):
         mm.decode_media(png)
-    # Palette color type.
+    # 16-bit depth.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        mm.decode_media(png)
+    # Palette color type now DECODES (see the palette tests below) —
+    # but a palette stream with NO PLTE chunk is corrupt data, not a
+    # variant boundary.
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
            + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="palette"):
+    with pytest.raises(ValueError, match="PLTE"):
         mm.decode_media(png)
+
+
+def test_real_png_palette_matches_truecolor_decode():
+    """Indexed-color decode contract: mapping indices through PLTE
+    must give byte-identical luma to the truecolor encode of the
+    palette-expanded raster — all five unfilter paths run over the
+    one-channel index plane."""
+    import random
+
+    rng = random.Random(31)
+    pal = bytes(rng.randrange(256) for _ in range(16 * 3))  # 16 entries
+    idx = bytes(rng.randrange(16) for _ in range(4 * 5))
+    indexed = _png_bytes(4, 5, 1, idx, filters=[0, 1, 2, 3, 4], palette=pal)
+    expanded = bytes(b for i in idx for b in pal[3 * i : 3 * i + 3])
+    truecolor = _png_bytes(4, 5, 3, expanded, filters=[0, 0, 0, 0, 0])
+    assert mm.decode_media(indexed) == mm.decode_media(truecolor)
+    assert mm.decode_media(indexed)[1:3] == (4, 5)
+
+
+def test_real_png_palette_trns_alpha_ignored_like_rgba():
+    """tRNS per-entry alpha is parsed and validated but ignored for
+    luma — the same contract as the RGBA alpha channel. A tRNS chunk
+    longer than the palette is corrupt."""
+    import pytest
+
+    pal = bytes([255, 0, 0, 0, 255, 0])  # red, green
+    idx = bytes([0, 1, 1, 0])
+    plain = _png_bytes(2, 2, 1, idx, filters=[0, 1], palette=pal)
+    with_trns = _png_bytes(
+        2, 2, 1, idx, filters=[0, 1], palette=pal, trns=bytes([0, 128])
+    )
+    assert mm.decode_media(with_trns) == mm.decode_media(plain)
+    # partial tRNS (fewer entries than the palette) is legal
+    partial = _png_bytes(2, 2, 1, idx, filters=[0, 1], palette=pal, trns=b"\x00")
+    assert mm.decode_media(partial) == mm.decode_media(plain)
+    oversize = _png_bytes(
+        2, 2, 1, idx, filters=[0, 1], palette=pal, trns=bytes([0, 1, 2])
+    )
+    with pytest.raises(ValueError, match="tRNS"):
+        mm.decode_media(oversize)
+
+
+def test_real_png_palette_corrupt_streams_raise_value_error():
+    import pytest
+
+    pal = bytes([10, 20, 30, 40, 50, 60])  # 2 entries
+    # index 5 >= 2 palette entries -> corrupt
+    bad_idx = _png_bytes(2, 1, 1, bytes([0, 5]), filters=[0], palette=pal)
+    with pytest.raises(ValueError, match="index out of range"):
+        mm.decode_media(bad_idx)
+    # PLTE length not a multiple of 3 -> corrupt
+    bad_plte = _png_bytes(2, 1, 1, bytes([0, 1]), filters=[0], palette=pal + b"\x07")
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_media(bad_plte)
 
 
 def test_real_png_through_spark_pipeline(spark, tmp_path):
@@ -720,13 +796,14 @@ def test_jpeg_single_component_scan_ignores_sampling_factors():
     assert mm.decode_media(patched)[5] == mm.decode_media(plain)[5]
 
 
-def test_jpeg_cmyk_raises_honest_stub():
-    # Well-formed 4-component SOF0: variant boundary, not a data error.
-    sof = bytes((8, 0, 8, 0, 8, 4)) + bytes(
-        b for c in range(4) for b in (c + 1, 0x11, 0)
+def test_jpeg_five_component_raises_honest_stub():
+    # CMYK/YCCK (4 components) now decodes; a 5-component SOF is the
+    # remaining variant boundary, not a data error.
+    sof = bytes((8, 0, 8, 0, 8, 5)) + bytes(
+        b for c in range(5) for b in (c + 1, 0x11, 0)
     )
     data = b"\xff\xd8\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
-    with pytest.raises(NotImplementedError, match="CMYK"):
+    with pytest.raises(NotImplementedError, match="5-component"):
         mm.decode_media(data)
 
 
@@ -782,6 +859,148 @@ def test_jpeg_progressive_noninterleaved_dc_script():
     assert (
         mm.decode_media(encode_progressive(y, cb, cr, scans=scans, restart=2)) == base
     )
+
+
+# --- 4-component CMYK/YCCK JPEG (Adobe convention) -------------------------------
+
+
+def _expected_cmyk_luma(stored, transform):
+    """Reference restatement of the documented Adobe math (values
+    stored inverted; YCCK = inverted CMY sent through YCbCr). Kept
+    independent of the decoder; the hand anchors below pin the
+    convention itself."""
+    import numpy as np
+
+    c0, c1, c2, kk = (p.astype(np.float64) for p in stored)
+    if transform == 2:
+        yv, cb, cr = c0, c1 - 128.0, c2 - 128.0
+        c0 = np.clip(np.round(yv + 1.402 * cr), 0, 255)
+        c1 = np.clip(np.round(yv - 0.344136 * cb - 0.714136 * cr), 0, 255)
+        c2 = np.clip(np.round(yv + 1.772 * cb), 0, 255)
+    luma = (299 * (c0 * kk) + 587 * (c1 * kk) + 114 * (c2 * kk)) / (1000.0 * 255.0)
+    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
+def _recovered(plane):
+    """What the decoder's own DCT path recovers for one plane — the
+    FDCT(q=1)+IDCT round trip can differ from the input by ±1 on rare
+    values, so plane-level references go through the same grayscale
+    encode the existing JPEG tests rely on."""
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    h, w = plane.shape
+    return np.frombuffer(mm.decode_media(encode(plane))[5], np.uint8).reshape(h, w)
+
+
+def test_jpeg_cmyk_444_decode_matches_reference_math():
+    import numpy as np
+
+    from jpeg_ref import encode_cmyk
+
+    rng = np.random.default_rng(41)
+    planes = [rng.integers(0, 256, (13, 17), np.uint8) for _ in range(4)]
+    kind, w, h, _, _, payload = mm.decode_media(
+        encode_cmyk(planes, 13, 17, transform=0)
+    )
+    assert (kind, w, h) == ("image", 17, 13)
+    assert payload == _expected_cmyk_luma([_recovered(p) for p in planes], 0).tobytes()
+    # Hand anchors pin the inverted-storage convention: stored
+    # 255/255/255/255 = no ink = white; stored K=0 = full black ink;
+    # stored (255,0,0,255) = pure "red" -> BT.601 luma 76 (same value
+    # the PNG red test pins).
+    flat = lambda v: np.full((8, 8), v, np.uint8)
+    white = [flat(255)] * 4
+    assert mm.decode_media(encode_cmyk(white, 8, 8))[5] == bytes([255] * 64)
+    black = [flat(255), flat(255), flat(255), flat(0)]
+    assert mm.decode_media(encode_cmyk(black, 8, 8))[5] == bytes([0] * 64)
+    red = [flat(255), flat(0), flat(0), flat(255)]
+    assert mm.decode_media(encode_cmyk(red, 8, 8))[5] == bytes([76] * 64)
+
+
+def test_jpeg_ycck_decode_matches_reference_math():
+    import numpy as np
+
+    from jpeg_ref import encode_cmyk
+
+    rng = np.random.default_rng(43)
+    planes = [rng.integers(0, 256, (16, 8), np.uint8) for _ in range(4)]
+    out = mm.decode_media(encode_cmyk(planes, 16, 8, transform=2))[5]
+    assert out == _expected_cmyk_luma([_recovered(p) for p in planes], 2).tobytes()
+    # Neutral anchor: Cb=Cr=128 makes the YCbCr inverse the identity,
+    # and K=255 makes luma EXACTLY the stored Y channel.
+    yp = rng.integers(0, 256, (8, 8), np.uint8)
+    neutral = [yp, np.full((8, 8), 128, np.uint8), np.full((8, 8), 128, np.uint8),
+               np.full((8, 8), 255, np.uint8)]
+    assert (
+        mm.decode_media(encode_cmyk(neutral, 8, 8, transform=2))[5]
+        == _recovered(yp).tobytes()
+    )
+
+
+def test_jpeg_cmyk_no_app14_assumes_plain_cmyk():
+    import numpy as np
+
+    from jpeg_ref import encode_cmyk
+
+    rng = np.random.default_rng(47)
+    planes = [rng.integers(0, 256, (8, 8), np.uint8) for _ in range(4)]
+    assert (
+        mm.decode_media(encode_cmyk(planes, 8, 8, transform=None))[5]
+        == mm.decode_media(encode_cmyk(planes, 8, 8, transform=0))[5]
+    )
+
+
+def test_jpeg_cmyk_subsampled_and_restart():
+    # Components 0/3 full-res random, 1/2 flat at half resolution so
+    # the integer-repeat upsample is exact; restart markers every 2
+    # MCUs exercise predictor resets across all four components.
+    import numpy as np
+
+    from jpeg_ref import encode_cmyk
+
+    rng = np.random.default_rng(53)
+    h, w = 18, 25  # 2 x 2 MCUs at 16px, with edge padding
+    samp = [(2, 2), (1, 1), (1, 1), (2, 2)]
+    half = (-(-h // 2), -(-w // 2))  # ceil(h*V/vmax) x ceil(w*H/hmax)
+    planes = [
+        rng.integers(0, 256, (h, w), np.uint8),
+        np.full(half, 200, np.uint8),
+        np.full(half, 40, np.uint8),
+        rng.integers(0, 256, (h, w), np.uint8),
+    ]
+    expected_full = [
+        _recovered(planes[0]),
+        np.full((h, w), 200, np.uint8),
+        np.full((h, w), 40, np.uint8),
+        _recovered(planes[3]),
+    ]
+    for restart in (0, 2):
+        out = mm.decode_media(encode_cmyk(planes, h, w, samp=samp, restart=restart))
+        assert out[1:3] == (w, h)
+        assert out[5] == _expected_cmyk_luma(expected_full, 0).tobytes()
+
+
+def test_jpeg_cmyk_variant_and_corruption_edges():
+    import numpy as np
+
+    from jpeg_ref import encode_cmyk
+
+    planes = [np.full((8, 8), 99, np.uint8)] * 4
+    data = bytearray(encode_cmyk(planes, 8, 8, transform=0))
+    # progressive 4-component: honest variant boundary
+    i = data.index(b"\xff\xc0")
+    prog = bytearray(data)
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive 4-component"):
+        mm.decode_media(bytes(prog))
+    # APP14 transform=1 (YCbCr) is undefined for 4 components: corrupt
+    j = data.index(b"Adobe")
+    bad = bytearray(data)
+    bad[j + 11] = 1
+    with pytest.raises(ValueError, match="APP14 transform"):
+        mm.decode_media(bytes(bad))
 
 
 def test_jpeg_progressive_zrl_past_band_end_is_corrupt():
