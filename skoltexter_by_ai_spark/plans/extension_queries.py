@@ -1731,7 +1731,12 @@ def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_rows_only_value_checks.py.
     covers="incremental near-dup screen: new batch vs existing corpus via persisted-index band buckets (index-vs-batch LSH)",
     tags=("dedup", "curation"),
+    # 5 counts PLANTED cross-boundary near-dups — a property of the
+    # standard driver fixture, not of the operator; custom fixtures
+    # (e.g. the Zipf skew law) may plant fewer, so checkers relax this
+    # to >=1 away from /root/testdata (VERDICT r9 item 3).
     min_rows=5,
+    min_rows_is_fixture_law=True,
 )
 def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F

@@ -27,6 +27,14 @@ class QuerySpec:
     # Vacuity guard: a declared query that returns fewer rows than this
     # at the test scale factors verifies nothing (VERDICT r1 on x15).
     min_rows: int = 1
+    # True when min_rows counts features the STANDARD driver fixture
+    # PLANTS (e.g. cross-boundary near-dup pairs) rather than organic
+    # data volume. Checkers running against a custom fixture (skew
+    # laws, ablations) relax such guards to >=1 — a custom fixture may
+    # legitimately plant fewer without the answer being wrong
+    # (VERDICT r9: x122 on the Zipf fixture found exactly the one
+    # planted pair and was flagged anyway).
+    min_rows_is_fixture_law: bool = False
 
 
 QUERY_REGISTRY: dict[str, QuerySpec] = {}
@@ -38,6 +46,7 @@ def register(
     covers: str,
     tags: tuple[str, ...] = (),
     min_rows: int = 1,
+    min_rows_is_fixture_law: bool = False,
 ) -> Callable[[SparkBuilder], SparkBuilder]:
     """Decorator: register a Spark builder under ``name``."""
 
@@ -45,7 +54,8 @@ def register(
         if name in QUERY_REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         QUERY_REGISTRY[name] = QuerySpec(
-            name=name, builder=fn, oracle=oracle, covers=covers, tags=tags, min_rows=min_rows
+            name=name, builder=fn, oracle=oracle, covers=covers, tags=tags,
+            min_rows=min_rows, min_rows_is_fixture_law=min_rows_is_fixture_law,
         )
         return fn
 

@@ -668,6 +668,29 @@ def dedup_against_index(
     )
 
 
+def scrub_pii_stream(
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns=None,
+) -> DataFrame:
+    """Streaming twin of the PII scrub (`operators/curation.py::
+    scrub_pii`, x123). The batch operator is already a narrow map of
+    pure column expressions (sequential ``regexp_count`` +
+    ``regexp_replace``) — zero shuffles, zero state — so the twin IS
+    the batch builder applied to a streaming DataFrame: stateless in
+    append mode, no watermark, no state store, every micro-batch
+    scrubbed identically to a batch pass over the same rows
+    (parity pinned in tests/test_streaming.py). The wrapper exists so
+    the streaming surface names the gate explicitly, matching the
+    twin discipline of the other curation operators."""
+    from skoltexter_by_ai_spark.operators.curation import PII_PATTERNS, scrub_pii
+
+    return scrub_pii(
+        incoming, id_col, text_col, PII_PATTERNS if patterns is None else patterns
+    )
+
+
 def decontaminate_stream(
     incoming: DataFrame,
     evals: DataFrame,

@@ -712,6 +712,40 @@ def test_incremental_near_dups_runs_per_micro_batch(spark, tmp_path):
     assert set(seen) == batch and any(p[0] == 100 and p[1] == 1 for p in batch)
 
 
+def test_scrub_pii_stream_matches_batch(spark, tmp_path):
+    """Streaming PII scrub == batch scrub on the same rows: identical
+    clean_text and per-kind counts, NULL pass-through included. The
+    twin is stateless append mode (narrow map, no watermark/state)."""
+    from skoltexter_by_ai_spark.operators.curation import scrub_pii
+    from skoltexter_by_ai_spark.streaming import run_to_memory, scrub_pii_stream
+
+    rows = [
+        (1, "mail bob@example.com or +4670123456 from 10.0.0.1"),
+        (2, "no pii at all"),
+        (3, None),
+        (4, "two mails a@b.se c@d.org, ip 1.2.3.4"),
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    got = run_to_memory(
+        scrub_pii_stream(stream, "doc_id", "text"),
+        "scrub_t",
+        str(tmp_path / "ck_scrub"),
+        output_mode="append",
+    )
+    batch = scrub_pii(spark.read.parquet(str(src)), "doc_id", "text")
+    assert sorted(map(tuple, got.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, batch.collect()), key=lambda t: t[0]
+    )
+    assert got.columns == batch.columns
+    by_id = {r.doc_id: r for r in got.collect()}
+    assert by_id[1].n_email == 1 and by_id[1].n_ipv4 == 1 and by_id[1].n_phone == 1
+    assert by_id[3].clean_text is None and by_id[3].n_redactions == 0
+    assert by_id[4].n_email == 2 and by_id[4].n_redactions == 3
+
+
 def test_decontaminate_stream_matches_batch(spark, tmp_path):
     """Streaming decontamination == the batch filter on the same data:
     docs overlapping an eval doc at >= min_overlap (distinct 2-gram

@@ -86,7 +86,15 @@ def main() -> int:
             oracle = oracles.get(name)
             if oracle is None:
                 n = df.count()
-                ok = n >= specs[name].min_rows
+                floor = specs[name].min_rows
+                if specs[name].min_rows_is_fixture_law and not args.sf_dir.startswith(
+                    "/root/testdata/"
+                ):
+                    # min_rows counts features the STANDARD fixture
+                    # plants; a custom fixture (skew law, ablation) may
+                    # legitimately plant fewer — relax to non-vacuous.
+                    floor = 1
+                ok = n >= floor
                 results[name] = "ok(rows-only)" if ok else f"FAIL rows={n}"
             else:
                 report = compare_with_oracle(name, df, oracle, args.sf_dir)
