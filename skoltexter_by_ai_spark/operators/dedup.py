@@ -168,7 +168,13 @@ def ngram_jaccard_pairs(
     )
     # df-prune: drop ubiquitous shingles BEFORE the self-join.
     rare = sh.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
-    shr = sh.join(rare.select("__s"), "__s")
+    # Pin the pruned shingle list (lazily — the builder stays a pure
+    # plan): it feeds THREE consumers (sizes, both self-join sides),
+    # and without the checkpoint each one re-runs the tokenize +
+    # explode + df-prune over the whole corpus — the dominant cost of
+    # the operator (measured ~2x wall on x20/x90 at sf0.1). Size is
+    # bounded: df-pruning caps every shingle at max_df rows.
+    shr = sh.join(rare.select("__s"), "__s").localCheckpoint(eager=False)
     sizes = shr.groupBy("__id").agg(F.count("*").alias("__sz"))
 
     a = shr.select(F.col("__s"), F.col("__id").alias("id_a"))
@@ -558,12 +564,26 @@ def dedup_clusters(
         .distinct()
     )
     labels = nodes.select("id", F.col("id").alias("cluster")).localCheckpoint()
+    cluster_type = dict(labels.dtypes)["cluster"]
     for _ in range(max_iter):
         prop = labels.join(edges, labels["id"] == edges["a"]).select(
             F.col("b").alias("id"), F.col("cluster")
         )
+        # The previous label rides through the min-aggregation instead
+        # of a separate join-back: every id appears EXACTLY once in
+        # `labels` (loop invariant — nodes is distinct and each round
+        # groups by id), so min(__old) over the union recovers it while
+        # the propagated rows contribute NULLs that min() ignores. One
+        # fewer shuffle join per round than the join-back form.
         stepped = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("cluster").alias("cluster"))
+            labels.select("id", "cluster", F.col("cluster").alias("__old"))
+            .unionByName(
+                prop.select(
+                    "id", "cluster", F.lit(None).cast(cluster_type).alias("__old")
+                )
+            )
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"), F.min("__old").alias("__old"))
         )
         # Pointer jump: my cluster is a node in my component, so its
         # label is also reachable — adopting it compounds propagation
@@ -574,14 +594,11 @@ def dedup_clusters(
         jump = stepped.select(
             F.col("id").alias("cluster"), F.col("cluster").alias("__cc")
         )
-        jumped = stepped.join(jump, "cluster").select(
-            "id", F.col("__cc").alias("cluster")
+        new_full = (
+            stepped.join(jump, "cluster")
+            .select("id", F.col("__cc").alias("cluster"), "__old")
+            .localCheckpoint()
         )
-        # Carry the previous label so the convergence probe is a
-        # trivial scan of THIS checkpoint, not a separate join job.
-        new_full = jumped.join(
-            labels.select("id", F.col("cluster").alias("__old")), "id"
-        ).localCheckpoint()
         labels = new_full.select("id", "cluster")
         if new_full.filter(F.col("cluster") != F.col("__old")).isEmpty():
             break
