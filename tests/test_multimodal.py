@@ -796,6 +796,30 @@ def test_jpeg_single_component_scan_ignores_sampling_factors():
     assert mm.decode_media(patched)[5] == mm.decode_media(plain)[5]
 
 
+def test_sample_frames_default_stride(spark, media_dir):
+    """The DEFAULT every_n=2 is part of the API contract (mutation
+    sweep r10: the default-value mutant survived because every caller
+    passed every_n explicitly)."""
+    df = mm.read_media_dir(spark, media_dir, glob="*.fakm")
+    rows = mm.sample_frames(df).orderBy("frame_idx").collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [("vid_b", 0), ("vid_b", 2)]
+
+
+def test_jpeg_sos_before_sof_raises_the_contract_error():
+    """A scan header before any frame header is corrupt data and must
+    raise the decoder's own diagnostic (the SOS component check), not
+    an incidental exception from downstream empty-state code (mutation
+    sweep r10: flipping the initial `progressive` flag routed this
+    stream into the progressive decoder, which died on max() of an
+    empty component list — same exception type, wrong contract)."""
+    dht_dc = b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([0x00, 1] + [0] * 15 + [0x00])
+    dht_ac = b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([0x10, 1] + [0] * 15 + [0x00])
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    data = b"\xff\xd8" + dht_dc + dht_ac + sos + b"\x7f\xff\xd9"
+    with pytest.raises(ValueError, match="undeclared component"):
+        mm.decode_media(data)
+
+
 def test_jpeg_five_component_raises_honest_stub():
     # CMYK/YCCK (4 components) now decodes; a 5-component SOF is the
     # remaining variant boundary, not a data error.
