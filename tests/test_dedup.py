@@ -624,3 +624,75 @@ def test_max_bucket_guard_drops_only_mega_buckets(spark):
 
     with pytest.raises(ValueError, match="max_bucket"):
         minhash_lsh_candidates(df, "doc_id", "text", max_bucket=0)
+
+
+def test_exact_jaccard_two_empty_shingle_sets_is_zero(spark):
+    """Two shingle-less docs must score jaccard 0.0, never 0/0 (NULL /
+    NaN / ANSI divide error) — the guard's > 0 branch (mutation sweep
+    r10: the GtE mutant routed empties into the division)."""
+    from pyspark.sql import functions as F
+
+    from skoltexter_by_ai_spark.operators.dedup import _exact_jaccard
+
+    df = spark.createDataFrame(
+        [([], []), (["a b"], [])],
+        "sa array<string>, sb array<string>",
+    )
+    got = df.select(_exact_jaccard("sa", "sb").alias("j")).collect()
+    assert [r.j for r in got] == [0.0, 0.0]
+
+
+def test_release_candidate_cache_contract(spark):
+    """The incremental near-dup candidate cache releases exactly once
+    and the helper no-ops on foreign frames (mirror of the streaming-
+    side test so the dedup-scoped mutation gate sees the killer)."""
+    from skoltexter_by_ai_spark.operators.dedup import (
+        incremental_near_dups,
+        release_candidate_cache,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = incremental_near_dups(existing, incoming, "doc_id", "text")
+    assert out.count() == 1
+    handle = out._sg_persisted
+    assert handle is not None and handle.storageLevel.useMemory
+    assert release_candidate_cache(out) is True
+    assert not handle.storageLevel.useMemory
+    assert release_candidate_cache(out) is False
+    assert release_candidate_cache(existing) is False
+
+
+def test_simhash_radius6_pigeonhole_on_block_boundaries(spark):
+    """Adversarial recall pin for the 8x8 banding: a hamming-6 pair
+    whose flipped bits sit EXACTLY on the 8-bit block boundaries
+    (bits 8,16,24,32,40,48). Any OVERLAPPING re-layout of the blocks
+    (e.g. width 9 at stride 8) lets those six flips damage seven of
+    the eight blocks, leaving no clean ordered pair — the pigeonhole
+    guarantee only holds for disjoint blocks, so this input
+    discriminates layout mutants the uniform-random fixtures never
+    hit. Also pins: a within-block 6-flip pair (found), a hamming-7
+    pair (absent by contract)."""
+    from skoltexter_by_ai_spark.operators.dedup import simhash_pairs_from_signatures
+
+    base = 0x0123456789ABCDEF
+    boundary = base ^ sum(1 << b for b in (8, 16, 24, 32, 40, 48))
+    inblock = base ^ 0x3F  # six flips inside block 0
+    seven = base ^ 0x7F  # hamming 7: outside the radius
+    sig = spark.createDataFrame(
+        [(1, base), (2, boundary), (3, inblock), (4, seven)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_signatures(sig, "doc_id", max_hamming=6).collect()
+    }
+    assert got[(1, 2)] == 6
+    assert got[(1, 3)] == 6
+    assert (1, 4) not in got and (4, 1) not in got

@@ -176,6 +176,35 @@ EQUIVALENT_MUTANTS: dict[str, dict[str, str]] = {
             "identical (QUALITY r8 class: eager/cadence flags)"
         ),
     },
+    "skoltexter_by_ai_spark/operators/dedup.py": {
+        "L759: False -> True": (
+            "localCheckpoint eagerness on the simhash signature table: "
+            "eager only moves the materialization job to plan-build "
+            "time, output identical (QUALITY r8 class: eager flags)"
+        ),
+        # NOTE desc granularity: five '8' constants share L788 and one
+        # shares L789; hand-verified each variant (QUALITY r10): the
+        # overlapping-width relayout IS killable and IS killed by
+        # test_simhash_radius6_pigeonhole_on_block_boundaries; the
+        # rest (disjoint 9*i offset relayout, injective shift-9 key,
+        # range(9) extra bands) are output-equivalent — any disjoint
+        # block family keeps the pigeonhole recall guarantee and the
+        # exact hamming verify makes the emitted pairs invariant to
+        # the banding layout (performance-only mutants).
+        "L788: 8 -> 9": (
+            "simhash 8x8 band layout constants: disjoint relayouts / "
+            "injective key packing are recall-preserving by pigeonhole "
+            "and output-invariant under the exact verify; the one "
+            "killable variant (overlapping width) is killed by the "
+            "boundary-flip recall test (QUALITY r10, hand-verified per "
+            "variant)"
+        ),
+        "L789: 8 -> 9": (
+            "range(8) -> range(9) adds bands: candidate superset, "
+            "same verified output (exact hamming filter); performance-"
+            "only (QUALITY r10, hand-verified)"
+        ),
+    },
 }
 
 # Content fingerprints for every EQUIVALENT_MUTANTS entry: crc32 (hex)
@@ -205,6 +234,11 @@ EQUIVALENT_MUTANT_FPS: dict[str, dict[str, str]] = {
     },
     "skoltexter_by_ai_spark/operators/text_analysis.py": {
         "L985: Eq -> NotEq": "2d97c1e0",
+    },
+    "skoltexter_by_ai_spark/operators/dedup.py": {
+        "L759: False -> True": "2e9f20c7",
+        "L788: 8 -> 9": "a2cdc350",
+        "L789: 8 -> 9": "4e36c234",
     },
 }
 
