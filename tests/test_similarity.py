@@ -524,3 +524,91 @@ def test_ivf_ann_topk_wrong_dim_query_raises_value_error(spark):
         similarity.ivf_ann_topk(emb, bad_q, k=3, n_centroids=4).collect()
     msg = str(ei.value)
     assert "expected query dim 8" in msg and "got 3" in msg
+
+
+# --- round-10 mutation-sweep killers --------------------------------------------
+
+
+def test_hyperplanes_are_bit_reproducible_golden():
+    """The docstring PROMISES cross-process/version reproducibility of
+    the LCG hyperplanes — pin exact values so any constant drift in
+    the generator (multiplier, increment, modulus, scale) is a test
+    failure, not a silent re-bucketing of every LSH index built with
+    an older version (mutation sweep r10: the 1<<31 modulus mutants
+    survived because nothing pinned actual values)."""
+    from skoltexter_by_ai_spark.operators.similarity import hyperplanes
+
+    got = [[round(v, 10) for v in p] for p in hyperplanes(3, n_planes=2, seed=42)]
+    assert got == [
+        [-0.6216633531, 0.1258695394, 0.7731051251],
+        [0.2497869626, -0.11349283, -0.9616266692],
+    ]
+
+
+def test_embedding_near_dups_keeps_pairs_exactly_at_threshold(spark):
+    """The verify filter is >= threshold: an identical pair (cos_sim
+    exactly 1.0) must survive threshold=1.0 — identical vectors share
+    every LSH bucket, so the pair always reaches the filter."""
+    from skoltexter_by_ai_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_near_dups(emb, threshold=1.0, dim=4).collect()
+    assert [(r.id_a, r.id_b, r.cos_sim) for r in got] == [(1, 2, 1.0)]
+
+
+def test_ivf_centroids_default_iters_contract(spark):
+    """iters=3 is the documented default; on a fixture where Lloyd has
+    NOT converged by round 3 (verified in-test: round 4 still moves
+    the centroids), the default must equal the explicit-3 result."""
+    import numpy as np
+
+    from skoltexter_by_ai_spark.operators.similarity import ivf_centroids
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c3 = ivf_centroids(df, n_centroids=3, iters=3, sample_factor=8)
+    c4 = ivf_centroids(df, n_centroids=3, iters=4, sample_factor=8)
+    assert c3 != c4  # the fixture discriminates: not yet converged
+    assert ivf_centroids(df, n_centroids=3, sample_factor=8) == c3
+
+
+def test_ivf_ann_topk_default_nprobe_contract(spark):
+    """nprobe=4 is the documented default: with 6 well-separated
+    2-vector clusters and k larger than four cells can supply, the
+    result size IS the probe budget (8 rows from 4 cells); probing a
+    5th cell would return 10."""
+    import math
+
+    from skoltexter_by_ai_spark.operators.similarity import ivf_ann_topk
+
+    pts, vid = [], 0
+    for a in (0, 30, 60, 90, 120, 180):
+        for d in (-2, 2):
+            th = math.radians(a + d)
+            pts.append((vid, [math.cos(th), math.sin(th)]))
+            vid += 1
+    corpus = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(100, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    explicit = ivf_ann_topk(corpus, q, k=12, n_centroids=6, nprobe=4, iters=3)
+    assert explicit.count() == 8  # 4 cells x 2 members
+    default = ivf_ann_topk(corpus, q, k=12, n_centroids=6, iters=3)
+    assert sorted(r.vec_id for r in default.collect()) == sorted(
+        r.vec_id for r in explicit.collect()
+    ) == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_label_outliers_default_rounding_golden(spark):
+    """round_to=6 is the documented default; golden values with a
+    7th significant decimal pin it (0.894427 vs 0.8944272 at 7)."""
+    from skoltexter_by_ai_spark.operators.similarity import label_outliers
+
+    lab = spark.createDataFrame(
+        [(1, "x", [1.0, 0.0]), (2, "x", [1.0, 1.0])],
+        "id long, label string, v array<double>",
+    )
+    got = label_outliers(lab, "id", "label", "v").orderBy("id").collect()
+    assert [(r.id, r.cos_to_centroid) for r in got] == [(1, 0.894427), (2, 0.948683)]

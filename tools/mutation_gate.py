@@ -205,6 +205,24 @@ EQUIVALENT_MUTANTS: dict[str, dict[str, str]] = {
             "only (QUALITY r10, hand-verified)"
         ),
     },
+    "skoltexter_by_ai_spark/operators/similarity.py": {
+        "L449: Eq -> NotEq": (
+            "ivf_assign zero-norm guard: per-row argmax of dot products "
+            "is scale-invariant, so skipping normalization cannot change "
+            "the cell; the all-NaN zero-vector row argmaxes to index 0 "
+            "exactly like the all-zeros dot row (hand-applied and "
+            "verified output-equal on zero/long/short/NULL vectors, "
+            "QUALITY r10)"
+        ),
+        "L189: 31 -> 32": (
+            "LCG modulus of the v-draw: widening to 2^32 only adds a "
+            "top bit b to the state; v gains exactly +b and cos(2*pi*v) "
+            "is period-1 in v, and the next state update is mod 2^31 "
+            "where a*b*2^31 vanishes — hand-applied, golden hyperplanes "
+            "bit-identical (QUALITY r10). The u-draw modulus one line "
+            "up is NOT equivalent and stays killable (golden test)"
+        ),
+    },
 }
 
 # Content fingerprints for every EQUIVALENT_MUTANTS entry: crc32 (hex)
@@ -239,6 +257,10 @@ EQUIVALENT_MUTANT_FPS: dict[str, dict[str, str]] = {
         "L759: False -> True": "2e9f20c7",
         "L788: 8 -> 9": "a2cdc350",
         "L789: 8 -> 9": "4e36c234",
+    },
+    "skoltexter_by_ai_spark/operators/similarity.py": {
+        "L449: Eq -> NotEq": "87fbfa11",
+        "L189: 31 -> 32": "3c9eb004",
     },
 }
 
