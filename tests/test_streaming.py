@@ -799,3 +799,93 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
         spark.read.parquet(str(src)), empty_ev, n=2, min_overlap=0.5
     )
     assert keep_all.count() == len(rows)
+
+
+def test_sessionize_total_value_fixed_point_exact(spark):
+    """total_value is cents-exact fixed point: sum(round(value*100))/100.
+    Golden values with fractional cents pin BOTH constants (mutation
+    sweep r10: the *100//100 pair had no value-level assertion)."""
+    import datetime
+
+    rows = [
+        ("u", datetime.datetime(2024, 1, 1, 10, 0, 0), 1, 1.23),
+        ("u", datetime.datetime(2024, 1, 1, 10, 1, 0), 2, 2.50),
+        ("u", datetime.datetime(2024, 1, 1, 10, 2, 0), 3, 0.07),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long, value double")
+    got = streaming.sessionize(df, gap="30 minutes").collect()
+    assert len(got) == 1
+    assert got[0].n_events == 3
+    assert got[0].total_value == 3.80  # exactly, no float drift
+
+
+def test_decontaminate_stream_default_shingle_size(spark):
+    """n=3 is the documented default: a 3-token eval doc has exactly
+    one 3-shingle, so an incoming doc containing it is dropped under
+    the default but would SURVIVE at n=4 (the eval side has no
+    4-shingles at all and filters out) — the fixture discriminates
+    the default (mutation sweep r10)."""
+    from skoltexter_by_ai_spark.streaming import decontaminate_stream
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma extra"), (2, "clean words only here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(10, "alpha beta gamma")], "doc_id long, text string")
+    got = sorted(r.doc_id for r in decontaminate_stream(docs, ev).collect())
+    assert got == [2]
+    # explicit n=4: the eval doc contributes no shingles, nothing drops
+    got4 = sorted(r.doc_id for r in decontaminate_stream(docs, ev, n=4).collect())
+    assert got4 == [1, 2]
+
+
+def test_hourly_rollup_total_value_fixed_point_exact(spark):
+    """hourly_rollup's total_value is the same cents-exact fixed point
+    as sessionize's — golden fractional values pin the *100/100 pair
+    (mutation sweep r10: stream-vs-batch parity can't see it, both
+    sides mutate together)."""
+    import datetime
+
+    rows = [
+        ("click", datetime.datetime(2024, 1, 1, 10, 5, 0), 1, 1, 1.23),
+        ("click", datetime.datetime(2024, 1, 1, 10, 55, 0), 2, 2, 2.50),
+        ("view", datetime.datetime(2024, 1, 1, 10, 7, 0), 3, 3, 0.07),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, user_id long, value double"
+    )
+    got = {r.event_type: r for r in streaming.hourly_rollup(df).collect()}
+    assert got["click"].total_value == 3.73  # exactly
+    assert got["view"].total_value == 0.07
+
+
+def test_daily_volume_anomaly_threshold_is_strict(spark):
+    """|z| == 2 exactly is NOT an anomaly (strict >): n=30, mu=20,
+    sd=5 gives z=2.0; n=31 gives z=2.2 and flags."""
+    daily = spark.createDataFrame(
+        [(1000, 30), (2000, 31), (3000, 20)], "day_start long, n long"
+    )
+    stats = spark.createDataFrame([(20.0, 5.0)], "mu double, sd double")
+    got = {r.day_start: r for r in streaming.daily_volume_anomaly(daily, stats).collect()}
+    assert (got[1000].z, got[1000].is_anomaly) == (2.0, 0)
+    assert (got[2000].z, got[2000].is_anomaly) == (2.2, 1)
+    assert (got[3000].z, got[3000].is_anomaly) == (0.0, 0)
+
+
+def test_enrich_with_dimension_broadcasts_by_default(spark):
+    """broadcast_dim=True is the documented scale contract: the
+    dimension side must carry the broadcast hint so a 100 TB stream
+    never shuffles against it. Checked at the analyzed-plan level
+    (AQE would mask it at fixture size by broadcasting anyway)."""
+    events = load_table(spark, SF, "events")
+    dim = spark.createDataFrame([(0, "t")], ["user_id", "tag"])
+    plan = (
+        streaming.enrich_with_dimension(events, dim, "user_id")
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "strategy=broadcast" in plan
+    plan_off = (
+        streaming.enrich_with_dimension(events, dim, "user_id", broadcast_dim=False)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "strategy=broadcast" not in plan_off

@@ -223,6 +223,19 @@ EQUIVALENT_MUTANTS: dict[str, dict[str, str]] = {
             "up is NOT equivalent and stays killable (golden test)"
         ),
     },
+    "skoltexter_by_ai_spark/streaming/__init__.py": {
+        "L301: Sub -> Add": (
+            "user_ema fold slice length size-1 -> size+1: Spark slice "
+            "clamps past the array end, so both return elements 2..end "
+            "(retrieval L223 clamp class; hand-applied on single- and "
+            "multi-event users, output-equal, QUALITY r10)"
+        ),
+        "L301: 0 -> 1": (
+            "greatest(size-1, 0) -> (size-1, 1): differs only on "
+            "size<=1 arrays where slice(arr, 2, 1) and slice(arr, 2, 0) "
+            "are both []; clamp class, hand-verified (QUALITY r10)"
+        ),
+    },
 }
 
 # Content fingerprints for every EQUIVALENT_MUTANTS entry: crc32 (hex)
@@ -261,6 +274,10 @@ EQUIVALENT_MUTANT_FPS: dict[str, dict[str, str]] = {
     "skoltexter_by_ai_spark/operators/similarity.py": {
         "L449: Eq -> NotEq": "87fbfa11",
         "L189: 31 -> 32": "3c9eb004",
+    },
+    "skoltexter_by_ai_spark/streaming/__init__.py": {
+        "L301: Sub -> Add": "e8c95a7b",
+        "L301: 0 -> 1": "e8c95a7b",
     },
 }
 
