@@ -11,16 +11,16 @@ extension for training-data pipelines. Design:
   glob + file pruning; at 100 TB the listing is partitioned by the
   directory layout);
 - decode is pluggable behind :func:`decode_media`: WAV, netpbm
-  PGM/PPM, uncompressed 24-bit BMP, 8-bit non-interlaced PNG
-  incl. indexed palette (DEFLATE via stdlib ``zlib`` + the five
-  scanline filters + PLTE/tRNS handling) and
+  PGM/PPM, uncompressed 24-bit BMP, 8-bit PNG — non-interlaced and
+  Adam7-interlaced, incl. indexed palette (DEFLATE via stdlib
+  ``zlib`` + the five scanline filters + PLTE/tRNS handling) — and
   JPEG — baseline/extended sequential (SOF0/SOF1) AND progressive
   (SOF2, spectral selection + successive approximation) Huffman,
   numpy IDCT, any Hi/Vi subsampling, restart intervals — decode FOR
   REAL with no PIL needed, the deterministic pure-numpy "FAKM"
   container exercises the plumbing in tests, and formats that
   genuinely need an external codec (MP4 — libav is absent from this
-  container, plus arithmetic-coded JPEG and 16-bit/Adam7
+  container, plus arithmetic-coded JPEG and 16-bit
   PNG) raise ``NotImplementedError`` with a clear message — the
   Spark-side dataflow is identical either way.
 
@@ -180,76 +180,31 @@ def _decode_bmp(data: bytes) -> tuple[str, int, int, int, int, bytes]:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass grid: (x offset, y offset, x stride, y stride) per pass,
+# PNG spec §8.2 — a published constant, pinned by the interlaced-vs-
+# plain decode-equality tests (wrong for any permutation drift).
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
-    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA /
-    indexed-palette) via stdlib ``zlib`` — DEFLATE inflate + the five
-    scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
-    Sub/None/Up unfilter vectorized (Sub is a per-channel cumsum mod
-    256); Average/Paeth carry a left-neighbour dependency and run a
-    per-pixel loop — fine for contract-scale rasters, install PIL for
-    bulk production decode. Color type 3 unfilters one index channel,
-    validates every index against the PLTE entry count, maps
-    index→RGB through the palette (PNG spec §11.2.3) and takes the
-    same BT.601 luma as truecolor; tRNS per-entry alpha is parsed and
-    length-validated but ignored for luma, exactly like the RGBA
-    alpha channel.
 
-    Error contract: ``NotImplementedError`` marks a genuinely
-    unsupported VARIANT (sub-8/16-bit depth, Adam7-interlaced) — the
-    documented missing-codec stub boundary; CORRUPT data (truncated
-    stream, raster size mismatch, unknown filter byte, missing/
-    malformed PLTE, palette index out of range, oversize tRNS) raises
-    ``ValueError``, so callers that catch ``NotImplementedError`` as
-    "format we cannot decode" never swallow data errors.
-    """
-    import zlib
-
+def _png_unfilter(buf: bytes, h: int, w: int, channels: int):
+    """Undo the five PNG scanline filters over one (sub-)image of
+    ``h`` rows x ``w`` pixels: ``buf`` is exactly
+    ``h * (w*channels + 1)`` bytes of (filter byte + filtered row).
+    Sub/None/Up vectorized (Sub is a per-channel cumsum mod 256);
+    Average/Paeth carry a left-neighbour dependency and run a
+    per-pixel loop — fine for contract-scale rasters."""
     import numpy as np
 
-    pos, idat = 8, []
-    w = h = bitd = ctype = interlace = None
-    plte = trns = None
-    while pos + 8 <= len(data):
-        ln, typ = struct.unpack_from(">I4s", data, pos)
-        chunk = data[pos + 8 : pos + 8 + ln]
-        if typ == b"IHDR":
-            w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-        elif typ == b"PLTE":
-            plte = chunk
-        elif typ == b"tRNS":
-            trns = chunk
-        elif typ == b"IDAT":
-            idat.append(chunk)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None or not idat:
-        raise ValueError("truncated PNG (no IHDR/IDAT)")
-    if bitd != 8:
-        raise NotImplementedError(f"only 8-bit PNG is supported (bit depth {bitd})")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise NotImplementedError(f"PNG color type {ctype} is not supported")
-    if ctype == 3:
-        # PLTE is mandatory for indexed color (spec §11.2.3): 1..256
-        # RGB triples; tRNS, when present, holds at most one alpha
-        # byte per palette entry.
-        if plte is None:
-            raise ValueError("palette PNG without a PLTE chunk (corrupt)")
-        if len(plte) == 0 or len(plte) % 3 or len(plte) > 768:
-            raise ValueError("malformed PLTE chunk length (corrupt)")
-        if trns is not None and len(trns) > len(plte) // 3:
-            raise ValueError("tRNS longer than the palette (corrupt)")
     stride = w * channels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch (corrupt stream)")
-    raw = raw.reshape(h, stride + 1)
+    raw = np.frombuffer(buf, np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), np.uint8)
     for y in range(h):
         f, row = int(raw[y, 0]), raw[y, 1:]
@@ -280,7 +235,103 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                 cur[x] = (int(row[x]) + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {f}")
-    px = out.reshape(h, w, channels)
+    return out
+
+
+def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
+    """8-bit PNG (gray / gray+alpha / RGB / RGBA / indexed-palette,
+    non-interlaced AND Adam7-interlaced) via stdlib ``zlib`` —
+    DEFLATE inflate + the five scanline filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9).
+    Sub/None/Up unfilter vectorized (Sub is a per-channel cumsum mod
+    256); Average/Paeth carry a left-neighbour dependency and run a
+    per-pixel loop — fine for contract-scale rasters, install PIL for
+    bulk production decode. Color type 3 unfilters one index channel,
+    validates every index against the PLTE entry count, maps
+    index→RGB through the palette (PNG spec §11.2.3) and takes the
+    same BT.601 luma as truecolor; tRNS per-entry alpha is parsed and
+    length-validated but ignored for luma, exactly like the RGBA
+    alpha channel.
+
+    Error contract: ``NotImplementedError`` marks a genuinely
+    unsupported VARIANT (sub-8/16-bit depth) — the
+    documented missing-codec stub boundary; CORRUPT data (truncated
+    stream, raster size mismatch, unknown filter byte, missing/
+    malformed PLTE, palette index out of range, oversize tRNS, bad interlace method) raises
+    ``ValueError``, so callers that catch ``NotImplementedError`` as
+    "format we cannot decode" never swallow data errors.
+    """
+    import zlib
+
+    import numpy as np
+
+    pos, idat = 8, []
+    w = h = bitd = ctype = interlace = None
+    plte = trns = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"tRNS":
+            trns = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    if bitd != 8:
+        raise NotImplementedError(f"only 8-bit PNG is supported (bit depth {bitd})")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} is not supported")
+    if ctype == 3:
+        # PLTE is mandatory for indexed color (spec §11.2.3): 1..256
+        # RGB triples; tRNS, when present, holds at most one alpha
+        # byte per palette entry.
+        if plte is None:
+            raise ValueError("palette PNG without a PLTE chunk (corrupt)")
+        if len(plte) == 0 or len(plte) % 3 or len(plte) > 768:
+            raise ValueError("malformed PLTE chunk length (corrupt)")
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("tRNS longer than the palette (corrupt)")
+    stride = w * channels
+    raw_all = zlib.decompress(b"".join(idat))
+    if interlace == 1:
+        # Adam7 (PNG spec §8.2): seven reduced sub-images, each with
+        # its OWN scanline filtering (the filter's left/up neighbours
+        # are within the sub-image), concatenated in the one zlib
+        # stream. Passes whose grid is empty at this size contribute
+        # no bytes at all (not even filter bytes).
+        px = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * channels + 1)
+            sub = raw_all[pos : pos + need]
+            if len(sub) != need:
+                raise ValueError("PNG raster size mismatch (corrupt stream)")
+            pos += need
+            px[y0::dy, x0::dx] = _png_unfilter(sub, ph, pw, channels).reshape(
+                ph, pw, channels
+            )
+        if pos != len(raw_all):
+            raise ValueError("PNG raster size mismatch (corrupt stream)")
+    elif interlace:
+        raise ValueError(f"bad PNG interlace method {interlace} (corrupt)")
+    else:
+        if len(raw_all) != h * (stride + 1):
+            raise ValueError("PNG raster size mismatch (corrupt stream)")
+        px = _png_unfilter(raw_all, h, w, channels).reshape(h, w, channels)
     if ctype in (0, 4):  # gray / gray+alpha: keep the gray channel
         plane = px[..., 0]
     else:
@@ -1027,12 +1078,12 @@ def _prog_ac_scan(data, pos, ycoef, grid, ac, ss, se, ah, al, restart) -> int:
 
 def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     """Unified decode: (kind, width, height, n_frames, sample_rate,
-    payload). FAKM, WAV, PGM/PPM, 24-bit BMP, 8-bit non-interlaced
-    PNG (incl. indexed palette) and Huffman JPEG (sequential
+    payload). FAKM, WAV, PGM/PPM, 24-bit BMP, 8-bit PNG (incl.
+    indexed palette and Adam7 interlacing) and Huffman JPEG (sequential
     SOF0/SOF1 and progressive SOF2) decode for real; anything else
     raises ``NotImplementedError`` naming the missing dependency —
     the honest stub boundary for MP4 (and the arithmetic-JPEG /
-    interlaced-or-16-bit-PNG variants)."""
+    16-bit-PNG variants)."""
     data = bytes(data)
     if data[:4] == _MAGIC:
         return fakm_decode(data)
@@ -1049,7 +1100,7 @@ def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     raise NotImplementedError(
         "this format needs a real codec library (libav for video), "
         "which is not installed; WAV, PGM/PPM, 24-bit BMP, 8-bit "
-        "non-interlaced PNG, sequential + progressive JPEG and the "
+        "PNG (incl. Adam7), sequential + progressive JPEG and the "
         "FAKM container decode natively"
     )
 

@@ -593,7 +593,12 @@ def label_centroids(
     cent = dims.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
-            lambda s: F.round(s["__m"], round_to),
+            # + 0.0 normalizes IEEE negative zero: a mean of near-
+            # cancelling components can round to -0.0 in one engine and
+            # +0.0 in the other (value-equal, repr/hash-distinct — the
+            # r10 skew-fixture sweep caught exactly this), and
+            # (-0.0) + 0.0 == +0.0 in round-to-nearest on both.
+            lambda s: F.round(s["__m"], round_to) + F.lit(0.0),
         ).alias("centroid")
     )
     nv = df.groupBy(F.col(label_col).alias("label")).agg(

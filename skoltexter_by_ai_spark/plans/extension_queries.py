@@ -1262,7 +1262,7 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         ),
         c AS (
-            SELECT label, list(ROUND(m, 6) ORDER BY pos) AS centroid
+            SELECT label, list(ROUND(m, 6) + 0.0 ORDER BY pos) AS centroid
             FROM d GROUP BY 1
         ),
         nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM e GROUP BY 1),
@@ -1349,7 +1349,7 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e, unnest(generate_series(1, len(ev))) AS t(i)
             GROUP BY 1, 2
         ),
-        c AS (SELECT label, list(ROUND(m, 6) ORDER BY pos) AS cent FROM d GROUP BY 1),
+        c AS (SELECT label, list(ROUND(m, 6) + 0.0 ORDER BY pos) AS cent FROM d GROUP BY 1),
         s AS (
             SELECT vec_id, e.label,
                    ROUND(

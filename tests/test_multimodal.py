@@ -159,13 +159,16 @@ def test_corrupt_jpeg_raises_value_error(spark, tmp_path):
         mm.decode_meta(df).collect()
 
 
-def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None):
+def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None,
+               interlace=False):
     """Minimal PNG encoder for the contract tests: one IDAT, caller
     picks each row's filter type (exercising the decoder's unfilter
     paths). `pixels` is a bytes raster of h*w*channels. With
     `palette` (bytes of RGB triples), channels must be 1 and the
     raster holds palette indices (color type 3); `trns` adds a tRNS
-    chunk of per-entry alpha bytes."""
+    chunk of per-entry alpha bytes. With `interlace`, the raster is
+    emitted as the seven Adam7 sub-images (spec pass order), the
+    filter list cycling over every emitted sub-row."""
     import struct
     import zlib
 
@@ -183,34 +186,56 @@ def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None):
             + struct.pack(">I", zlib.crc32(typ + body))
         )
 
+    def filter_image(rows_, width_, fseq):
+        stride_ = width_ * channels
+        buf = bytearray()
+        prev = bytes(stride_)
+        for row, f in zip(rows_, fseq):
+            enc = bytearray()
+            for x in range(stride_):
+                a = row[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((row[x] - pred) & 0xFF)
+            buf.append(f)
+            buf.extend(enc)
+            prev = bytes(row)
+        return buf
+
     stride = w * channels
     rows = [pixels[y * stride : (y + 1) * stride] for y in range(h)]
-    out = bytearray()
-    prev = bytes(stride)
-    for y, row in enumerate(rows):
-        f = filters[y]
-        enc = bytearray()
-        for x in range(stride):
-            a = row[x - channels] if x >= channels else 0
-            b = prev[x]
-            c = prev[x - channels] if x >= channels else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) >> 1
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            enc.append((row[x] - pred) & 0xFF)
-        out.append(f)
-        out.extend(enc)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    if interlace:
+        fiter = __import__("itertools").cycle(filters)
+        out = bytearray()
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = []
+            for y in range(y0, h, dy):
+                r = bytearray()
+                for x in range(x0, w, dx):
+                    r.extend(rows[y][x * channels : (x + 1) * channels])
+                sub.append(bytes(r))
+            out.extend(filter_image(sub, pw, (next(fiter) for _ in range(ph))))
+    else:
+        out = filter_image(rows, w, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
     mid = b""
     if palette is not None:
         mid += chunk(b"PLTE", palette)
@@ -262,12 +287,13 @@ def test_real_png_unsupported_variants_raise():
             + struct.pack(">I", zlib.crc32(typ + body))
         )
 
-    # Interlaced flag set.
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    # Interlace METHOD 2 is undefined by the spec: corrupt data now
+    # that Adam7 (method 1) decodes for real.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
            + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace"):
         mm.decode_media(png)
     # 16-bit depth.
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
@@ -1076,3 +1102,51 @@ def test_jpeg_progressive_truncation_always_valueerror():
     for cut in range(20, len(full) - 1, 53):
         with pytest.raises(ValueError):
             mm.decode_media(full[:cut])
+
+
+def test_real_png_adam7_matches_plain_decode():
+    """Adam7-interlaced decode must equal the non-interlaced decode of
+    the same raster — across sizes that exercise empty passes (1x1:
+    six of seven passes empty; 3x3: several partial), channel counts,
+    palette, and all five filters cycling over the sub-images."""
+    import random
+
+    rng = random.Random(97)
+    for w, h, ch in [(1, 1, 1), (3, 3, 1), (8, 8, 3), (13, 5, 4), (5, 13, 2), (9, 10, 1)]:
+        raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        plain = _png_bytes(w, h, ch, raster, filters=[0] * h)
+        inter = _png_bytes(w, h, ch, raster, filters=[0, 1, 2, 3, 4], interlace=True)
+        assert mm.decode_media(inter) == mm.decode_media(plain), (w, h, ch)
+    # palette + Adam7 compose
+    pal = bytes(rng.randrange(256) for _ in range(8 * 3))
+    idx = bytes(rng.randrange(8) for _ in range(6 * 7))
+    plain = _png_bytes(6, 7, 1, idx, filters=[0] * 7, palette=pal)
+    inter = _png_bytes(6, 7, 1, idx, filters=[4, 3, 2, 1, 0], palette=pal, interlace=True)
+    assert mm.decode_media(inter) == mm.decode_media(plain)
+
+
+def test_real_png_adam7_truncation_is_corrupt():
+    """Chopping the concatenated pass stream (or appending trailing
+    bytes) must raise ValueError — the per-pass byte accounting is the
+    corruption check."""
+    import zlib as _z
+
+    raster = bytes(range(8 * 8))
+    good = _png_bytes(8, 8, 1, raster, filters=[0] * 8, interlace=True)
+    # Rebuild with a truncated zlib payload: drop the last sub-image row.
+    i = good.index(b"IDAT") - 4
+    ln = int.from_bytes(good[i : i + 4], "big")
+    body = good[i + 8 : i + 8 + ln]
+    raw = _z.decompress(body)
+    for bad_raw in (raw[:-9], raw + b"\x00" * 9):
+        bad_body = _z.compress(bad_raw)
+        rebuilt = (
+            good[:i]
+            + len(bad_body).to_bytes(4, "big")
+            + b"IDAT"
+            + bad_body
+            + _z.crc32(b"IDAT" + bad_body).to_bytes(4, "big")
+            + good[i + 12 + ln :]
+        )
+        with pytest.raises(ValueError, match="size mismatch"):
+            mm.decode_media(rebuilt)

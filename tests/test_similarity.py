@@ -612,3 +612,23 @@ def test_label_outliers_default_rounding_golden(spark):
     )
     got = label_outliers(lab, "id", "label", "v").orderBy("id").collect()
     assert [(r.id, r.cos_to_centroid) for r in got] == [(1, 0.894427), (2, 0.948683)]
+
+
+def test_label_centroids_normalize_negative_zero(spark):
+    """A mean of near-cancelling components that rounds to zero must
+    come out as +0.0, never IEEE -0.0: the two are value-equal but
+    repr/hash-distinct, so one engine emitting -0.0 where the other
+    emits 0.0 fails driver-style value parity (caught live by the r10
+    skew-fixture sweep on x94)."""
+    import math
+
+    from skoltexter_by_ai_spark.operators.similarity import label_centroids
+
+    # mean = (1e-9 + -2e-9) / 2 = -5e-10 -> rounds to zero, negative
+    lab = spark.createDataFrame(
+        [(1, "x", [1e-9, 1.0]), (2, "x", [-2e-9, 1.0])],
+        "id long, label string, v array<double>",
+    )
+    cent = label_centroids(lab, "label", "v").collect()[0].centroid
+    assert cent[0] == 0.0 and math.copysign(1.0, cent[0]) == 1.0
+    assert cent[1] == 1.0
