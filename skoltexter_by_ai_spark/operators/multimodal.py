@@ -20,7 +20,7 @@ extension for training-data pipelines. Design:
   REAL with no PIL needed, the deterministic pure-numpy "FAKM"
   container exercises the plumbing in tests, and formats that
   genuinely need an external codec (MP4 — libav is absent from this
-  container, plus arithmetic-coded JPEG and 16-bit
+  container, plus arithmetic-coded JPEG and sub-8-bit
   PNG) raise ``NotImplementedError`` with a clear message — the
   Spark-side dataflow is identical either way.
 
@@ -198,6 +198,9 @@ def _png_unfilter(buf: bytes, h: int, w: int, channels: int):
     """Undo the five PNG scanline filters over one (sub-)image of
     ``h`` rows x ``w`` pixels: ``buf`` is exactly
     ``h * (w*channels + 1)`` bytes of (filter byte + filtered row).
+    ``channels`` is the filter neighbour offset in BYTES per pixel —
+    literal channels at bit depth 8, ``2*channels`` at 16 (spec §9
+    defines filtering bytewise).
     Sub/None/Up vectorized (Sub is a per-channel cumsum mod 256);
     Average/Paeth carry a left-neighbour dependency and run a
     per-pixel loop — fine for contract-scale rasters."""
@@ -239,8 +242,9 @@ def _png_unfilter(buf: bytes, h: int, w: int, channels: int):
 
 
 def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
-    """8-bit PNG (gray / gray+alpha / RGB / RGBA / indexed-palette,
-    non-interlaced AND Adam7-interlaced) via stdlib ``zlib`` —
+    """8- and 16-bit PNG (gray / gray+alpha / RGB / RGBA /
+    indexed-palette, non-interlaced AND Adam7-interlaced) via stdlib
+    ``zlib`` —
     DEFLATE inflate + the five scanline filters
     (None/Sub/Up/Average/Paeth, PNG spec §9).
     Sub/None/Up unfilter vectorized (Sub is a per-channel cumsum mod
@@ -253,8 +257,12 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     length-validated but ignored for luma, exactly like the RGBA
     alpha channel.
 
+    16-bit samples decode via the same byte-level unfilter (the
+    filter neighbour offset is BYTES per pixel, spec §9) and emit the
+    high byte, the exact inverse of the spec's v*257 upscale.
+
     Error contract: ``NotImplementedError`` marks a genuinely
-    unsupported VARIANT (sub-8/16-bit depth) — the
+    unsupported VARIANT (sub-8-bit depth) — the
     documented missing-codec stub boundary; CORRUPT data (truncated
     stream, raster size mismatch, unknown filter byte, missing/
     malformed PLTE, palette index out of range, oversize tRNS, bad interlace method) raises
@@ -286,11 +294,16 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
-    if bitd != 8:
-        raise NotImplementedError(f"only 8-bit PNG is supported (bit depth {bitd})")
+    if bitd not in (8, 16):
+        raise NotImplementedError(
+            f"only 8- and 16-bit PNG are supported (bit depth {bitd})"
+        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} is not supported")
+    if ctype == 3 and bitd == 16:
+        # spec §11.2.2: palette images allow bit depths 1/2/4/8 only
+        raise ValueError("16-bit palette PNG is not a legal combination (corrupt)")
     if ctype == 3:
         # PLTE is mandatory for indexed color (spec §11.2.3): 1..256
         # RGB triples; tRNS, when present, holds at most one alpha
@@ -301,7 +314,8 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
             raise ValueError("malformed PLTE chunk length (corrupt)")
         if trns is not None and len(trns) > len(plte) // 3:
             raise ValueError("tRNS longer than the palette (corrupt)")
-    stride = w * channels
+    bpp = channels * (bitd // 8)  # filter neighbour offset is BYTES per pixel
+    stride = w * bpp
     raw_all = zlib.decompress(b"".join(idat))
     if interlace == 1:
         # Adam7 (PNG spec §8.2): seven reduced sub-images, each with
@@ -309,20 +323,20 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         # are within the sub-image), concatenated in the one zlib
         # stream. Passes whose grid is empty at this size contribute
         # no bytes at all (not even filter bytes).
-        px = np.zeros((h, w, channels), np.uint8)
+        px = np.zeros((h, w, bpp), np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (pw * channels + 1)
+            need = ph * (pw * bpp + 1)
             sub = raw_all[pos : pos + need]
             if len(sub) != need:
                 raise ValueError("PNG raster size mismatch (corrupt stream)")
             pos += need
-            px[y0::dy, x0::dx] = _png_unfilter(sub, ph, pw, channels).reshape(
-                ph, pw, channels
+            px[y0::dy, x0::dx] = _png_unfilter(sub, ph, pw, bpp).reshape(
+                ph, pw, bpp
             )
         if pos != len(raw_all):
             raise ValueError("PNG raster size mismatch (corrupt stream)")
@@ -331,7 +345,12 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     else:
         if len(raw_all) != h * (stride + 1):
             raise ValueError("PNG raster size mismatch (corrupt stream)")
-        px = _png_unfilter(raw_all, h, w, channels).reshape(h, w, channels)
+        px = _png_unfilter(raw_all, h, w, bpp).reshape(h, w, bpp)
+    if bitd == 16:
+        # 16-bit samples are big-endian; the 8-bit payload contract
+        # takes the high byte (the standard 16->8 downsample: for the
+        # spec's v*257 upscale of an 8-bit source it is exact).
+        px = px.reshape(h, w, channels, 2)[..., 0]
     if ctype in (0, 4):  # gray / gray+alpha: keep the gray channel
         plane = px[..., 0]
     else:
@@ -1082,8 +1101,8 @@ def decode_media(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     indexed palette and Adam7 interlacing) and Huffman JPEG (sequential
     SOF0/SOF1 and progressive SOF2) decode for real; anything else
     raises ``NotImplementedError`` naming the missing dependency —
-    the honest stub boundary for MP4 (and the arithmetic-JPEG /
-    16-bit-PNG variants)."""
+    the honest stub boundary for MP4 (and arithmetic JPEG /
+    sub-8-bit PNG)."""
     data = bytes(data)
     if data[:4] == _MAGIC:
         return fakm_decode(data)

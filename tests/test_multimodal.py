@@ -160,7 +160,7 @@ def test_corrupt_jpeg_raises_value_error(spark, tmp_path):
 
 
 def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None,
-               interlace=False):
+               interlace=False, bitdepth=8):
     """Minimal PNG encoder for the contract tests: one IDAT, caller
     picks each row's filter type (exercising the decoder's unfilter
     paths). `pixels` is a bytes raster of h*w*channels. With
@@ -168,7 +168,10 @@ def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None,
     raster holds palette indices (color type 3); `trns` adds a tRNS
     chunk of per-entry alpha bytes. With `interlace`, the raster is
     emitted as the seven Adam7 sub-images (spec pass order), the
-    filter list cycling over every emitted sub-row."""
+    filter list cycling over every emitted sub-row. With bitdepth=16,
+    `pixels` is the big-endian u16 raster (h*w*channels*2 bytes) and
+    filtering runs bytewise at the 2*channels neighbour offset, per
+    spec §9."""
     import struct
     import zlib
 
@@ -186,16 +189,18 @@ def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None,
             + struct.pack(">I", zlib.crc32(typ + body))
         )
 
+    bpp = channels * (bitdepth // 8)
+
     def filter_image(rows_, width_, fseq):
-        stride_ = width_ * channels
+        stride_ = width_ * bpp
         buf = bytearray()
         prev = bytes(stride_)
         for row, f in zip(rows_, fseq):
             enc = bytearray()
             for x in range(stride_):
-                a = row[x - channels] if x >= channels else 0
+                a = row[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if f == 0:
                     pred = 0
                 elif f == 1:
@@ -214,7 +219,7 @@ def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None,
             prev = bytes(row)
         return buf
 
-    stride = w * channels
+    stride = w * bpp
     rows = [pixels[y * stride : (y + 1) * stride] for y in range(h)]
     if interlace:
         fiter = __import__("itertools").cycle(filters)
@@ -230,12 +235,12 @@ def _png_bytes(w, h, channels, pixels, filters, palette=None, trns=None,
             for y in range(y0, h, dy):
                 r = bytearray()
                 for x in range(x0, w, dx):
-                    r.extend(rows[y][x * channels : (x + 1) * channels])
+                    r.extend(rows[y][x * bpp : (x + 1) * bpp])
                 sub.append(bytes(r))
             out.extend(filter_image(sub, pw, (next(fiter) for _ in range(ph))))
     else:
         out = filter_image(rows, w, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, ctype, 0, 0, 1 if interlace else 0)
     mid = b""
     if palette is not None:
         mid += chunk(b"PLTE", palette)
@@ -295,8 +300,8 @@ def test_real_png_unsupported_variants_raise():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="interlace"):
         mm.decode_media(png)
-    # 16-bit depth.
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # sub-8-bit depth (16-bit now decodes; see the 16-bit tests below).
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
            + chunk(b"IEND", b""))
@@ -1150,3 +1155,55 @@ def test_real_png_adam7_truncation_is_corrupt():
         )
         with pytest.raises(ValueError, match="size mismatch"):
             mm.decode_media(rebuilt)
+
+
+def test_real_png_16bit_gray_takes_high_byte():
+    """16-bit decode contract: the payload is the high byte — exact
+    for the spec's v*257 upscale of an 8-bit source. Filters run
+    bytewise at the 2-byte neighbour offset, so a Sub-filtered 16-bit
+    row discriminates any channel-offset confusion."""
+    import random
+    import struct
+
+    rng = random.Random(113)
+    vals8 = [rng.randrange(256) for _ in range(4 * 5)]
+    raster16 = b"".join(struct.pack(">H", v * 257) for v in vals8)
+    data = _png_bytes(4, 5, 1, raster16, filters=[0, 1, 2, 3, 4], bitdepth=16)
+    kind, w, h, _, _, payload = mm.decode_media(data)
+    assert (kind, w, h) == ("image", 4, 5)
+    assert payload == bytes(vals8)
+
+
+def test_real_png_16bit_rgb_and_adam7():
+    import random
+    import struct
+
+    rng = random.Random(127)
+    vals8 = [rng.randrange(256) for _ in range(3 * 3 * 3)]
+    raster16 = b"".join(struct.pack(">H", v * 257) for v in vals8)
+    raster8 = bytes(vals8)
+    plain16 = _png_bytes(3, 3, 3, raster16, filters=[1, 4, 2], bitdepth=16)
+    plain8 = _png_bytes(3, 3, 3, raster8, filters=[0, 0, 0])
+    assert mm.decode_media(plain16) == mm.decode_media(plain8)
+    inter16 = _png_bytes(3, 3, 3, raster16, filters=[0, 1, 2, 3, 4],
+                         bitdepth=16, interlace=True)
+    assert mm.decode_media(inter16) == mm.decode_media(plain8)
+
+
+def test_real_png_16bit_palette_is_corrupt():
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", bytes(6))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="16-bit palette"):
+        mm.decode_media(png)
