@@ -359,6 +359,7 @@ def winsorize(
     upper: float = 0.95,
     scale: int | None = 100,
     approx_accuracy: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Clip ``value_col`` to its [lower, upper] quantiles (per group
     when ``group_col`` is given) — outlier capping for feature
@@ -408,7 +409,8 @@ def winsorize(
 
         groups = [] if group_col is None else [group_col]
         bounds = exact_quantile_bounds(
-            df, value_col, groups, [lower, upper], scale=scale
+            df, value_col, groups, [lower, upper], scale=scale,
+            reliable_checkpoint=reliable_checkpoint,
         ).withColumnsRenamed({"__q0": "__lo", "__q1": "__hi"})
     if group_col is None:
         joined = df.crossJoin(F.broadcast(bounds))
@@ -430,6 +432,7 @@ def robust_zscore(
     scale: int = 100,
     round_to: int = 6,
     fused: bool = True,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Per-group robust standardization ``(v − median) / MAD`` with
     ``MAD = median(|v − median|)`` — the outlier-insensitive sibling
@@ -477,7 +480,13 @@ def robust_zscore(
     if fused:
         from skoltexter_by_ai_spark.operators.quantiles import grouped_median_mad
 
-        res = grouped_median_mad(narrow, group_col, F.col("__vc"), guard=F.col("__ok"))
+        res = grouped_median_mad(
+            narrow,
+            group_col,
+            F.col("__vc"),
+            guard=F.col("__ok"),
+            reliable_checkpoint=reliable_checkpoint,
+        )
         if res is not None:
             gs, ok = res
             if ok:
@@ -521,6 +530,7 @@ def robust_zscore(
         guard=F.col("__ok"),
         return_stats=True,
         seed_accuracy=_acc,
+        reliable_checkpoint=reliable_checkpoint,
         # __gk tail layout (after the 2 median brackets):
         # [q1_in, q3_in, q1_out, q3_out] — inner estimates err toward
         # the median (rank +/-3d3 margin), outer away from it.
@@ -531,10 +541,13 @@ def robust_zscore(
     # several broadcast jobs per EVALUATION, and med/dstats/the final
     # output would each re-run it — one tiny checkpoint collapses
     # ~10 scheduling round-trips into 1 (group-count rows only).
-    qstats = (
-        medq.groupBy(group_col)
-        .agg(F.max(F.when(F.col("__p") == 0.5, F.col("__q"))).alias("__medc"))
-        .localCheckpoint(eager=True)
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    qstats = pin(
+        medq.groupBy(group_col).agg(
+            F.max(F.when(F.col("__p") == 0.5, F.col("__q"))).alias("__medc")
+        ),
+        reliable=reliable_checkpoint,
     )
     med = qstats.select(
         group_col, F.round(F.col("__medc") / scale, round_to).alias("grp_median")
@@ -594,6 +607,7 @@ def robust_zscore(
         F.abs(F.col("__vc") * 2 - m2),
         [0.5],
         stats=dstats,
+        reliable_checkpoint=reliable_checkpoint,
     )
     mad = madq.select(
         group_col,
@@ -606,7 +620,7 @@ def robust_zscore(
     # NULL never reaches the bisection (non-NULL filter), so it has no
     # stats row — keep its rows with NULL median/MAD/z, the same shape
     # the percentile composition this replaced produced (ADVICE r3).
-    gstats = med.join(mad, group_col, "left").localCheckpoint(eager=True)
+    gstats = pin(med.join(mad, group_col, "left"), reliable=reliable_checkpoint)
     # Both rounds' passes have run (the machinery is eager) and gstats
     # is pinned, so the cached narrow projection can go now.
     narrow.unpersist()

@@ -147,6 +147,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     max_df: int = 20,
     min_jaccard: float = 0.0,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity over n-word shingle sets.
 
@@ -160,7 +161,18 @@ def ngram_jaccard_pairs(
     f*(f-1)/2 candidate pairs). For 100 TB corpora use
     :func:`minhash_lsh_candidates` instead; this operator is the exact
     oracle for moderate candidate sets.
+
+    Pin lifecycle: the df-pruned shingle list is pinned lazily (three
+    consumers read it; see inline comment) and its blocks live until
+    the returned DataFrame is dropped and GC'd — a long-lived session
+    invoking this repeatedly while RETAINING every result accumulates
+    storage until those results are released (ADVICE r10). Default
+    pin is executor-local (non-recoverable on executor loss — fine
+    for a rerunnable batch); pass ``reliable_checkpoint=True`` on
+    long 100 TB jobs to pin into ``setCheckpointDir`` storage instead
+    (see :func:`~skoltexter_by_ai_spark.operators.pinning.pin`).
     """
+    from skoltexter_by_ai_spark.operators.pinning import pin
     sh = (
         _spread(df, id_col)
         .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
@@ -174,7 +186,7 @@ def ngram_jaccard_pairs(
     # explode + df-prune over the whole corpus — the dominant cost of
     # the operator (measured ~2x wall on x20/x90 at sf0.1). Size is
     # bounded: df-pruning caps every shingle at max_df rows.
-    shr = sh.join(rare.select("__s"), "__s").localCheckpoint(eager=False)
+    shr = pin(sh.join(rare.select("__s"), "__s"), reliable=reliable_checkpoint, eager=False)
     sizes = shr.groupBy("__id").agg(F.count("*").alias("__sz"))
 
     a = shr.select(F.col("__s"), F.col("__id").alias("id_a"))
@@ -416,7 +428,8 @@ def incremental_near_dups(
     bands: int = 8,
     seed: int = 42,
     min_jaccard: float = 0.5,
-) -> DataFrame:
+    return_cache_handle: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Incremental near-dup screen: which INCOMING documents are
     near-duplicates of the EXISTING corpus — the production shape of
     MinHash dedup, where a new crawl/batch is checked against the
@@ -495,11 +508,25 @@ def incremental_near_dups(
     # Hand the caller the persisted intermediate so repeated invocations
     # (one per micro-batch in the streaming use) can release executor
     # storage; release_candidate_cache() consumes it.
+    #
+    # CACHE-RELEASE CONTRACT (ADVICE r10): the ``_sg_persisted``
+    # attribute lives on THIS exact DataFrame object — any further
+    # transformation (select/filter/repartition/...) returns a NEW
+    # DataFrame without it, after which release_candidate_cache()
+    # silently returns False and the cache leaks for the session.
+    # Either call release on the object returned here, or pass
+    # ``return_cache_handle=True`` to get ``(result, handle)`` and
+    # release via ``release_candidate_cache(handle=handle)`` no matter
+    # what the result was transformed into.
     out._sg_persisted = cands
+    if return_cache_handle:
+        return out, cands
     return out
 
 
-def release_candidate_cache(result: DataFrame) -> bool:
+def release_candidate_cache(
+    result: DataFrame | None = None, handle: DataFrame | None = None
+) -> bool:
     """Unpersist the candidate-pair cache attached to an
     :func:`incremental_near_dups` result (the ``_sg_persisted``
     handle). Returns True if a cache was found and released. Safe to
@@ -508,7 +535,19 @@ def release_candidate_cache(result: DataFrame) -> bool:
     unconditionally after consuming any batch result. Call it AFTER
     the result is fully consumed (collected / written): unpersisting
     first would only forfeit the cache, not break correctness, since
-    the lineage is intact (persist, not localCheckpoint)."""
+    the lineage is intact (persist, not localCheckpoint).
+
+    IMPORTANT (ADVICE r10): the attribute rides on the EXACT object
+    ``incremental_near_dups`` returned — a transformed result (e.g.
+    ``result.filter(...)``) no longer carries it and this returns
+    False. For code that transforms the result before releasing, take
+    ``return_cache_handle=True`` from the builder and pass the handle
+    here via ``handle=``, which releases unconditionally."""
+    if handle is not None:
+        handle.unpersist()
+        if result is not None and getattr(result, "_sg_persisted", None) is not None:
+            result._sg_persisted = None
+        return True
     cands = getattr(result, "_sg_persisted", None)
     if cands is None:
         return False
@@ -521,7 +560,11 @@ def release_candidate_cache(result: DataFrame) -> bool:
 
 
 def dedup_clusters(
-    ids: DataFrame, pairs: DataFrame, id_col: str = "id", max_iter: int = 25
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs``: every node gets
     ``cluster`` = min id reachable from it (the canonical survivor).
@@ -543,16 +586,24 @@ def dedup_clusters(
     still merge their neighbours — callers may pass ``ids`` as any
     subset or superset of the endpoints (ADVICE r3: the pointer-jump
     rewrite's inner joins silently required endpoints ⊆ ids).
+
+    ``reliable_checkpoint=True`` pins the edge list and each round's
+    label table into ``setCheckpointDir`` storage instead of executor-
+    local blocks — on a 1000-executor job, an executor lost at round
+    12 of 15 then re-reads reliable files rather than failing the
+    whole multi-hour run (VERDICT r10 item 2); see
+    :func:`~skoltexter_by_ai_spark.operators.pinning.pin`.
     """
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     # Pin the edge list BEFORE anything reads it: `pairs` is typically
     # the whole near-dup candidate pipeline, and without a checkpoint
     # every iteration's join + convergence probe would recompute it from
     # the source (measured 5x wall on x20 once bench timed builders).
-    edges = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
+    edges = pin(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        reliable=reliable_checkpoint,
     )
     # Extra endpoints come from the CHECKPOINTED symmetric edge list —
     # `edges` contains every endpoint in its `a` column, and deriving
@@ -563,7 +614,9 @@ def dedup_clusters(
         .unionByName(edges.select(F.col("a").alias("id")))
         .distinct()
     )
-    labels = nodes.select("id", F.col("id").alias("cluster")).localCheckpoint()
+    labels = pin(
+        nodes.select("id", F.col("id").alias("cluster")), reliable=reliable_checkpoint
+    )
     cluster_type = dict(labels.dtypes)["cluster"]
     for _ in range(max_iter):
         prop = labels.join(edges, labels["id"] == edges["a"]).select(
@@ -594,10 +647,11 @@ def dedup_clusters(
         jump = stepped.select(
             F.col("id").alias("cluster"), F.col("cluster").alias("__cc")
         )
-        new_full = (
-            stepped.join(jump, "cluster")
-            .select("id", F.col("__cc").alias("cluster"), "__old")
-            .localCheckpoint()
+        new_full = pin(
+            stepped.join(jump, "cluster").select(
+                "id", F.col("__cc").alias("cluster"), "__old"
+            ),
+            reliable=reliable_checkpoint,
         )
         labels = new_full.select("id", "cluster")
         if new_full.filter(F.col("cluster") != F.col("__old")).isEmpty():
@@ -745,18 +799,11 @@ def simhash_near_dups(
     # so it checkpoints once (lazily, on first action: the operator
     # stays a pure plan until executed) and the bucket self-join below
     # never re-runs the tokenize/hash pipeline on either branch.
-    raw_sig = simhash64(df, id_col, text_col)
-    if reliable_checkpoint:
-        # persist BEFORE the lazy reliable checkpoint: the post-action
-        # checkpoint write then streams from cached blocks instead of
-        # re-running the tokenize+hash pipeline (see docstring).
-        from pyspark.storagelevel import StorageLevel
+    from skoltexter_by_ai_spark.operators.pinning import pin
 
-        sig = raw_sig.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(
-            eager=False
-        )
-    else:
-        sig = raw_sig.localCheckpoint(eager=False)
+    sig = pin(
+        simhash64(df, id_col, text_col), reliable=reliable_checkpoint, eager=False
+    )
     return simhash_pairs_from_signatures(sig, id_col, max_hamming, max_bucket=max_bucket)
 
 

@@ -736,6 +736,17 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                             if s == 0:
                                 if r == 15:
                                     k += 16
+                                    # ZRL writes 16 zeros at k-16..k-1;
+                                    # filling exactly to the block end
+                                    # (k == 64) is representable, but
+                                    # beyond is a corrupt stream — same
+                                    # contract as the progressive path
+                                    # (ADVICE r10: this previously fell
+                                    # out of the loop silently).
+                                    if k > 64:
+                                        raise ValueError(
+                                            "JPEG AC run past block end (corrupt)"
+                                        )
                                     continue
                                 break  # EOB
                             k += r

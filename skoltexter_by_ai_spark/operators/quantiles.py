@@ -54,6 +54,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from skoltexter_by_ai_spark.operators.pinning import pin
+
 # Diagnostic: histogram passes used by the most recent
 # grouped_exact_quantiles calls (appended per call, capped to the last
 # _PASS_COUNT_KEEP so long-lived sessions never grow it unboundedly).
@@ -97,6 +99,7 @@ def grouped_exact_quantiles(
     seed_accuracy: int | None = 1_000,
     ranks: list[int] | None = None,
     extra_sketch_probs: list[float] | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Exact interpolated quantiles of ``value_long`` per group.
 
@@ -140,6 +143,13 @@ def grouped_exact_quantiles(
     round no longer has to close exact quartiles it only needed as
     seeds.
 
+    ``reliable_checkpoint=True`` routes every per-pass pin through the
+    fault-tolerant reliable checkpoint instead of executor-local
+    blocks (see :func:`~skoltexter_by_ai_spark.operators.pinning.pin`)
+    — the escape hatch for multi-hour 100 TB jobs where executor loss
+    mid-bisection is routine (VERDICT r10 item 2). Requires
+    ``setCheckpointDir``.
+
     ``ranks`` switches to RANK-SELECTION mode (pass ``probs=[]``):
     instead of interpolated quantiles, return the exact k-th smallest
     value per group for each 0-based rank (clamped into [0, n−1]) as
@@ -164,6 +174,7 @@ def grouped_exact_quantiles(
             seed_accuracy=seed_accuracy,
             ranks=ranks,
             extra_sketch_probs=extra_sketch_probs,
+            reliable_checkpoint=reliable_checkpoint,
         )
         if return_stats:
             return res[0].drop("__all"), res[1].drop("__all")
@@ -262,13 +273,16 @@ def grouped_exact_quantiles(
             ).cast("long"),
             F.lit(0),
         )
-        stats = stats.select(
-            *group_cols,
-            "__n",
-            guarded_min.alias("__min"),
-            "__max",
-            *(["__gk"] if seeded else []),
-        ).localCheckpoint(eager=True)
+        stats = pin(
+            stats.select(
+                *group_cols,
+                "__n",
+                guarded_min.alias("__min"),
+                "__max",
+                *(["__gk"] if seeded else []),
+            ),
+            reliable=reliable_checkpoint,
+        )
     else:
         # Pin the provided stats too: callers typically hand in a frame
         # DERIVED from a previous round's interpolation joins (e.g.
@@ -276,13 +290,16 @@ def grouped_exact_quantiles(
         # reference it — without a checkpoint that small-but-deep chain
         # (several broadcast builds) re-evaluates on every reference,
         # measured ~0.4 s per histogram round on x72 at sf0.1.
-        stats = stats.select(
-            *group_cols,
-            "__n",
-            "__min",
-            "__max",
-            *(["__slo", "__shi"] if stats_seeded else []),
-        ).localCheckpoint(eager=True)
+        stats = pin(
+            stats.select(
+                *group_cols,
+                "__n",
+                "__min",
+                "__max",
+                *(["__slo", "__shi"] if stats_seeded else []),
+            ),
+            reliable=reliable_checkpoint,
+        )
 
     # (group, prob) → position and the two bracketing ranks, each
     # carrying its seed bracket (posexplode tracks the prob's index
@@ -373,7 +390,9 @@ def grouped_exact_quantiles(
     # the distinct ranges, the counts join) — measured faster to pin
     # the count-sized frame once than to recompute its small shuffle
     # inside every reference (A/B at sf0.1: ~0.5-1 s on x72).
-    open_t = targets.filter(F.col("__gmin") < F.col("__gmax")).localCheckpoint(eager=True)
+    open_t = pin(
+        targets.filter(F.col("__gmin") < F.col("__gmax")), reliable=reliable_checkpoint
+    )
     cum_w = (
         Window.partitionBy(*group_cols, "__k")
         .orderBy("__b")
@@ -442,7 +461,7 @@ def grouped_exact_quantiles(
             (F.col("__cum") >= F.col("__k") + 1)
             & (F.col("__cum") - F.col("__c") <= F.col("__k"))
         )
-        refined = picked.select(
+        refined = pin(picked.select(
             *group_cols,
             "__k",
             F.when(F.col("__b") == -1, F.col("__gmin"))
@@ -460,7 +479,7 @@ def grouped_exact_quantiles(
             .alias("__hi"),
             "__gmin",
             "__gmax",
-        ).localCheckpoint(eager=True)  # cut lineage; pin this pass's result
+        ), reliable=reliable_checkpoint)  # cut lineage; pin this pass's result
         closed = closed.union(refined.filter(F.col("__lo") >= F.col("__hi")))
         open_t = refined.filter(F.col("__lo") < F.col("__hi"))
     else:
@@ -529,6 +548,7 @@ def exact_quantile_bounds(
     scale: int = 100,
     round_to: int = 6,
     persist_base: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Quantiles of a fixed-decimal DOUBLE column, one output column
     per prob (named ``__q0``, ``__q1``, …), per group — the shape
@@ -549,6 +569,7 @@ def exact_quantile_bounds(
         probs,
         guard=F.abs(v * scale - scaled) < 0.01,
         persist_base=persist_base,
+        reliable_checkpoint=reliable_checkpoint,
         guard_msg=(
             f"exact_quantile_bounds: {value_col!r} has values off the "
             f"1/{scale} grid. Remediation: pass the correct `scale`, or "
@@ -574,6 +595,7 @@ def grouped_median_mad(
     seed_accuracy: int = 1_000,
     guard_msg: str | None = None,
     slack: int = 4,
+    reliable_checkpoint: bool = False,
 ) -> tuple[DataFrame, bool] | None:
     """Exact per-group median AND MAD from ONE scan of ``df`` past the
     stats pass (VERDICT r4 item 4: "one combined base scan can serve
@@ -647,9 +669,10 @@ def grouped_median_mad(
         ).cast("long"),
         F.lit(0),
     )
-    stats = stats.select(
-        g, "__n", guarded_min.alias("__min"), "__max", "__gk"
-    ).localCheckpoint(eager=True)
+    stats = pin(
+        stats.select(g, "__n", guarded_min.alias("__min"), "__max", "__gk"),
+        reliable=reliable_checkpoint,
+    )
 
     s = F.lit(int(slack)).cast("long")
     # Window geometry, all LONG arithmetic (`div` truncation direction
@@ -751,8 +774,8 @@ def grouped_median_mad(
             ).alias("__b"),
         )
         .agg(F.count("*").alias("__c"))
-        .localCheckpoint(eager=True)
     )
+    hist = pin(hist, reliable=reliable_checkpoint)
 
     ranks = spec.select(g, F.explode(F.array("__k1", "__k2")).alias("__k")).distinct()
     expected_nk = F.when(F.col("__k1") == F.col("__k2"), 1).otherwise(2)
@@ -778,8 +801,8 @@ def grouped_median_mad(
         .join(spec.select(g, "__k1", "__k2"), g)
         .filter(F.col("__nk") == expected_nk)
         .select(g, (F.col("__v1") + F.col("__v2")).alias("__m2"))
-        .localCheckpoint(eager=True)
     )
+    medstats = pin(medstats, reliable=reliable_checkpoint)
 
     # MAD: map the quartile windows' value counts to deltas on the
     # doubled grid; cum(t) = n − outer − mapped(>t) is exact for any
@@ -847,7 +870,7 @@ def grouped_median_mad(
     # Lazy checkpoint: the completeness count below is the first
     # action, so it materializes the checkpoint in the same job
     # instead of paying a separate eager pass first.
-    gstats = medstats.join(madstats, g).localCheckpoint(eager=False)
+    gstats = pin(medstats.join(madstats, g), reliable=reliable_checkpoint, eager=False)
     # Completeness probe: every non-NULL-keyed group must have closed
     # BOTH order statistics inside its windows; anything else is a
     # sketch miss and the caller reruns generically. NULL group keys
@@ -864,6 +887,7 @@ def grouped_kth_smallest(
     value_long: Column,
     k: int,
     nbuckets: int = 8192,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Per-group EXACT k-th smallest value (0-based; clamped to the
     group's last rank when k ≥ n). Returns ``(*group_cols, __kth)``
@@ -873,6 +897,7 @@ def grouped_kth_smallest(
     ``group_cap``'s mega-group pre-cut.
     """
     res = grouped_exact_quantiles(
-        df, group_cols, value_long, [], ranks=[k], nbuckets=nbuckets
+        df, group_cols, value_long, [], ranks=[k], nbuckets=nbuckets,
+        reliable_checkpoint=reliable_checkpoint,
     )
     return res.select(*group_cols, F.col("__vk").alias("__kth"))

@@ -76,6 +76,7 @@ def distributed_prefix_sum(
     out_col: str = "running_total",
     num_ranges: int | None = None,
     total_col: str | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Global running total WITHOUT a single-task global window.
 
@@ -112,10 +113,11 @@ def distributed_prefix_sum(
     # could partition differently — offsets would then be credited to
     # the wrong ranges. Checkpointing makes both passes read the same
     # physical partitions.
-    ranged = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .localCheckpoint()
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    ranged = pin(
+        df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols),
+        reliable=reliable_checkpoint,
     )
     totals = (
         ranged.groupBy(F.spark_partition_id().alias("__pid"))

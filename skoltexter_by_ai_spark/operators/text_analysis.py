@@ -235,6 +235,7 @@ def token_vocabulary(
     text_col: str,
     min_tf: int = 1,
     num_ranges: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Corpus token-frequency table with cumulative coverage — the
     tokenizer-training prep view: for each token its term frequency,
@@ -271,13 +272,14 @@ def token_vocabulary(
     )
     # Pin ONE materialization of the heavy corpus aggregation: the
     # grand-total pass and the ranked output below both read it.
-    vocab = (
-        toks.groupBy("token")
-        .agg(
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    vocab = pin(
+        toks.groupBy("token").agg(
             F.count("*").alias("tf"),
             F.countDistinct("__id").alias("df"),
-        )
-        .localCheckpoint()
+        ),
+        reliable=reliable_checkpoint,
     )
     # Full-corpus denominator + vocabulary size: ONE job, two scalars.
     total_row = vocab.agg(
@@ -308,11 +310,11 @@ def token_vocabulary(
     n = num_ranges or df.sparkSession.sparkContext.defaultParallelism or 8
     # Checkpoint pins the sampled range boundaries so the offsets pass
     # and the output pass read the SAME physical partitions.
-    ranged = (
+    ranged = pin(
         cut.repartitionByRange(n, F.col("tf").desc(), F.col("token"))
         .sortWithinPartitions(F.col("tf").desc(), F.col("token"))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .withColumn("__pid", F.spark_partition_id()),
+        reliable=reliable_checkpoint,
     )
     parts = (
         ranged.groupBy("__pid")
@@ -542,7 +544,7 @@ def source_shingle_overlap(
 
 
 def source_token_divergence(
-    df: DataFrame, group_col: str, text_col: str
+    df: DataFrame, group_col: str, text_col: str, reliable_checkpoint: bool = False
 ) -> DataFrame:
     """Per-slice unigram-distribution diagnostics: Shannon entropy of
     each group's token distribution and its KL divergence from the
@@ -573,10 +575,11 @@ def source_token_divergence(
     st = df.select(
         F.col(group_col).alias("__g"), F.explode(tokens(text_col)).alias("__tok")
     )
-    c = (
-        st.groupBy("__g", "__tok")
-        .agg(F.count("*").alias("__c"))
-        .localCheckpoint()
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    c = pin(
+        st.groupBy("__g", "__tok").agg(F.count("*").alias("__c")),
+        reliable=reliable_checkpoint,
     )
     per_g = c.groupBy("__g").agg(F.sum("__c").alias("__ng"))
     per_t = c.groupBy("__tok").agg(F.sum("__c").alias("__ct"))
@@ -795,6 +798,7 @@ def learn_bpe_merges(
     checkpoint_every: int = 8,
     batch_k: int = 8,
     stats_out: dict | None = None,
+    reliable_checkpoint: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Distributed BPE tokenizer training: learn ``n_merges`` merge
     rules from the corpus, exactly as the classic algorithm does —
@@ -856,8 +860,10 @@ def learn_bpe_merges(
                 F.split(F.col("__w"), ""), F.array(F.lit(end_marker))
             ).alias("__sym"),
         )
-        .localCheckpoint()
     )
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    words = pin(words, reliable=reliable_checkpoint)
     merges: list[tuple[str, str, int]] = []
     batch_sizes: list[int] = []
     round_walls: list[float] = []
@@ -983,7 +989,7 @@ def learn_bpe_merges(
             ).alias("__sym"),
         )
         if rounds % checkpoint_every == 0:
-            words = words.localCheckpoint()
+            words = pin(words, reliable=reliable_checkpoint)
         round_walls.append(_time.perf_counter() - _t_round)
     if stats_out is not None:
         stats_out["rounds"] = rounds

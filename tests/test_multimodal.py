@@ -1058,6 +1058,36 @@ def test_jpeg_cmyk_variant_and_corruption_edges():
         mm.decode_media(bytes(bad))
 
 
+def test_jpeg_sequential_zrl_past_block_end_is_corrupt():
+    """Sequential-baseline twin of the progressive ZRL check (ADVICE
+    r10): four ZRL symbols advance k from 1 past 64, which previously
+    fell out of the block loop silently — must raise the corrupt-
+    stream ValueError. Hand-built 8x8 single-component stream whose
+    AC Huffman table holds ONLY the ZRL symbol (canonical code '0');
+    entropy bits = DC '0' (diff 0) + four ZRL '0's, padded with 1s."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00, 1] + [0] * 15 + [0x00]))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0xF0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00])) + b"\x07"
+    data = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + b"\xff\xd9"
+    with pytest.raises(ValueError, match="block end"):
+        mm.decode_media(data)
+    # Guard is not over-eager: a normal encoder round-trip (which emits
+    # in-band ZRLs on sparse blocks) still decodes.
+    import numpy as np
+
+    from jpeg_ref import encode
+
+    img = np.zeros((16, 16), np.uint8)
+    img[0, 15] = 255  # sparse high-frequency content -> ZRL emission
+    assert mm.decode_media(encode(img))[0] == "image"
+
+
 def test_jpeg_progressive_zrl_past_band_end_is_corrupt():
     """An AC-first ZRL that advances past Se+1 is the same corrupt-
     stream class as a coefficient run past the band end and must raise

@@ -87,9 +87,14 @@ def main() -> int:
             if oracle is None:
                 n = df.count()
                 floor = specs[name].min_rows
-                if specs[name].min_rows_is_fixture_law and not args.sf_dir.startswith(
-                    "/root/testdata/"
-                ):
+                # realpath: a relative path or symlink to the standard
+                # fixture must still count as standard, else the
+                # planted-feature floor silently relaxes (ADVICE r10).
+                real_sf = os.path.realpath(args.sf_dir)
+                is_standard = real_sf == "/root/testdata" or real_sf.startswith(
+                    "/root/testdata" + os.sep
+                )
+                if specs[name].min_rows_is_fixture_law and not is_standard:
                     # min_rows counts features the STANDARD fixture
                     # plants; a custom fixture (skew law, ablation) may
                     # legitimately plant fewer — relax to non-vacuous.

@@ -490,10 +490,16 @@ def main() -> int:
             # drifted line returns the site to the killable pool.
             src_lines = src.splitlines()
             fps = EQUIVALENT_MUTANT_FPS.get(rel, {})
+            # A registration WITHOUT a fingerprint is treated as drifted
+            # (ADVICE r10): an unfingerprinted entry would otherwise
+            # silently re-open the line-drift hole the fingerprints
+            # close. _line_fp never returns None for an in-range line,
+            # so a missing fps entry can't accidentally match it.
             drifted = sorted(
                 d
                 for d in equiv
-                if d in site_descs and fps.get(d) not in (None, _line_fp(src_lines, d))
+                if d in site_descs
+                and (fps.get(d) is None or fps.get(d) != _line_fp(src_lines, d))
             )
             equiv_live = {d for d in equiv if d in site_descs and d not in drifted}
             # killable sites = everything not registered equivalent
