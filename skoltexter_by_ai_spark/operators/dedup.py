@@ -601,9 +601,12 @@ def dedup_clusters(
     # the whole near-dup candidate pipeline, and without a checkpoint
     # every iteration's join + convergence probe would recompute it from
     # the source (measured 5x wall on x20 once bench timed builders).
+    # Lazy: round 1's count-probe materializes the edge pipeline and
+    # the pin in the same job (no separate build-time action).
     edges = pin(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
         reliable=reliable_checkpoint,
+        eager=False,
     )
     # Extra endpoints come from the CHECKPOINTED symmetric edge list —
     # `edges` contains every endpoint in its `a` column, and deriving
@@ -615,7 +618,9 @@ def dedup_clusters(
         .distinct()
     )
     labels = pin(
-        nodes.select("id", F.col("id").alias("cluster")), reliable=reliable_checkpoint
+        nodes.select("id", F.col("id").alias("cluster")),
+        reliable=reliable_checkpoint,
+        eager=False,
     )
     cluster_type = dict(labels.dtypes)["cluster"]
     for _ in range(max_iter):
@@ -647,14 +652,24 @@ def dedup_clusters(
         jump = stepped.select(
             F.col("id").alias("cluster"), F.col("cluster").alias("__cc")
         )
+        # LAZY pin + count-probe fusion: the changed-label count runs
+        # over the derived filter, and its job MATERIALIZES the lazy
+        # checkpoint as it computes — one Spark action per round where
+        # the eager-pin + isEmpty pair cost two (measured: the probe
+        # job was ~half of each round's wall at bench scale; isEmpty's
+        # first-partition early exit is no cheaper here because the
+        # round's real work is the checkpoint materialization either
+        # way, and count() guarantees it completes in the same job).
         new_full = pin(
             stepped.join(jump, "cluster").select(
                 "id", F.col("__cc").alias("cluster"), "__old"
             ),
             reliable=reliable_checkpoint,
+            eager=False,
         )
+        changed = new_full.filter(F.col("cluster") != F.col("__old")).count()
         labels = new_full.select("id", "cluster")
-        if new_full.filter(F.col("cluster") != F.col("__old")).isEmpty():
+        if changed == 0:
             break
     return labels.withColumnRenamed("id", id_col)
 
@@ -706,25 +721,38 @@ def simhash64(
         .filter(F.size("__h") > 0)
     )
     hashes = F.col("__h")
-    n = F.size(hashes)
-    lane_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.shiftrightunsigned(h, j).bitwiseAND(F.lit(_SIMHASH_LANE_MASK)),
-        )
-        for j in range(16)
-    ]
+    # TWO projections, not one: each 16-bit-lane fold below is
+    # referenced by FOUR bit expressions (k = 0..3), and inlining the
+    # folds into the fingerprint projection copies every fold subtree
+    # four times — a 64-copy expression tree whose analysis dominated
+    # the operator's plan-build time (x04 census, r11). Materializing
+    # the folds as bound attributes first keeps the fingerprint
+    # projection a flat tree over 17 columns; CollapseProject leaves
+    # the split alone precisely because the references are non-cheap
+    # and multiply-used.
+    lanes = base.select(
+        F.col(id_col),
+        F.size(hashes).alias("__n"),
+        *[
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.shiftrightunsigned(h, j).bitwiseAND(F.lit(_SIMHASH_LANE_MASK)),
+            ).alias(f"__l{j}")
+            for j in range(16)
+        ],
+    )
+    n = F.col("__n")
     fingerprint = None
     for b in range(64):
         j, k = b % 16, b // 16
-        cnt = F.shiftrightunsigned(lane_sums[j], 16 * k).bitwiseAND(F.lit(0xFFFF))
+        cnt = F.shiftrightunsigned(F.col(f"__l{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
         bit = F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return base.select(F.col(id_col), fingerprint.alias("simhash"))
+    return lanes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_dups(

@@ -775,7 +775,12 @@ def grouped_median_mad(
         )
         .agg(F.count("*").alias("__c"))
     )
-    hist = pin(hist, reliable=reliable_checkpoint)
+    # Lazy: the first downstream action (the medstats broadcast build
+    # inside the dmap join, transitively the completeness count)
+    # materializes the one data pass and pins it for the other two
+    # consumers — an eager pin here was a whole extra scheduling
+    # round-trip per call.
+    hist = pin(hist, reliable=reliable_checkpoint, eager=False)
 
     ranks = spec.select(g, F.explode(F.array("__k1", "__k2")).alias("__k")).distinct()
     expected_nk = F.when(F.col("__k1") == F.col("__k2"), 1).otherwise(2)
@@ -802,7 +807,9 @@ def grouped_median_mad(
         .filter(F.col("__nk") == expected_nk)
         .select(g, (F.col("__v1") + F.col("__v2")).alias("__m2"))
     )
-    medstats = pin(medstats, reliable=reliable_checkpoint)
+    # Lazy for the same reason as hist above: the dmap broadcast build
+    # is the first action and pins it for the final gstats join.
+    medstats = pin(medstats, reliable=reliable_checkpoint, eager=False)
 
     # MAD: map the quartile windows' value counts to deltas on the
     # doubled grid; cum(t) = n − outer − mapped(>t) is exact for any

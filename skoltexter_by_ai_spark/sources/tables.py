@@ -56,6 +56,27 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     )
 
 
+# Resolved-relation cache: spark.read.parquet(path) performs file
+# listing + footer schema inference in the JVM on EVERY call (~50-150
+# ms even for a single small file) — a query loading six dimension
+# tables pays ~0.5 s of pure metadata work before planning starts.
+# A catalog/metastore would cache exactly this, so we do too: the
+# RESOLVED DataFrame (logical plan only — no data, no .cache()) is
+# reused for the same (session, realpath, mtime, size) key. The stat
+# in the key invalidates on file replacement (the skewed-fixture
+# tooling overwrites custom sf dirs in place); a partitioned
+# DIRECTORY tree whose nested files change without touching the root
+# mtime needs an explicit clear_table_cache() — the standard external
+#-catalog caveat (Spark's own catalog tables need REFRESH TABLE).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop every cached table relation (call after rewriting fixture
+    files inside a partition tree whose root stat did not change)."""
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. ``name`` must be in TABLE_NAMES.
 
@@ -67,10 +88,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+    real = os.path.realpath(path)
+    st = os.stat(real)
+    key = (
+        spark.sparkContext.applicationId,  # a new session invalidates
+        real,
+        st.st_mtime_ns,
+        st.st_size,
+    )
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        # Bound the cache: long test sessions touch many throwaway
+        # fixture dirs, and each stale entry keeps a JVM logical plan
+        # alive. Entries are cheap to rebuild, so wholesale reset.
+        if len(_TABLE_CACHE) >= 512:
+            _TABLE_CACHE.clear()
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = normalize_events_ts(spark.read.parquet(path))
+        else:
+            df = spark.read.parquet(path)
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

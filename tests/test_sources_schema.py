@@ -63,3 +63,32 @@ def test_both_physical_types_normalize_identically(spark, tmp_path):
     b = load_table(spark, _write_events(tmp_path, "us"), "events")
     assert a.schema == b.schema
     assert a.orderBy("event_id").collect() == b.orderBy("event_id").collect()
+
+
+def test_load_table_cache_hit_and_stat_invalidation(spark, tmp_path):
+    """The resolved-relation cache must return the SAME logical plan
+    for an unchanged file (metadata read once) and a FRESH one after
+    the file is replaced in place — the skewed-fixture tooling
+    overwrites custom sf dirs and must never see stale listings."""
+    import shutil
+
+    from skoltexter_by_ai_spark.sources.tables import clear_table_cache
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/nation.parquet", d / "nation.parquet")
+    a = load_table(spark, str(d), "nation")
+    b = load_table(spark, str(d), "nation")
+    assert a is b  # cache hit: identical resolved DataFrame object
+    n_before = a.count()
+    # Replace the file with a different table entirely; mtime changes.
+    shutil.copy("/root/testdata/sf0.001/region.parquet", d / "nation.parquet")
+    import os
+
+    os.utime(d / "nation.parquet")
+    c = load_table(spark, str(d), "nation")
+    assert c is not a and c.columns == ["r_regionkey", "r_name"]
+    assert n_before >= 1 and c.count() >= 1
+    clear_table_cache()
+    e = load_table(spark, str(d), "nation")
+    assert e is not c  # explicit clear drops entries
