@@ -223,7 +223,7 @@ def weighted_sample(
     u = (F.conv(sample_key(strata_col, id_col), 16, 10).cast("double") + 1) / F.lit(
         float(HEX_SPACE)
     )
-    pr = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    pr = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6) + F.lit(0.0)
     w = Window.partitionBy(strata_col).orderBy("priority", id_col)
     return (
         df.filter(F.col(weight_col) > 0)
@@ -508,7 +508,8 @@ def robust_zscore(
                     F.round(
                         F.try_divide(v - F.col("grp_median"), F.col("grp_mad")),
                         round_to,
-                    ),
+                    )
+                    + F.lit(0.0),
                 )
         # Sketch miss or over-budget windows: fall through to the
         # generic two-round bisection (identical results, more passes).
@@ -629,7 +630,8 @@ def robust_zscore(
         # try_divide: zero-MAD groups yield NULL robust_z (DuckDB's
         # x/0.0 semantics; plain `/` is an ANSI error) — same contract
         # as the fused path above.
-        F.round(F.try_divide(v - F.col("grp_median"), F.col("grp_mad")), round_to),
+        F.round(F.try_divide(v - F.col("grp_median"), F.col("grp_mad")), round_to)
+        + F.lit(0.0),
     )
 
 

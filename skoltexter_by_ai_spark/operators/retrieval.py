@@ -131,9 +131,9 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(
+            (F.round(
                 F.avg(F.log(F.col("__c").cast("double") / F.col("__nt"))), 6
-            ).alias("mean_logprob"),
+            ) + F.lit(0.0)).alias("mean_logprob"),
         )
     )
 
@@ -249,7 +249,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.round(F.avg(lp), 6).alias("mean_logprob"),
+            (F.round(F.avg(lp), 6) + F.lit(0.0)).alias("mean_logprob"),
         )
     )
 

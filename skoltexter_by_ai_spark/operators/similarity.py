@@ -142,7 +142,7 @@ def cosine_topk(
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+            (F.round(cosine(F.col(vec_col), F.col("__qvec")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), id_col).limit(k)
@@ -169,7 +169,7 @@ def knn_join(
     scored = corpus.join(F.broadcast(q)).select(
         "query_id",
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        (F.round(cosine(F.col(vec_col), F.col("__qvec")), 6) + F.lit(0.0)).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -356,7 +356,7 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_vectorized(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            (F.round(cosine_vectorized(F.col("__va"), F.col("__vb")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -522,7 +522,7 @@ def ivf_ann_topk(
         .filter(F.array_contains(F.col("__probes"), F.col("ivf_cell")))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+            (F.round(cosine(F.col(vec_col), F.col("__qvec")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)
@@ -565,7 +565,7 @@ def lsh_ann_topk(
         )
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+            (F.round(cosine(F.col(vec_col), F.col("__qvec")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)
@@ -624,7 +624,7 @@ def nearest_centroid_labels(
         F.col("label").alias("__olabel"), F.col("centroid").alias("__ocent")
     )
     pairs = a.join(F.broadcast(b), F.col("label") != F.col("__olabel")).withColumn(
-        "__cos", F.round(cosine(F.col("centroid"), F.col("__ocent")), round_to)
+        "__cos", F.round(cosine(F.col("centroid"), F.col("__ocent")), round_to) + F.lit(0.0)
     )
     w = Window.partitionBy("label").orderBy(
         F.col("__cos").desc(), F.col("__olabel")
@@ -663,7 +663,7 @@ def label_outliers(
     joined = df.select(
         F.col(id_col), F.col(label_col).alias("label"), F.col(vec_col).alias("__v")
     ).join(F.broadcast(cents.select("label", "centroid")), "label")
-    cos = F.round(cosine(F.col("__v"), F.col("centroid")), round_to)
+    cos = F.round(cosine(F.col("__v"), F.col("centroid")), round_to) + F.lit(0.0)
     return joined.select(
         F.col(id_col),
         "label",

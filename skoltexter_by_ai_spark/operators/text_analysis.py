@@ -593,8 +593,8 @@ def source_token_divergence(
         .groupBy(F.col("__g").alias(group_col), F.col("__ng").alias("n_tokens"))
         .agg(
             F.count("*").cast("bigint").alias("vocab_size"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
-            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_corpus"),
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("entropy"),
+            (F.round(F.sum(p * F.log(p / q)), 6) + F.lit(0.0)).alias("kl_corpus"),
         )
         .select(group_col, "n_tokens", "vocab_size", "entropy", "kl_corpus")
     )
@@ -656,7 +656,7 @@ def bigram_pmi(
             "tok_a",
             "tok_b",
             "pair_count",
-            F.round(
+            (F.round(
                 F.log(
                     (F.col("pair_count") / F.col("__npairs"))
                     / (
@@ -665,7 +665,7 @@ def bigram_pmi(
                     )
                 ),
                 6,
-            ).alias("pmi"),
+            ) + F.lit(0.0)).alias("pmi"),
         )
     )
 
@@ -1427,7 +1427,7 @@ def vocab_weight_classifier(
     return base.select(id_col, "__dl").join(raw, id_col, "left").select(
         id_col,
         F.col("__dl").cast("bigint").alias("n_tokens"),
-        F.round(score, 6).alias("score"),
+        (F.round(score, 6) + F.lit(0.0)).alias("score"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
         F.when(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) >= 0.5, F.lit(1)

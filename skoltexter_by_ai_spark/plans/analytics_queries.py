@@ -75,10 +75,10 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                COUNT(*) AS n,
-               ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
                ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stddev,
                ROUND(VAR_SAMP(l_discount), 4) AS disc_var,
-               ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS qty_disc_covar
+               ROUND(COVAR_SAMP(l_quantity, l_discount), 4) + 0.0 AS qty_disc_covar
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -92,10 +92,10 @@ def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("qty_price_corr"),
             F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
             F.round(F.var_samp("l_discount"), 4).alias("disc_var"),
-            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+            (F.round(F.covar_samp("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias("qty_disc_covar"),
         )
         .orderBy("l_returnflag")
     )
@@ -262,7 +262,7 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SQRT(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-               ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_comp
+               ROUND(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_comp
         FROM embeddings
         ORDER BY vec_id
     """,
@@ -280,7 +280,7 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.round(F.array_max("embedding").cast("double"), 4).alias("max_comp"),
+        (F.round(F.array_max("embedding").cast("double"), 4) + F.lit(0.0)).alias("max_comp"),
     ).orderBy("vec_id")
 
 

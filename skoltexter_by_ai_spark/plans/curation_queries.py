@@ -152,7 +152,7 @@ def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         p AS (
             SELECT doc_id, source, n_tokens,
-                   ROUND(-ln((hx + 1) / 4294967296.0) / n_tokens, 6) AS priority
+                   ROUND(-ln((hx + 1) / 4294967296.0) / n_tokens, 6) + 0.0 AS priority
             FROM t WHERE n_tokens > 0
         ),
         r AS (
@@ -259,7 +259,7 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber, l.l_returnflag,
                CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
                m.med AS grp_median, d.mad AS grp_mad,
-               ROUND((CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad, 6) AS robust_z
+               ROUND((CAST(l_extendedprice AS DOUBLE) - m.med) / d.mad, 6) + 0.0 AS robust_z
         FROM lineitem l
         JOIN med m ON l.l_returnflag = m.l_returnflag
         JOIN mad d ON l.l_returnflag = d.l_returnflag
@@ -627,9 +627,9 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
         n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM c)
         SELECT c.source, g.n_tokens,
                CAST(COUNT(*) AS BIGINT) AS vocab_size,
-               ROUND(-SUM((c * 1.0 / n_tokens) * ln(c * 1.0 / n_tokens)), 6) AS entropy,
+               ROUND(-SUM((c * 1.0 / n_tokens) * ln(c * 1.0 / n_tokens)), 6) + 0.0 AS entropy,
                ROUND(SUM((c * 1.0 / n_tokens)
-                         * ln((c * 1.0 / n_tokens) / (ct * 1.0 / nn))), 6) AS kl_corpus
+                         * ln((c * 1.0 / n_tokens) / (ct * 1.0 / nn))), 6) + 0.0 AS kl_corpus
         FROM c JOIN g USING (source) JOIN v USING (tok) CROSS JOIN n
         GROUP BY c.source, g.n_tokens
         ORDER BY source
@@ -947,7 +947,7 @@ _X111_WEIGHTS = {
             FROM d LEFT JOIN raw USING (doc_id)
         )
         SELECT doc_id, n_tokens,
-               ROUND(s, 6) AS score,
+               ROUND(s, 6) + 0.0 AS score,
                ROUND(CAST(1.0 AS DOUBLE) / (1.0 + EXP(-s)), 6) AS prob,
                CAST(CASE WHEN CAST(1.0 AS DOUBLE) / (1.0 + EXP(-s)) >= 0.5
                          THEN 1 ELSE 0 END AS INT) AS label

@@ -173,7 +173,7 @@ def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum'))
                         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) AS c
               FROM e, q)
-        SELECT vec_id, ROUND(c, 6) AS cos_sim
+        SELECT vec_id, ROUND(c, 6) + 0.0 AS cos_sim
         FROM s
         ORDER BY c DESC, vec_id
         LIMIT 10
@@ -211,7 +211,7 @@ def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum'))
                         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) AS c
               FROM e, q),
-        r AS (SELECT query_id, vec_id, ROUND(c, 6) AS cos_sim,
+        r AS (SELECT query_id, vec_id, ROUND(c, 6) + 0.0 AS cos_sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
               FROM s)
         SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
@@ -1275,7 +1275,7 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      i -> a.centroid[i] * b.centroid[i]), 'sum')
                        / (sqrt(list_aggregate(list_transform(a.centroid, x -> x * x), 'sum'))
                           * sqrt(list_aggregate(list_transform(b.centroid, x -> x * x), 'sum'))),
-                       6) AS nearest_cos
+                       6) + 0.0 AS nearest_cos
             FROM base a JOIN base b ON a.label <> b.label
         ),
         r AS (
@@ -1357,7 +1357,7 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      i -> ev[i] * cent[i]), 'sum')
                        / (sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum'))
                           * sqrt(list_aggregate(list_transform(cent, x -> x * x), 'sum'))),
-                       6) AS cos_to_centroid
+                       6) + 0.0 AS cos_to_centroid
             FROM e JOIN c USING (label)
         )
         SELECT vec_id, label, cos_to_centroid, cos_to_centroid < 0.0 AS is_outlier
@@ -1408,7 +1408,7 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT tok_a, tok_b, pair_count,
                ROUND(LN((pair_count / npairs)
-                        / ((ca.c / ntoks) * (cb.c / ntoks))), 6) AS pmi
+                        / ((ca.c / ntoks) * (cb.c / ntoks))), 6) + 0.0 AS pmi
         FROM pc
         JOIN uc ca ON pc.tok_a = ca.tok
         JOIN uc cb ON pc.tok_b = cb.tok
@@ -1487,7 +1487,7 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
         c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
         tot AS (SELECT SUM(c) AS nt FROM c)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               ROUND(AVG(LN(CAST(c AS DOUBLE) / nt)), 6) AS mean_logprob
+               ROUND(AVG(LN(CAST(c AS DOUBLE) / nt)), 6) + 0.0 AS mean_logprob
         FROM t JOIN c USING (tok) CROSS JOIN tot
         GROUP BY doc_id
         ORDER BY doc_id
@@ -1614,7 +1614,7 @@ def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         s AS (SELECT AVG(n) AS mu, STDDEV_SAMP(n) AS sd FROM d)
         SELECT day_start, n,
-               ROUND((n - mu) / sd, 6) AS z,
+               ROUND((n - mu) / sd, 6) + 0.0 AS z,
                CAST(CASE WHEN ABS((n - mu) / sd) > 2 THEN 1 ELSE 0 END AS INT)
                    AS is_anomaly
         FROM d CROSS JOIN s
@@ -1638,7 +1638,7 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day_start",
             F.col("n").cast("bigint").alias("n"),
-            F.round(z, 6).alias("z"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
             F.when(F.abs(z) > 2, F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
                 "is_anomaly"
             ),
@@ -1671,7 +1671,7 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM uni)
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               ROUND(AVG(LN((cab + 1.0) / CAST(ca + vv AS DOUBLE))), 6)
+               ROUND(AVG(LN((cab + 1.0) / CAST(ca + vv AS DOUBLE))), 6) + 0.0
                    AS mean_logprob
         FROM s JOIN pc USING (a, b) JOIN uni USING (a) CROSS JOIN v
         GROUP BY doc_id
@@ -1702,7 +1702,7 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT SUM(c) AS nt FROM c),
         s AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   ROUND(AVG(LN(CAST(c AS DOUBLE) / nt)), 6) AS mean_logprob
+                   ROUND(AVG(LN(CAST(c AS DOUBLE) / nt)), 6) + 0.0 AS mean_logprob
             FROM t JOIN c USING (tok) CROSS JOIN tot
             GROUP BY doc_id
         )
