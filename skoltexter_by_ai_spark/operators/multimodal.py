@@ -661,7 +661,12 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
     if w is None or not scan:
         raise ValueError("truncated JPEG (no SOF/SOS)")
     if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG is not supported")
+        # Per-component scans (T.81 A.2 non-interleaved ordering):
+        # handled by the dedicated multi-scan loop, which continues
+        # the marker stream from this first SOS.
+        return _decode_jpeg_seq_multiscan(
+            data, i, qt, dc_tab, ac_tab, w, h, comps, restart, scan, adobe_transform
+        )
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -765,6 +770,16 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
                             (mx * ch + bx) * 8 : (mx * ch + bx) * 8 + 8,
                         ] = px
 
+    return _jpeg_assemble(planes, eff, hmax, vmax, w, h, yc, cmyk, adobe_transform)
+
+
+def _jpeg_assemble(planes, eff, hmax, vmax, w, h, yc, cmyk, adobe_transform):
+    """Shared final color assembly: integer-repeat upsample to full
+    resolution, then luma extraction (gray/YCbCr) or the Adobe
+    CMYK/YCCK inversion. Used by the interleaved sequential path and
+    the per-component multi-scan path."""
+    import numpy as np
+
     def upsampled(ci):
         p, (H, V) = planes[ci], eff[ci]
         if H != hmax or V != vmax:
@@ -794,6 +809,165 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int, int, bytes]:
         299 * (c0 * kk) + 587 * (c1 * kk) + 114 * (c2 * kk)
     ) / (1000.0 * 255.0)
     return "image", w, h, 0, 0, np.clip(np.round(luma), 0, 255).astype(np.uint8).tobytes()
+
+
+def _decode_jpeg_seq_multiscan(
+    data: bytes,
+    i: int,
+    qt: dict,
+    dc_tab: dict,
+    ac_tab: dict,
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    restart: int,
+    first_scan: list[tuple[int, int, int]],
+    adobe_transform: int | None,
+) -> tuple[str, int, int, int, int, bytes]:
+    """Non-interleaved MULTI-SCAN sequential JPEG: each component in
+    its own one-component scan (T.81 A.2 — some encoders emit this
+    shape for 4:2:0). Runs its own marker loop because DHT/DRI
+    segments legally appear between scans. Each scan decodes over the
+    component's OWN block grid (``ceil(ceil(w·Hc/hmax)/8)`` wide) with
+    a per-scan DC predictor and restart counter; scans for components
+    the output does not keep are still entropy-decoded (the corrupt-
+    stream contract matches the interleaved path, which entropy-
+    advances past discarded chroma). Reference parity: the reference
+    ingests documents as opaque bytes (src/program2_ai_processor.py);
+    native decode is SURVEY §2.4 multimodal-extension scope.
+    """
+    import numpy as np
+
+    nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    cmyk = nc == 4
+    # SOF orders luma first (the interleaved path's scan[0][0] resolves
+    # to the same component on every in-the-wild stream).
+    yc = 0
+    keep = set(range(nc)) if cmyk else {yc}
+    idct = _jpeg_idct_matrix()
+    planes: dict[int, np.ndarray] = {}
+    eff: dict[int, tuple[int, int]] = {}
+    for ci in keep:
+        if hmax % comps[ci][1] or vmax % comps[ci][2]:
+            raise NotImplementedError(
+                f"non-integer sampling ratio (component {ci} "
+                f"{comps[ci][1]}x{comps[ci][2]} vs max {hmax}x{vmax}) "
+                "is not supported"
+            )
+
+    def decode_scan(scan_comps, pos, restart_cur):
+        if len(scan_comps) != 1:
+            raise NotImplementedError(
+                "partially-interleaved sequential JPEG scans (1 < ns < "
+                "component count) are not supported; fully interleaved "
+                "and one-component-per-scan streams decode natively"
+            )
+        ci, td, ta = scan_comps[0]
+        if ci in planes or (ci not in keep and ci in eff):
+            raise ValueError("JPEG component scanned twice in sequential mode (corrupt)")
+        if td not in dc_tab or ta not in ac_tab:
+            raise ValueError("JPEG scan references a missing Huffman table (corrupt)")
+        hc, vc = comps[ci][1], comps[ci][2]
+        cw = -(-w * hc // hmax)
+        chh = -(-h * vc // vmax)
+        nbx, nby = -(-cw // 8), -(-chh // 8)
+        keepit = ci in keep
+        if keepit:
+            if comps[ci][3] not in qt:
+                raise ValueError("JPEG scan references a missing quant table (corrupt)")
+            plane = np.zeros((nby * 8, nbx * 8), np.uint8)
+            q = qt[comps[ci][3]].astype(np.float64)
+        eff[ci] = (hc, vc)
+        br = _JpegBits(data, pos)
+        pred, rst = 0, 0
+        for u in range(nbx * nby):
+            if restart_cur and u and u % restart_cur == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                pred = 0
+            t = br.huffdec(dc_tab[td])
+            pred += _jpeg_extend(br.receive(t), t)
+            coef = np.zeros(64) if keepit else None
+            if coef is not None:
+                coef[0] = pred
+            k = 1
+            while k < 64:
+                rs = br.huffdec(ac_tab[ta])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        if k > 64:
+                            raise ValueError("JPEG AC run past block end (corrupt)")
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end (corrupt)")
+                v = _jpeg_extend(br.receive(s), s)
+                if coef is not None:
+                    coef[_JPEG_ZZ[k]] = v
+                k += 1
+            if not keepit:
+                continue
+            blk = idct.T @ (coef.reshape(8, 8) * q) @ idct
+            by, bx = divmod(u, nbx)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(blk) + 128, 0, 255
+            ).astype(np.uint8)
+        if keepit:
+            planes[ci] = plane
+        return br.i
+
+    pos = decode_scan(first_scan, i, restart)
+    restart_cur = restart
+    while keep - set(planes):
+        # Find the next marker past the scan's entropy tail: skip to
+        # 0xFF, collapse fill bytes (repeated 0xFF), step over stray
+        # RSTs defensively.
+        p = pos
+        while p < len(data) - 1 and data[p] != 0xFF:
+            p += 1
+        while p < len(data) - 1 and data[p + 1] == 0xFF:
+            p += 1
+        if p >= len(data) - 1:
+            raise ValueError("truncated JPEG (missing component scans)")
+        m = data[p + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = p + 2
+            continue
+        if m == 0xD9:  # EOI with keep components still missing
+            raise ValueError("truncated JPEG (missing component scans)")
+        if p + 4 > len(data):
+            raise ValueError("truncated JPEG segment (corrupt)")
+        ln = int.from_bytes(data[p + 2 : p + 4], "big")
+        seg = data[p + 4 : p + 2 + ln]
+        if m == 0xC4:
+            _jpeg_parse_dht(seg, dc_tab, ac_tab)
+        elif m == 0xDB:
+            _jpeg_parse_dqt(seg, qt)
+        elif m == 0xDD:
+            restart_cur = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:
+            if not seg or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated JPEG SOS segment (corrupt)")
+            ns = seg[0]
+            by_id = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
+            if any(seg[1 + 2 * s] not in by_id for s in range(ns)):
+                raise ValueError(
+                    "JPEG SOS references an undeclared component (corrupt)"
+                )
+            sc = [
+                (by_id[seg[1 + 2 * s]], seg[2 + 2 * s] >> 4, seg[2 + 2 * s] & 15)
+                for s in range(ns)
+            ]
+            pos = decode_scan(sc, p + 2 + ln, restart_cur)
+            continue
+        # other segments (APPn, COM, DNL) are skipped
+        pos = p + 2 + ln
+    return _jpeg_assemble(planes, eff, hmax, vmax, w, h, yc, cmyk, adobe_transform)
 
 
 def _decode_jpeg_progressive(

@@ -663,3 +663,126 @@ def encode_cmyk(
     out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def encode_multiscan(
+    y: np.ndarray,
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    q_luma: np.ndarray = Q_ONES,
+    q_chroma: np.ndarray = Q_ONES,
+    restart: int = 0,
+    tables_between: bool = False,
+) -> bytes:
+    """Baseline JPEG with ONE SCAN PER COMPONENT (T.81 A.2
+    non-interleaved ordering) — the multi-scan sequential shape some
+    encoders emit for 4:2:0. Same planes contract as :func:`encode`.
+    Each component's scan covers its OWN block grid (ceil(cw/8) x
+    ceil(ch/8)) in raster order with a per-scan DC predictor and,
+    when ``restart`` is set, RST markers every ``restart`` data units.
+    ``tables_between=True`` defers the chroma Huffman tables to
+    between scan 1 and scan 2 (legal per T.81; exercises the
+    decoder's inter-scan DHT handling).
+    """
+    h, w = y.shape
+    color = cb is not None
+    if color:
+        assert cr is not None and cb.shape == cr.shape
+        assert cb.shape == (-(-h // 16) * 8, -(-w // 16) * 8)
+    comps: list[dict] = [
+        {"q": q_luma, "H": 2 if color else 1, "V": 2 if color else 1, "plane": _plane_blocks(y)}
+    ]
+    if color:
+        comps.append({"q": q_chroma, "H": 1, "V": 1, "plane": cb})
+        comps.append({"q": q_chroma, "H": 1, "V": 1, "plane": cr})
+
+    # per-component symbol streams, own raster order, per-scan pred
+    per_comp: list[list] = []
+    for c in comps:
+        p = c["plane"]
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        pred, n, stream = 0, 0, []
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and n and n % restart == 0:
+                    stream.append(("rst", None))
+                    pred = 0
+                n += 1
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _fdct_quant(blk, c["q"])
+                zz = [int(coef.flat[ZZ[k]]) for k in range(64)]
+                stream.append(("blk", _block_symbols(zz, pred)))
+                pred = zz[0]
+        per_comp.append(stream)
+
+    dc_syms: list[set[int]] = [set() for _ in comps]
+    ac_syms: list[set[int]] = [set() for _ in comps]
+    for ci, stream in enumerate(per_comp):
+        for kind, syms in stream:
+            if kind == "blk":
+                for sk, sym, _v in syms:
+                    (dc_syms if sk == "dc" else ac_syms)[ci].add(sym)
+    dc_groups = [dc_syms[0], set().union(*dc_syms[1:])] if color else [dc_syms[0]]
+    ac_groups = [ac_syms[0], set().union(*ac_syms[1:])] if color else [ac_syms[0]]
+    dc_tables = [_canonical(g or {0}) for g in dc_groups]
+    ac_tables = [_canonical(g or {0}) for g in ac_groups]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes((0xFF, marker)))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    def dqt(tid: int, q: np.ndarray) -> None:
+        body = bytearray((tid,))
+        for k in range(64):
+            body.append(int(q.flat[ZZ[k]]))
+        seg(0xDB, bytes(body))
+
+    def dht(cls: int, tid: int, table) -> None:
+        counts, syms, _enc = table
+        seg(0xC4, bytes(((cls << 4) | tid,)) + counts + syms)
+
+    dqt(0, q_luma)
+    if color:
+        dqt(1, q_chroma)
+    sof = bytearray((8,))
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(comps))
+    for ci, c in enumerate(comps):
+        sof += bytes((ci + 1, (c["H"] << 4) | c["V"], 0 if ci == 0 else 1))
+    seg(0xC0, bytes(sof))
+    dht(0, 0, dc_tables[0])
+    dht(1, 0, ac_tables[0])
+    if color and not tables_between:
+        dht(0, 1, dc_tables[1])
+        dht(1, 1, ac_tables[1])
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+
+    for ci, stream in enumerate(per_comp):
+        if color and tables_between and ci == 1:
+            dht(0, 1, dc_tables[1])
+            dht(1, 1, ac_tables[1])
+        tid = 0 if ci == 0 else 1
+        seg(0xDA, bytes((1, ci + 1, (tid << 4) | tid, 0, 63, 0)))
+        bw = _BitWriter()
+        rst = 0
+        dc_enc, ac_enc = dc_tables[tid][2], ac_tables[tid][2]
+        for kind, syms in stream:
+            if kind == "rst":
+                bw.align()
+                bw.out.extend(bytes((0xFF, 0xD0 + (rst & 7))))
+                rst += 1
+                continue
+            for sk, sym, v in syms:
+                code, ln = (dc_enc if sk == "dc" else ac_enc)[sym]
+                bw.put(code, ln)
+                s = sym & 15 if sk == "ac" else sym
+                if s:
+                    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        bw.align()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -1058,6 +1058,63 @@ def test_jpeg_cmyk_variant_and_corruption_edges():
         mm.decode_media(bytes(bad))
 
 
+def test_jpeg_multiscan_sequential_round_trip():
+    """Per-component-scan sequential JPEG (T.81 A.2 non-interleaved —
+    the shape some encoders emit for 4:2:0) must decode identically to
+    the interleaved encoding of the same planes, including restart
+    intervals and Huffman tables deferred to BETWEEN scans (legal per
+    T.81, exercises inter-scan DHT handling). Closes the last
+    nontrivial-frequency JPEG variant boundary (VERDICT r10 item 6)."""
+    import numpy as np
+
+    from jpeg_ref import encode, encode_multiscan
+
+    rng = np.random.default_rng(42)
+    y = rng.integers(0, 256, (17, 23), np.uint8)
+    assert mm.decode_media(encode_multiscan(y)) == mm.decode_media(encode(y))
+    for hh, ww in [(16, 16), (17, 23), (40, 56), (8, 8)]:
+        y = rng.integers(0, 256, (hh, ww), np.uint8)
+        cbs = (-(-hh // 16) * 8, -(-ww // 16) * 8)
+        cb = rng.integers(0, 256, cbs, np.uint8)
+        cr = rng.integers(0, 256, cbs, np.uint8)
+        base = mm.decode_media(encode(y, cb, cr))
+        assert mm.decode_media(encode_multiscan(y, cb, cr)) == base, (hh, ww)
+        assert (
+            mm.decode_media(
+                encode_multiscan(y, cb, cr, restart=3, tables_between=True)
+            )
+            == base
+        ), (hh, ww, "restart + deferred tables")
+
+
+def test_jpeg_multiscan_error_contract():
+    """Truncating a multi-scan stream before all kept components have
+    scanned is corrupt data (ValueError), and a partially-interleaved
+    subset scan (1 < ns < nc) stays an honest NotImplementedError."""
+    import numpy as np
+
+    from jpeg_ref import encode_multiscan
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (16, 16), np.uint8)
+    cb = rng.integers(0, 256, (8, 8), np.uint8)
+    cr = rng.integers(0, 256, (8, 8), np.uint8)
+    full = encode_multiscan(y, cb, cr)
+    # cut before the luma scan completes -> missing kept component
+    first_sos = full.find(b"\xff\xda")
+    with pytest.raises(ValueError):
+        mm.decode_media(full[: first_sos + 8] + b"\xff\xd9")
+    # rewrite the first SOS to a 2-component subset scan: ns=2 header
+    # referencing comps 1 and 2 (partially interleaved)
+    ln = int.from_bytes(full[first_sos + 2 : first_sos + 4], "big")
+    subset_sos = b"\xff\xda" + (2 + 1 + 4 + 3).to_bytes(2, "big") + bytes(
+        (2, 1, 0x00, 2, 0x11, 0, 63, 0)
+    )
+    hacked = full[:first_sos] + subset_sos + full[first_sos + 2 + ln :]
+    with pytest.raises(NotImplementedError, match="interleaved"):
+        mm.decode_media(hacked)
+
+
 def test_jpeg_sequential_zrl_past_block_end_is_corrupt():
     """Sequential-baseline twin of the progressive ZRL check (ADVICE
     r10): four ZRL symbols advance k from 1 past 64, which previously
