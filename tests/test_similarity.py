@@ -538,10 +538,26 @@ def test_hyperplanes_are_bit_reproducible_golden():
     survived because nothing pinned actual values)."""
     from skoltexter_by_ai_spark.operators.similarity import hyperplanes
 
-    got = [[round(v, 10) for v in p] for p in hyperplanes(3, n_planes=2, seed=42)]
+    # EXACT bit patterns (float.hex), not a decimal round: the r10
+    # sweep registered the v-draw modulus mutant (1<<31 -> 1<<32) as
+    # equivalent because a round(·, 10) golden could not see it, but
+    # the FP cos is NOT exactly 1-periodic (2*math.pi is inexact), so
+    # the mutant wobbles the last ulps — re-verified r11: 16k of 28k
+    # values differ across seeds/dims, including THIS fixture. A
+    # persisted LSH index is keyed on exact sign bits, so exact-bit
+    # reproducibility is the contract to pin.
+    got = [[v.hex() for v in p] for p in hyperplanes(3, n_planes=2, seed=42)]
     assert got == [
-        [-0.6216633531, 0.1258695394, 0.7731051251],
-        [0.2497869626, -0.11349283, -0.9616266692],
+        [
+            "-0x1.3e4aa8b5c76b9p-1",
+            "0x1.01c7e398a688fp-3",
+            "0x1.8bd46f5921c6dp-1",
+        ],
+        [
+            "0x1.ff904e9bd8155p-3",
+            "-0x1.d0dddb954bf11p-4",
+            "-0x1.ec5a54adf52f4p-1",
+        ],
     ]
 
 
