@@ -263,8 +263,13 @@ def minhash_signatures(
         .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
         .select("__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__s"))
     )
+    # Single-parse SQL expressions (identical operators to the Column
+    # form; the INT seed literal keeps the xxhash64 input type — and
+    # therefore every hash value — unchanged). Saves ~100 py4j round
+    # trips per call at plan-build time.
     aggs = [
-        F.min(F.xxhash64(F.lit(seed + j), F.col("__s"))).alias(f"h{j}") for j in range(num_hashes)
+        F.expr(f"min(xxhash64({seed + j}, __s))").alias(f"h{j}")
+        for j in range(num_hashes)
     ]
     return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
 
@@ -296,16 +301,16 @@ def band_buckets(
     sig = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
     ).withColumnRenamed(id_col, "__id")
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
+    band_cols = F.expr(
+        "array("
+        + ", ".join(
+            "struct({b} AS band, xxhash64({hs}) AS bucket)".format(
+                b=b,
+                hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
             )
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return sig.select("__id", F.explode(band_cols).alias("__b")).select(
         "__id", F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket")
@@ -720,7 +725,6 @@ def simhash64(
         )
         .filter(F.size("__h") > 0)
     )
-    hashes = F.col("__h")
     # TWO projections, not one: each 16-bit-lane fold below is
     # referenced by FOUR bit expressions (k = 0..3), and inlining the
     # folds into the fingerprint projection copies every fold subtree
@@ -730,28 +734,34 @@ def simhash64(
     # projection a flat tree over 17 columns; CollapseProject leaves
     # the split alone precisely because the references are non-cheap
     # and multiply-used.
+    #
+    # Both projections are built as single SQL strings parsed JVM-side
+    # by F.expr: the Column-API form (16 F.aggregate lambdas + a
+    # 64-term when/shiftleft/bitwiseOR chain) issued several hundred
+    # py4j round-trips PER CALL — ~1.2 s of pure driver-side plan
+    # construction at any scale (r11 census). The parsed expressions
+    # are operator-for-operator the ones the Column API built, so the
+    # analyzed plan and results are unchanged (pinned by the golden
+    # fingerprint tests in tests/test_dedup.py).
     lanes = base.select(
         F.col(id_col),
-        F.size(hashes).alias("__n"),
+        F.expr("size(__h)").alias("__n"),
         *[
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.shiftrightunsigned(h, j).bitwiseAND(F.lit(_SIMHASH_LANE_MASK)),
+            F.expr(
+                f"aggregate(__h, CAST(0 AS BIGINT), (acc, h) -> "
+                f"acc + (shiftrightunsigned(h, {j}) & {_SIMHASH_LANE_MASK}L))"
             ).alias(f"__l{j}")
             for j in range(16)
         ],
     )
-    n = F.col("__n")
-    fingerprint = None
+    bit_terms = []
     for b in range(64):
         j, k = b % 16, b // 16
-        cnt = F.shiftrightunsigned(F.col(f"__l{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-        bit = F.when(cnt * 2 > n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
+        bit_terms.append(
+            f"(CASE WHEN (shiftrightunsigned(__l{j}, {16 * k}) & 65535L) * 2 > __n "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
         )
-        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    fingerprint = F.expr(" | ".join(bit_terms))
     return lanes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
@@ -851,23 +861,26 @@ def simhash_pairs_from_signatures(
         raise ValueError(f"max_hamming={max_hamming} outside [0, 6]")
     import itertools
 
-    h = F.col("simhash")
-
-    def _block(off: int, width: int) -> Column:
-        return F.shiftrightunsigned(h, off).bitwiseAND(F.lit((1 << width) - 1))
+    # One SQL string instead of per-band Column construction: the
+    # 28-struct radius-4..6 band array cost ~0.3 s of py4j round-trips
+    # per call (r11 census); the parsed expression is identical.
+    def _block(off: int, width: int) -> str:
+        return f"(shiftrightunsigned(simhash, {off}) & {(1 << width) - 1}L)"
 
     if max_hamming <= 3:
         key_exprs = [_block(16 * b, 16) for b in range(4)]
     else:
         key_exprs = [
-            F.shiftleft(_block(8 * i, 8), 8).bitwiseOR(_block(8 * j, 8))
+            f"(shiftleft({_block(8 * i, 8)}, 8) | {_block(8 * j, 8)})"
             for i, j in itertools.combinations(range(8), 2)
         ]
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), expr.alias("chunk"))
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} AS band, {expr} AS chunk)"
             for b, expr in enumerate(key_exprs)
-        ]
+        )
+        + ")"
     )
     buckets = sig.select(F.col(id_col).alias("__id"), F.col("simhash"), F.explode(bands).alias("__b")).select(
         "__id", "simhash", F.col("__b.band").alias("__band"), F.col("__b.chunk").alias("__chunk")
