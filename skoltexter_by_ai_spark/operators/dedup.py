@@ -574,15 +574,21 @@ def dedup_clusters(
     """Connected components over near-dup ``pairs``: every node gets
     ``cluster`` = min id reachable from it (the canonical survivor).
 
-    Min-label propagation PLUS pointer jumping per round (each node
-    also adopts its current cluster-node's label), with a driver-side
-    convergence probe; lineage truncated via localCheckpoint so plans
-    stay flat. The jump makes label distance double per round, so
-    rounds ≈ log2(diameter) — near-dup graphs are usually near-cliques
-    (1–2 rounds) but CHAINS of borderline pairs do occur (the sf0.01
-    fixture ships a diameter-14 one: 15 rounds flat, 5 with jumping).
-    For general billion-edge graphs swap in large-star/small-star;
-    this shape is the right one for dedup.
+    Min-label propagation PLUS pointer jumping per round, fused into
+    ONE join + ONE aggregation (r11): the symmetric edge list is
+    augmented with a self-loop per node (carries the node's previous
+    label out of the aggregation for the convergence probe) and, per
+    round, with label edges ``(cluster(x) -> x)`` that deliver
+    ``label(label(x))`` through the same join — so label distance
+    still compounds geometrically and rounds ≈ log2(diameter), at one
+    shuffled join per round instead of a propagation join plus a
+    pointer-jump self-join (which, unpinned, executed the round
+    subtree twice). Driver-side convergence probe; lineage truncated
+    via localCheckpoint so plans stay flat. Near-dup graphs are
+    usually near-cliques (1-2 rounds) but CHAINS of borderline pairs
+    do occur (the sf0.01 fixture ships a diameter-14 one). For
+    general billion-edge graphs swap in large-star/small-star; this
+    shape is the right one for dedup.
 
     Deterministic: min over a total order, independent of partitioning.
 
@@ -627,48 +633,57 @@ def dedup_clusters(
         reliable=reliable_checkpoint,
         eager=False,
     )
-    cluster_type = dict(labels.dtypes)["cluster"]
+    # FUSED self-loop + jump-edge formulation (r11): one join + one
+    # aggregation per round, computed exactly once.
+    #
+    # - Self-loops (id, id) let min(cluster) over a node's join rows
+    #   cover the node itself, and the self-loop row (a == b) carries
+    #   the node's own previous label out of the aggregation as __old
+    #   — no union leg, no join-back.
+    # - Per-round LABEL EDGES (cluster(x) -> x) fuse the pointer jump
+    #   into the same join: x's row against a = cluster(x) delivers
+    #   label(label(x)), so label distance still compounds
+    #   geometrically across rounds (log2(diameter) rounds on chains)
+    #   without the separate stepped-join-jump — which, being a
+    #   self-join of an UNPINNED frame, used to execute the whole
+    #   round subtree TWICE per round (visible as two identical
+    #   SortMergeJoin+HashAggregate towers in the round plan).
+    #
+    # Fixpoint unchanged: labels are always ids of component members,
+    # each round takes a min over a superset of {own label, neighbor
+    # labels}, and changed == 0 still certifies label constancy across
+    # every edge — so the terminal labels are the component-minimum
+    # ids exactly as before (equality pinned by the oracle tests).
+    aug = pin(
+        edges.unionByName(
+            nodes.select(F.col("id").alias("a"), F.col("id").alias("b"))
+        ),
+        reliable=reliable_checkpoint,
+        eager=False,
+    )
     for _ in range(max_iter):
-        prop = labels.join(edges, labels["id"] == edges["a"]).select(
-            F.col("b").alias("id"), F.col("cluster")
+        # Every id appears EXACTLY once in `labels` (loop invariant —
+        # nodes is distinct and each round groups by the target
+        # endpoint), so the self-loop row is unique per node and
+        # min(when(a == b, ...)) recovers the previous label exactly.
+        arows = aug.unionByName(
+            labels.select(F.col("cluster").alias("a"), F.col("id").alias("b"))
         )
-        # The previous label rides through the min-aggregation instead
-        # of a separate join-back: every id appears EXACTLY once in
-        # `labels` (loop invariant — nodes is distinct and each round
-        # groups by id), so min(__old) over the union recovers it while
-        # the propagated rows contribute NULLs that min() ignores. One
-        # fewer shuffle join per round than the join-back form.
-        stepped = (
-            labels.select("id", "cluster", F.col("cluster").alias("__old"))
-            .unionByName(
-                prop.select(
-                    "id", "cluster", F.lit(None).cast(cluster_type).alias("__old")
-                )
-            )
-            .groupBy("id")
-            .agg(F.min("cluster").alias("cluster"), F.min("__old").alias("__old"))
-        )
-        # Pointer jump: my cluster is a node in my component, so its
-        # label is also reachable — adopting it compounds propagation
-        # distance across rounds (chains converge in ~d/2, not d).
-        # One jump is the sweet spot: each extra chained jump is
-        # another label-table shuffle per round, which measured worse
-        # than the rounds it saved.
-        jump = stepped.select(
-            F.col("id").alias("cluster"), F.col("cluster").alias("__cc")
+        joined = arows.join(labels, arows["a"] == labels["id"]).select(
+            arows["b"],
+            F.col("cluster"),
+            (arows["a"] == arows["b"]).alias("__self"),
         )
         # LAZY pin + count-probe fusion: the changed-label count runs
         # over the derived filter, and its job MATERIALIZES the lazy
-        # checkpoint as it computes — one Spark action per round where
-        # the eager-pin + isEmpty pair cost two (measured: the probe
-        # job was ~half of each round's wall at bench scale; isEmpty's
-        # first-partition early exit is no cheaper here because the
-        # round's real work is the checkpoint materialization either
-        # way, and count() guarantees it completes in the same job).
+        # checkpoint as it computes — one Spark action per round.
         new_full = pin(
-            stepped.join(jump, "cluster").select(
-                "id", F.col("__cc").alias("cluster"), "__old"
-            ),
+            joined.groupBy("b")
+            .agg(
+                F.min("cluster").alias("cluster"),
+                F.min(F.when(F.col("__self"), F.col("cluster"))).alias("__old"),
+            )
+            .select(F.col("b").alias("id"), "cluster", "__old"),
             reliable=reliable_checkpoint,
             eager=False,
         )

@@ -273,6 +273,9 @@ def grouped_exact_quantiles(
             ).cast("long"),
             F.lit(0),
         )
+        # Lazy: the open_t width probe below is the first action and
+        # materializes the stats scan in the same cascade — an eager
+        # pin here was a separate synchronous job round-trip per call.
         stats = pin(
             stats.select(
                 *group_cols,
@@ -282,6 +285,7 @@ def grouped_exact_quantiles(
                 *(["__gk"] if seeded else []),
             ),
             reliable=reliable_checkpoint,
+            eager=False,
         )
     else:
         # Pin the provided stats too: callers typically hand in a frame
@@ -299,6 +303,7 @@ def grouped_exact_quantiles(
                 *(["__slo", "__shi"] if stats_seeded else []),
             ),
             reliable=reliable_checkpoint,
+            eager=False,
         )
 
     # (group, prob) → position and the two bracketing ranks, each
@@ -362,7 +367,10 @@ def grouped_exact_quantiles(
     targets = (
         kc.groupBy(*group_cols, "__k")
         .agg(F.min("__slo").alias("__slo"), F.max("__shi").alias("__shi"))
-        .join(stats.select(*group_cols, "__min", "__max"), group_cols)
+        # Both sides are (groups x ranks)-sized; the broadcast hint
+        # keeps a stats-less planner from SMJ-ing two tiny frames
+        # (2 exchanges + sorts, each its own AQE stage job).
+        .join(F.broadcast(stats.select(*group_cols, "__min", "__max")), group_cols)
         .select(
             *group_cols,
             "__k",
@@ -386,12 +394,15 @@ def grouped_exact_quantiles(
     # proof and must go through one histogram pass, whose overflow
     # buckets reopen it if the true rank value lies outside.
     closed = targets.filter(F.col("__gmin") >= F.col("__gmax"))
-    # Eager: the loop references open_t three times per pass (isEmpty,
-    # the distinct ranges, the counts join) — measured faster to pin
-    # the count-sized frame once than to recompute its small shuffle
-    # inside every reference (A/B at sf0.1: ~0.5-1 s on x72).
+    # Pinned so the loop's three references per pass (width probe, the
+    # distinct ranges, the counts join) share one materialization
+    # (A/B at sf0.1: ~0.5-1 s on x72 vs recomputing). Lazy: the width
+    # probe right below is the first action and materializes it in the
+    # same cascade.
     open_t = pin(
-        targets.filter(F.col("__gmin") < F.col("__gmax")), reliable=reliable_checkpoint
+        targets.filter(F.col("__gmin") < F.col("__gmax")),
+        reliable=reliable_checkpoint,
+        eager=False,
     )
     cum_w = (
         Window.partitionBy(*group_cols, "__k")
@@ -479,7 +490,9 @@ def grouped_exact_quantiles(
             .alias("__hi"),
             "__gmin",
             "__gmax",
-        ), reliable=reliable_checkpoint)  # cut lineage; pin this pass's result
+        # Lazy: the next pass's width probe (or the final consumer)
+        # materializes this pass's result in its own job.
+        ), reliable=reliable_checkpoint, eager=False)  # cut lineage; pin this pass's result
         closed = closed.union(refined.filter(F.col("__lo") >= F.col("__hi")))
         open_t = refined.filter(F.col("__lo") < F.col("__hi"))
     else:
@@ -669,9 +682,12 @@ def grouped_median_mad(
         ).cast("long"),
         F.lit(0),
     )
+    # Lazy: the width/ngroups probe below is the first action and
+    # materializes the stats scan in the same cascade.
     stats = pin(
         stats.select(g, "__n", guarded_min.alias("__min"), "__max", "__gk"),
         reliable=reliable_checkpoint,
+        eager=False,
     )
 
     s = F.lit(int(slack)).cast("long")
@@ -782,7 +798,12 @@ def grouped_median_mad(
     # round-trip per call.
     hist = pin(hist, reliable=reliable_checkpoint, eager=False)
 
-    ranks = spec.select(g, F.explode(F.array("__k1", "__k2")).alias("__k")).distinct()
+    # array_distinct INSIDE the row replaces a distinct() shuffle: g is
+    # unique per spec row, so per-row dedup of [k1, k2] IS the global
+    # distinct — one exchange (plus its AQE stage job) gone per call.
+    ranks = spec.select(
+        g, F.explode(F.array_distinct(F.array("__k1", "__k2"))).alias("__k")
+    )
     expected_nk = F.when(F.col("__k1") == F.col("__k2"), 1).otherwise(2)
 
     # Median: global rank = below-count (-1 bucket) + running count.
@@ -793,7 +814,16 @@ def grouped_median_mad(
     )
     c0 = hist.filter(F.col("__wid") == 0).withColumn("__cum", F.sum("__c").over(cum_w0))
     cand0 = c0.filter((F.col("__b") >= 0) & (F.col("__b") != _OVERFLOW_HI))
-    picked_m = cand0.join(ranks, g).filter(
+    # Every join below whose small side is a per-group frame (ranks,
+    # spec projections, aggregates of hist) carries an explicit
+    # broadcast hint: these frames are groups-sized by the operator's
+    # bounded-state contract (the windows frame already broadcasts onto
+    # the scan for the same reason), and without the hint a stats-less
+    # planner SMJs them — each such join is 2 exchanges + sorts, and
+    # under AQE every exchange materializes as its own scheduled job
+    # (measured: 25 jobs per fused call at bench scale, ~half of them
+    # these tiny-join stages).
+    picked_m = cand0.join(F.broadcast(ranks), g).filter(
         (F.col("__cum") >= F.col("__k") + 1) & (F.col("__cum") - F.col("__c") <= F.col("__k"))
     )
     medstats = (
@@ -803,7 +833,7 @@ def grouped_median_mad(
             F.max(F.col("__wl") + F.col("__b")).alias("__v2"),
             F.countDistinct("__k").alias("__nk"),
         )
-        .join(spec.select(g, "__k1", "__k2"), g)
+        .join(F.broadcast(spec.select(g, "__k1", "__k2")), g)
         .filter(F.col("__nk") == expected_nk)
         .select(g, (F.col("__v1") + F.col("__v2")).alias("__m2"))
     )
@@ -833,7 +863,7 @@ def grouped_median_mad(
     )
     meta = (
         spec.select(g, "__n", "__dlo", "__dhi", "__merge")
-        .join(outs, g, "left")
+        .join(F.broadcast(outs), g, "left")
         .select(
             g,
             "__n",
@@ -857,7 +887,7 @@ def grouped_median_mad(
         .join(F.broadcast(meta), g)
         .withColumn("__cum", F.col("__n") - F.col("__outer") - (F.col("__sfx") - F.col("__c")))
     )
-    picked_d = cd.join(ranks, g).filter(
+    picked_d = cd.join(F.broadcast(ranks), g).filter(
         (F.col("__cum") >= F.col("__k") + 1)
         & (F.col("__cum") - F.col("__c") <= F.col("__k"))
         & (F.col("__d") >= F.col("__dlo"))
@@ -870,14 +900,16 @@ def grouped_median_mad(
             F.max("__d").alias("__d2"),
             F.countDistinct("__k").alias("__nk"),
         )
-        .join(spec.select(g, "__k1", "__k2"), g)
+        .join(F.broadcast(spec.select(g, "__k1", "__k2")), g)
         .filter(F.col("__nk") == expected_nk)
         .select(g, "__d1", "__d2")
     )
     # Lazy checkpoint: the completeness count below is the first
     # action, so it materializes the checkpoint in the same job
     # instead of paying a separate eager pass first.
-    gstats = pin(medstats.join(madstats, g), reliable=reliable_checkpoint, eager=False)
+    gstats = pin(
+        medstats.join(F.broadcast(madstats), g), reliable=reliable_checkpoint, eager=False
+    )
     # Completeness probe: every non-NULL-keyed group must have closed
     # BOTH order statistics inside its windows; anything else is a
     # sketch miss and the caller reruns generically. NULL group keys

@@ -115,9 +115,13 @@ def distributed_prefix_sum(
     # physical partitions.
     from skoltexter_by_ai_spark.operators.pinning import pin
 
+    # Lazy: the totals collect below is the first action and
+    # materializes the checkpoint in the same cascade (one fewer
+    # synchronous job round-trip per call).
     ranged = pin(
         df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols),
         reliable=reliable_checkpoint,
+        eager=False,
     )
     totals = (
         ranged.groupBy(F.spark_partition_id().alias("__pid"))
