@@ -339,9 +339,19 @@ def embedding_near_dups(
         it = iter(computed)
         return pd.Series([next(it) if o else None for o in ok], dtype="object")
 
-    buckets = embeddings.select(
-        F.col(id_col).alias("__id"), F.posexplode(all_buckets(F.col(vec_col)))
-    ).withColumnsRenamed({"pos": "__tab", "col": "__bucket"})
+    # Pin the narrow (id, table, bucket) frame: it feeds BOTH sides of
+    # the candidate self-join, and without the checkpoint each side
+    # re-ran the whole scan + hyperplane-GEMM Arrow UDF (two
+    # ArrowEvalPython towers in the r11 x15 plan). Linear and narrow
+    # (n_tables longs per vector), lazily materialized on first action.
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    buckets = pin(
+        embeddings.select(
+            F.col(id_col).alias("__id"), F.posexplode(all_buckets(F.col(vec_col)))
+        ).withColumnsRenamed({"pos": "__tab", "col": "__bucket"}),
+        eager=False,
+    )
     cands = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["__tab", "__bucket"])

@@ -863,7 +863,9 @@ def learn_bpe_merges(
     )
     from skoltexter_by_ai_spark.operators.pinning import pin
 
-    words = pin(words, reliable=reliable_checkpoint)
+    # Lazy: round 1's candidate collect materializes the corpus
+    # aggregation and the pin in the same cascade.
+    words = pin(words, reliable=reliable_checkpoint, eager=False)
     merges: list[tuple[str, str, int]] = []
     batch_sizes: list[int] = []
     round_walls: list[float] = []
@@ -989,7 +991,8 @@ def learn_bpe_merges(
             ).alias("__sym"),
         )
         if rounds % checkpoint_every == 0:
-            words = pin(words, reliable=reliable_checkpoint)
+            # Lazy: the next round's collect materializes it.
+            words = pin(words, reliable=reliable_checkpoint, eager=False)
         round_walls.append(_time.perf_counter() - _t_round)
     if stats_out is not None:
         stats_out["rounds"] = rounds

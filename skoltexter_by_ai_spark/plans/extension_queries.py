@@ -738,8 +738,14 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator's scale posture is the LSH bucketing, covered by x15's
     # notes) while still crossing the sf0.01 gate with >300 pairs.
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    emb = hashed_embedding(docs, "text", "doc_id", dim=64).withColumnRenamed(
-        "doc_id", "vec_id"
+    # Lazy-pin the encoded frame: embedding_near_dups references its
+    # input three times (bucket pass + both sides of the verify
+    # attach), and without the checkpoint the mapInPandas encoder ran
+    # on every reference. Bounded here by the doc_id < 500 input cap.
+    emb = (
+        hashed_embedding(docs, "text", "doc_id", dim=64)
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint(eager=False)
     )
     # Near-identical fixture documents share most tokens, so their
     # hashed embeddings exceed cosine 0.9 — the full production path
