@@ -69,10 +69,16 @@ def bm25_topk(
         F.size(toks).cast("long").alias("__dl"),
         F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("__hits"),
     ).filter(F.size("__hits") > 0)
-    tf = (
+    # Pinned (lazily): tf feeds both the document-frequency aggregate
+    # and the scoring join; unpinned, each re-ran the corpus hit scan.
+    # Bounded: one row per (matching doc, query term).
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    tf = pin(
         hits.select(id_col, "__dl", F.explode("__hits").alias("__term"))
         .groupBy(id_col, "__dl", "__term")
-        .agg(F.count("*").alias("__tf"))
+        .agg(F.count("*").alias("__tf")),
+        eager=False,
     )
     # tf is one row per (doc, term), so a plain count is the document
     # frequency; the table is bounded by len(query_terms).
@@ -123,7 +129,13 @@ def unigram_logprob(
     with map-side partials.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
-    counts = toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    # Pin the vocabulary-bounded count table (lazily): it feeds the
+    # scalar total AND the stream join, and unpinned each reference
+    # re-tokenized the whole corpus (r11 plan: 3 scan towers). The
+    # total now aggregates the pinned table — no third corpus pass.
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    counts = pin(toks.groupBy("__tok").agg(F.count("*").alias("__c")), eager=False)
     total = counts.agg(F.sum("__c").alias("__nt"))
     return (
         toks.join(counts, "__tok")
@@ -231,11 +243,20 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stream = toks.select(F.col(id_col), F.explode(pairs_arr).alias("__p")).select(
         id_col, F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b")
     )
-    pair_counts = stream.groupBy("__a", "__b").agg(F.count("*").alias("__cab"))
-    uni = (
+    # Pin both vocabulary-bounded count tables (lazily): each is read
+    # twice (the stream join + a scalar), and unpinned each reference
+    # re-ran its whole tokenize tower (r11 plan: 4 corpus scans). The
+    # vocabulary scalar now counts the pinned unigram table.
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    pair_counts = pin(
+        stream.groupBy("__a", "__b").agg(F.count("*").alias("__cab")), eager=False
+    )
+    uni = pin(
         toks.select(F.explode("__t").alias("__a"))
         .groupBy("__a")
-        .agg(F.count("*").alias("__ca"))
+        .agg(F.count("*").alias("__ca")),
+        eager=False,
     )
     vocab = uni.agg(F.count("*").alias("__v"))
     lp = F.log(

@@ -274,12 +274,15 @@ def token_vocabulary(
     # grand-total pass and the ranked output below both read it.
     from skoltexter_by_ai_spark.operators.pinning import pin
 
+    # Lazy: the scalar probe right below is the first action and
+    # materializes the aggregation in the same cascade.
     vocab = pin(
         toks.groupBy("token").agg(
             F.count("*").alias("tf"),
             F.countDistinct("__id").alias("df"),
         ),
         reliable=reliable_checkpoint,
+        eager=False,
     )
     # Full-corpus denominator + vocabulary size: ONE job, two scalars.
     total_row = vocab.agg(
@@ -310,11 +313,15 @@ def token_vocabulary(
     n = num_ranges or df.sparkSession.sparkContext.defaultParallelism or 8
     # Checkpoint pins the sampled range boundaries so the offsets pass
     # and the output pass read the SAME physical partitions.
+    # Lazy: the parts collect below materializes the range shuffle in
+    # the same job; both consumers then read the same physical
+    # partitions, which is all the checkpoint exists to guarantee.
     ranged = pin(
         cut.repartitionByRange(n, F.col("tf").desc(), F.col("token"))
         .sortWithinPartitions(F.col("tf").desc(), F.col("token"))
         .withColumn("__pid", F.spark_partition_id()),
         reliable=reliable_checkpoint,
+        eager=False,
     )
     parts = (
         ranged.groupBy("__pid")
@@ -497,13 +504,20 @@ def source_shingle_overlap(
     back twice — |groups| rows, AQE broadcasts it. Text never
     shuffles; no doc×doc or shingle×shingle product anywhere.
     """
-    d = (
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    d = pin(
         # Round-robin spread: the group key is a low-cardinality
         # dimension, and the downstream keys are (group, shingle).
+        # Pinned (lazily): d feeds the per-group sizes AND the
+        # intersection aggregation; unpinned each consumer re-ran the
+        # tokenize + shingle + distinct tower. Vocabulary x |groups|
+        # bounded.
         _spread(df, None)
         .select(F.col(group_col).alias("__g"), word_shingles(F.col(text_col), n).alias("__shs"))
         .select("__g", F.explode("__shs").alias("__sh"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     sizes = d.groupBy("__g").agg(F.count("*").alias("__n"))
     gs = F.sort_array(F.collect_set("__g"))
@@ -577,9 +591,12 @@ def source_token_divergence(
     )
     from skoltexter_by_ai_spark.operators.pinning import pin
 
+    # Lazy: the first consumer's action materializes the count table
+    # in the same cascade (no separate eager job at build time).
     c = pin(
         st.groupBy("__g", "__tok").agg(F.count("*").alias("__c")),
         reliable=reliable_checkpoint,
+        eager=False,
     )
     per_g = c.groupBy("__g").agg(F.sum("__c").alias("__ng"))
     per_t = c.groupBy("__tok").agg(F.sum("__c").alias("__ct"))
@@ -636,11 +653,24 @@ def bigram_pmi(
     bg = toks.select(F.explode(pairs_arr).alias("__p")).select(
         F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b")
     )
-    pair_counts = bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("pair_count"))
-    uni = (
+    # Pin both count tables (lazily): pair_counts feeds the totals
+    # scalar AND the output chain, uni feeds the totals scalar and
+    # BOTH unigram joins — unpinned, the r11 plan tokenized the corpus
+    # FIVE times (one tower per reference). The pins are vocabulary-
+    # bounded executor-local blocks (same state class as the shingle
+    # and signature pins), and the scalar totals now aggregate the
+    # pinned tables instead of re-exploding the corpus.
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    pair_counts = pin(
+        bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("pair_count")),
+        eager=False,
+    )
+    uni = pin(
         toks.select(F.explode("__t").alias("tok"))
         .groupBy("tok")
-        .agg(F.count("*").alias("__c"))
+        .agg(F.count("*").alias("__c")),
+        eager=False,
     )
     totals = pair_counts.agg(F.sum("pair_count").alias("__npairs")).crossJoin(
         uni.agg(F.sum("__c").alias("__ntoks"))

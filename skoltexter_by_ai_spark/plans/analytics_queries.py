@@ -172,7 +172,9 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-aggregate shuffle. The OUTPUT (key pairs at distance <= 3)
     # is still quadratic in duplicated names by definition; that part
     # is the answer, not overhead.
-    names = part.select("p_brand", "p_name").distinct()
+    # Lazy-pin: both join sides (a and b) read the distinct frame, and
+    # unpinned each side re-ran the scan + distinct shuffle.
+    names = part.select("p_brand", "p_name").distinct().localCheckpoint(eager=False)
 
     # Character-SET mask: one edit changes the set of distinct letters
     # by at most 2 (a substitution can retire one letter and introduce

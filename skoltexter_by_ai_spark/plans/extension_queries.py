@@ -456,7 +456,14 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(dedup.tokens(F.lower(F.col("text")))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # Lazy-pin tf: it feeds the document-frequency aggregate AND the
+    # scoring join, and unpinned each reference re-ran the tokenize +
+    # explode + count tower (r11 plan: documents scanned 3x).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = docs.select(F.count("*").alias("__n"))
     idf = (
         tf.groupBy("term")
@@ -1299,7 +1306,12 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.label_centroids(emb, "label", "embedding")
+    # Lazy-pin the label-bounded centroid table: nearest_centroid_labels
+    # reads it on both sides of its all-pairs join, and unpinned each
+    # side re-ran the two centroid aggregation towers over embeddings.
+    cents = similarity.label_centroids(emb, "label", "embedding").localCheckpoint(
+        eager=False
+    )
     return similarity.nearest_centroid_labels(cents).orderBy("label")
 
 
@@ -1632,9 +1644,15 @@ def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start")
-    ).agg(F.count("*").alias("n"))
+    # Lazy-pin the day-bounded rollup: it feeds the stats scalar AND
+    # the output join; unpinned each reference re-scanned events.
+    daily = (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start")
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     stats = daily.agg(
         F.avg("n").alias("__mu"), F.stddev_samp("n").alias("__sd")
     )
