@@ -370,8 +370,19 @@ def minhash_lsh_candidates(
     contract — or switch to the components path when clusters, not
     pairs, are the goal.
     """
-    buckets = band_buckets(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+    # Pin the narrow (id, band, bucket) frame (lazily): it feeds both
+    # sides of the candidate self-join — and the mega-bucket sizing
+    # aggregate when enabled — and unpinned every reference re-ran the
+    # whole tokenize + MinHash + band-fold pipeline (the operator's
+    # dominant cost). Same linear, narrow state class as the pinned
+    # SimHash signature table.
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    buckets = pin(
+        band_buckets(
+            df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+        ),
+        eager=False,
     )
     if max_bucket is not None:
         buckets = _cap_buckets(buckets, ["__band", "__bucket"], max_bucket)
@@ -404,11 +415,32 @@ def minhash_near_dups(
     boilerplate-degenerate corpora; see
     :func:`minhash_lsh_candidates`).
     """
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed,
-        max_bucket=max_bucket,
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    # Pinned (lazily): cands feeds the candidate-id prune AND the
+    # verify join below.
+    cands = pin(
+        minhash_lsh_candidates(
+            df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed,
+            max_bucket=max_bucket,
+        ),
+        eager=False,
     )
-    sh = df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
+    # Prune the corpus to candidate ids BEFORE shingling (the ADVICE r8
+    # fix applied to incremental_near_dups, same reasoning here): the
+    # candidate set is tiny by the LSH contract, so only candidate
+    # documents are ever re-tokenized for exact verification instead of
+    # shingling the whole corpus on both join sides.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("__cid"))
+        .unionByName(cands.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
+        .select("__id", word_shingles(text_col, n).alias("__sh"))
+    )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     return (

@@ -389,7 +389,15 @@ def llm_enrich(
                 ],
             )
 
-    return docs.repartition(parts).mapInPandas(worker, RESULT_SCHEMA)
+    # Project to exactly the two columns the worker reads BEFORE the
+    # exchange and the Arrow boundary: mapInPandas is opaque to column
+    # pruning, so without this a wide caller frame would ship (and
+    # shuffle) every column to the Python workers (guide §4).
+    return (
+        docs.select(key_col, doc_col)
+        .repartition(parts)
+        .mapInPandas(worker, RESULT_SCHEMA)
+    )
 
 
 def incremental_inputs(
