@@ -172,9 +172,12 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-aggregate shuffle. The OUTPUT (key pairs at distance <= 3)
     # is still quadratic in duplicated names by definition; that part
     # is the answer, not overhead.
-    # Lazy-pin: both join sides (a and b) read the distinct frame, and
-    # unpinned each side re-ran the scan + distinct shuffle.
-    names = part.select("p_brand", "p_name").distinct().localCheckpoint(eager=False)
+    # NOT pinned (r11): a localCheckpoint here would hide the distinct
+    # aggregate behind a Scan ExistingRDD and blind the plan-quality
+    # guard that pins "distance runs on the DISTINCT frame"
+    # (tests/test_plan_quality.py); the duplicated distinct tower is a
+    # name-bounded aggregate, cheap relative to the guard's value.
+    names = part.select("p_brand", "p_name").distinct()
 
     # Character-SET mask: one edit changes the set of distinct letters
     # by at most 2 (a substitution can retire one letter and introduce
