@@ -187,7 +187,19 @@ def ngram_jaccard_pairs(
     # the operator (measured ~2x wall on x20/x90 at sf0.1). Size is
     # bounded: df-pruning caps every shingle at max_df rows.
     shr = pin(sh.join(rare.select("__s"), "__s"), reliable=reliable_checkpoint, eager=False)
-    sizes = shr.groupBy("__id").agg(F.count("*").alias("__sz"))
+    # Pin the per-doc size table too (lazily): it feeds BOTH sides of
+    # the final sa/sb join, and unpinned each side re-aggregated the
+    # pinned shingle list — a full pass + vocabulary shuffle each
+    # (r11: one fewer HashAggregate tower over shr per query). Bounded:
+    # one (id, count) row per surviving document. The pinned frame
+    # loses the aggregation's hash partitioning, so each join side
+    # re-exchanges it — but the frame is doc-count-sized keys-only,
+    # orders of magnitude lighter than re-scanning shr.
+    sizes = pin(
+        shr.groupBy("__id").agg(F.count("*").alias("__sz")),
+        reliable=reliable_checkpoint,
+        eager=False,
+    )
 
     a = shr.select(F.col("__s"), F.col("__id").alias("id_a"))
     b = shr.select(F.col("__s"), F.col("__id").alias("id_b"))
@@ -660,11 +672,6 @@ def dedup_clusters(
         .unionByName(edges.select(F.col("a").alias("id")))
         .distinct()
     )
-    labels = pin(
-        nodes.select("id", F.col("id").alias("cluster")),
-        reliable=reliable_checkpoint,
-        eager=False,
-    )
     # FUSED self-loop + jump-edge formulation (r11): one join + one
     # aggregation per round, computed exactly once.
     #
@@ -686,43 +693,141 @@ def dedup_clusters(
     # labels}, and changed == 0 still certifies label constancy across
     # every edge — so the terminal labels are the component-minimum
     # ids exactly as before (equality pinned by the oracle tests).
-    aug = pin(
-        edges.unionByName(
-            nodes.select(F.col("id").alias("a"), F.col("id").alias("b"))
-        ),
-        reliable=reliable_checkpoint,
-        eager=False,
+    aug = edges.unionByName(
+        nodes.select(F.col("id").alias("a"), F.col("id").alias("b"))
     )
+    if reliable_checkpoint:
+        # Reliable mode: every pin goes to checkpoint files, which
+        # drop output partitioning anyway — keep the single fused
+        # union-join per round (fewest exchanges given unknown
+        # partitioning on every pinned frame).
+        aug = pin(aug, reliable=True, eager=False)
+        labels = None
+        for _ in range(max_iter):
+            if labels is None:
+                # ROUND 1 (r11): against the identity labeling the
+                # join is a no-op — label(x) = min({x} ∪ neighbors(x))
+                # is ONE aggregation straight over aug, and the
+                # previous label carried by the self-loop row is x
+                # itself. Saves the identity-label table, its pin and
+                # the first round's join at any scale.
+                joined = aug.select(
+                    "b",
+                    F.col("a").alias("cluster"),
+                    (F.col("a") == F.col("b")).alias("__self"),
+                )
+            else:
+                # Every id appears EXACTLY once in `labels` (loop
+                # invariant — nodes is distinct and each round groups
+                # by the target endpoint), so the self-loop row is
+                # unique per node and min(when(a == b, ...)) recovers
+                # the previous label exactly.
+                arows = aug.unionByName(
+                    labels.select(F.col("cluster").alias("a"), F.col("id").alias("b"))
+                )
+                joined = arows.join(labels, arows["a"] == labels["id"]).select(
+                    arows["b"],
+                    F.col("cluster"),
+                    (arows["a"] == arows["b"]).alias("__self"),
+                )
+            # LAZY pin + count-probe fusion: the changed-label count
+            # runs over the derived filter, and its job MATERIALIZES
+            # the lazy checkpoint as it computes — one action per round.
+            new_full = pin(
+                joined.groupBy("b")
+                .agg(
+                    F.min("cluster").alias("cluster"),
+                    F.min(F.when(F.col("__self"), F.col("cluster"))).alias("__old"),
+                )
+                .select(F.col("b").alias("id"), "cluster", "__old"),
+                reliable=True,
+                eager=False,
+            )
+            changed = new_full.filter(F.col("cluster") != F.col("__old")).count()
+            labels = new_full.select("id", "cluster")
+            if changed == 0:
+                break
+        return labels.withColumnRenamed("id", id_col)
+
+    # Local mode (r11): PARTITION-ALIGNED edge table — aug is hash-
+    # partitioned on its join key ONCE and persist()ed. persist keeps
+    # the plan's output partitioning (a localCheckpoint degrades to
+    # Scan ExistingRDD / UnknownPartitioning, which forced a re-
+    # exchange of the full edge table EVERY round), so the round join
+    # aug(a) ⨝ labels(id) never exchanges the aug side again — the
+    # biggest frame in the loop stops crossing the network
+    # log2(diameter) times. Only aug gets the persist treatment: its
+    # plan is SHALLOW (the checkpointed edge leaf + self-loops), while
+    # per-round label tables must keep truncating lineage via
+    # localCheckpoint — a persist chain there nests every previous
+    # round's cached plan ~3x per round and the plan STRING alone
+    # (event-log explain) grows exponentially, OOMing a vanilla-
+    # session driver on a diameter-14 chain (measured this round).
+    #
+    # Same fixpoint as the fused loop: the round multiset feeding the
+    # min-aggregation is identical (aug rows + label edges, __self on
+    # a == b), just delivered through two joins instead of one
+    # union-join, so the aug leg can keep its partitioning. The
+    # shuffle_hash hint builds the hash table on the node-sized label
+    # side, avoiding SMJ's per-round sort of the edge table.
+    from pyspark.storagelevel import StorageLevel
+
+    spark = ids.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aug = aug.repartition(nparts, "a").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = None
     for _ in range(max_iter):
-        # Every id appears EXACTLY once in `labels` (loop invariant —
-        # nodes is distinct and each round groups by the target
-        # endpoint), so the self-loop row is unique per node and
-        # min(when(a == b, ...)) recovers the previous label exactly.
-        arows = aug.unionByName(
-            labels.select(F.col("cluster").alias("a"), F.col("id").alias("b"))
-        )
-        joined = arows.join(labels, arows["a"] == labels["id"]).select(
-            arows["b"],
-            F.col("cluster"),
-            (arows["a"] == arows["b"]).alias("__self"),
-        )
-        # LAZY pin + count-probe fusion: the changed-label count runs
-        # over the derived filter, and its job MATERIALIZES the lazy
-        # checkpoint as it computes — one Spark action per round.
+        if labels is None:
+            # ROUND 1 (r11): the identity labeling makes the join a
+            # no-op — one aggregation straight over aug (see the
+            # reliable branch). Its job also materializes the aug
+            # cache that later rounds' joins read.
+            rows = aug.select(
+                "b",
+                F.col("a").alias("cluster"),
+                (F.col("a") == F.col("b")).alias("__self"),
+            )
+        else:
+            lbl = labels.alias("__lbl")
+            j1 = aug.join(
+                lbl.hint("shuffle_hash"), aug["a"] == F.col("__lbl.id")
+            ).select(
+                aug["b"].alias("b"),
+                F.col("__lbl.cluster").alias("cluster"),
+                (aug["a"] == aug["b"]).alias("__self"),
+            )
+            le = labels.select(
+                F.col("cluster").alias("a"), F.col("id").alias("b")
+            ).alias("__le")
+            j2 = le.join(
+                lbl.hint("shuffle_hash"), F.col("__le.a") == F.col("__lbl.id")
+            ).select(
+                F.col("__le.b").alias("b"),
+                F.col("__lbl.cluster").alias("cluster"),
+                (F.col("__le.a") == F.col("__le.b")).alias("__self"),
+            )
+            rows = j1.unionByName(j2)
+        # LAZY pin + count-probe fusion, exactly as the reliable
+        # branch: the changed-label count is the round's ONE action
+        # and materializes the localCheckpoint as it computes.
         new_full = pin(
-            joined.groupBy("b")
+            rows.groupBy("b")
             .agg(
                 F.min("cluster").alias("cluster"),
                 F.min(F.when(F.col("__self"), F.col("cluster"))).alias("__old"),
             )
             .select(F.col("b").alias("id"), "cluster", "__old"),
-            reliable=reliable_checkpoint,
             eager=False,
         )
         changed = new_full.filter(F.col("cluster") != F.col("__old")).count()
         labels = new_full.select("id", "cluster")
         if changed == 0:
             break
+    # The returned labels are localCheckpoint-backed and independent
+    # of aug; release the persisted edge table now — persist() entries
+    # live in the CacheManager until explicitly released, unlike
+    # localCheckpoint blocks which free on DataFrame GC.
+    aug.unpersist()
     return labels.withColumnRenamed("id", id_col)
 
 
