@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from skoltexter_by_ai_spark.plans.ordering import bounded_sort
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -97,7 +98,8 @@ def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_samp("l_discount"), 4).alias("disc_var"),
             (F.round(F.covar_samp("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias("qty_disc_covar"),
         )
-        .orderBy("l_returnflag")
+        # flag-bounded output
+        .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )
 
 
@@ -135,7 +137,8 @@ def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("o_orderkey", ord_key).alias("cheapest_order"),
             F.max_by("o_custkey", "o_orderkey").alias("latest_cust"),
         )
-        .orderBy("o_orderstatus")
+        # status-bounded output
+        .transform(lambda d: bounded_sort(d, "o_orderstatus"))
     )
 
 
@@ -746,7 +749,8 @@ def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_disc_cents"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # (flag x status)-bounded output
+        .transform(lambda d: bounded_sort(d, "l_returnflag", "l_linestatus"))
     )
 
 
@@ -835,7 +839,8 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg((F.sum(_rev4_col()).cast("double") / 10000).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
+        # nation-bounded output
+        .transform(lambda d: bounded_sort(d, F.col("revenue").desc(), "n_name"))
     )
 
 
@@ -972,7 +977,8 @@ def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
             F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
         )
-        .orderBy("bin")
+        # fixed-bin-count histogram output
+        .transform(lambda d: bounded_sort(d, "bin"))
     )
 
 

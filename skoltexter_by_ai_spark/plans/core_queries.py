@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from skoltexter_by_ai_spark.plans.ordering import bounded_sort
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -288,7 +289,8 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
         .select("n_nationkey", "n_name", "r_name")
-        .orderBy("n_nationkey")
+        # nation-bounded output
+        .transform(lambda d: bounded_sort(d, "n_nationkey"))
     )
 
 
@@ -390,7 +392,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+        # one survivor per nation: nation-bounded output
+        .transform(lambda d: bounded_sort(d, "s_suppkey"))
     )
 
 
@@ -416,7 +419,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("big"),
         )
-        .orderBy("o_orderstatus")
+        # status-bounded output
+        .transform(lambda d: bounded_sort(d, "o_orderstatus"))
     )
 
 
@@ -436,7 +440,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(F.sum(F.col("n_nationkey").cast("decimal(18,2)")).cast("double").alias("s"))
-        .orderBy("n_regionkey")
+        # region-bounded output
+        .transform(lambda d: bounded_sort(d, "n_regionkey"))
     )
 
 
@@ -497,7 +502,8 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation")
         .filter(F.col("n_name").isNotNull())
         .select("n_nationkey", "n_name")
-        .orderBy("n_name", "n_nationkey")
+        # nation-bounded output
+        .transform(lambda d: bounded_sort(d, "n_name", "n_nationkey"))
     )
 
 

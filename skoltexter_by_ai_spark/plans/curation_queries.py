@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from skoltexter_by_ai_spark.plans.ordering import bounded_sort
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -356,7 +357,8 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("shipdate_present", F.col("l_shipdate").isNotNull()),
         ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
     ]
-    return validate_expectations(li, rules).orderBy("rule")
+    # rule-count-bounded output
+    return bounded_sort(validate_expectations(li, rules), "rule")
 
 
 @register(
@@ -602,8 +604,9 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skoltexter_by_ai_spark.operators.text_analysis import source_shingle_overlap
 
     docs = load_table(spark, sf_dir, "documents")
-    return source_shingle_overlap(docs, "source", "text", n=2).orderBy(
-        "source_a", "source_b"
+    # source-pair-bounded output
+    return bounded_sort(
+        source_shingle_overlap(docs, "source", "text", n=2), "source_a", "source_b"
     )
 
 
@@ -642,7 +645,8 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skoltexter_by_ai_spark.operators.text_analysis import source_token_divergence
 
     docs = load_table(spark, sf_dir, "documents")
-    return source_token_divergence(docs, "source", "text").orderBy("source")
+    # source-bounded output
+    return bounded_sort(source_token_divergence(docs, "source", "text"), "source")
 
 
 @register(
@@ -698,7 +702,8 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skoltexter_by_ai_spark.operators.text_analysis import curation_funnel
 
     docs = load_table(spark, sf_dir, "documents")
-    return curation_funnel(docs, "source", "text", lang_col="lang").orderBy("source")
+    # source-bounded output
+    return bounded_sort(curation_funnel(docs, "source", "text", lang_col="lang"), "source")
 
 
 @register(
@@ -740,7 +745,8 @@ def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(token_count("text")).alias("n_tokens"),
         )
-        .orderBy("shard")
+        # shard-count-bounded output
+        .transform(lambda d: bounded_sort(d, "shard"))
     )
 
 
@@ -764,9 +770,13 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, "text", 6)
     rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, pair_count bigint"
-    ).orderBy("rank")
+    # merge-table-bounded (driver-local rows)
+    return bounded_sort(
+        spark.createDataFrame(
+            rows, "rank int, left string, right string, pair_count bigint"
+        ),
+        "rank",
+    )
 
 
 @register(

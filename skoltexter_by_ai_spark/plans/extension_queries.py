@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skoltexter_by_ai_spark.operators import dedup, retrieval, similarity, text_analysis
+from skoltexter_by_ai_spark.plans.ordering import bounded_sort
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -479,7 +480,8 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter((F.col("rank") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
-        .orderBy("doc_id", "rank")
+        # bounded by the declared (doc_id < 50) x (rank <= 3) window
+        .transform(lambda d: bounded_sort(d, "doc_id", "rank"))
     )
 
 
@@ -668,7 +670,8 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias("total_value"),
         )
-        .orderBy("hour_start", "event_type")
+        # (calendar hour x enum type)-bounded output
+        .transform(lambda d: bounded_sort(d, "hour_start", "event_type"))
     )
 
 
@@ -774,9 +777,12 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    return similarity.ivf_ann_topk(
-        emb, query, k=10, n_centroids=16, nprobe=6
-    ).orderBy(F.col("cos_sim").desc(), "vec_id")
+    # top-k output of a single query: bounded
+    return bounded_sort(
+        similarity.ivf_ann_topk(emb, query, k=10, n_centroids=16, nprobe=6),
+        F.col("cos_sim").desc(),
+        "vec_id",
+    )
 
 
 @register(
@@ -1026,8 +1032,9 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skoltexter_by_ai_spark import streaming as st
 
     events = load_table(spark, sf_dir, "events")
-    return st.trending_topk(st.windowed_type_counts(events), k=3).orderBy(
-        "hour_start", "rank"
+    # (calendar hour x top-3)-bounded output
+    return bounded_sort(
+        st.trending_topk(st.windowed_type_counts(events), k=3), "hour_start", "rank"
     )
 
 
@@ -1312,7 +1319,8 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.label_centroids(emb, "label", "embedding").localCheckpoint(
         eager=False
     )
-    return similarity.nearest_centroid_labels(cents).orderBy("label")
+    # label-bounded output
+    return bounded_sort(similarity.nearest_centroid_labels(cents), "label")
 
 
 @register(
@@ -1667,7 +1675,8 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_anomaly"
             ),
         )
-        .orderBy("day_start")
+        # calendar-day-bounded output
+        .transform(lambda d: bounded_sort(d, "day_start"))
     )
 
 

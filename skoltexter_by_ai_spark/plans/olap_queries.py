@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from skoltexter_by_ai_spark.plans.ordering import bounded_sort
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -56,7 +57,15 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
         .select("r_name", "n_name", "gid", "n_suppliers", "total_bal")
-        .orderBy(F.col("gid").desc(), F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+        # (region, nation)-bounded rollup output
+        .transform(
+            lambda d: bounded_sort(
+                d,
+                F.col("gid").desc(),
+                F.asc_nulls_first("r_name"),
+                F.asc_nulls_first("n_name"),
+            )
+        )
     )
 
 
@@ -175,7 +184,8 @@ def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
             F.count("*").alias("n"),
         )
-        .orderBy("l_returnflag")
+        # flag-bounded output
+        .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )
 
 
@@ -233,7 +243,8 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_parts"),
             F.count("*").alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        # flag-bounded output
+        .transform(lambda d: bounded_sort(d, "l_returnflag"))
     )
 
 
@@ -327,7 +338,8 @@ def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.join(F.broadcast(per_status), grid.o_orderstatus == per_status.__st, "left")
         .select("r_name", "o_orderstatus", F.coalesce("__n", F.lit(0)).alias("n"))
-        .orderBy("r_name", "o_orderstatus")
+        # (region x status)-bounded grid
+        .transform(lambda d: bounded_sort(d, "r_name", "o_orderstatus"))
     )
 
 
@@ -398,10 +410,14 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
-        .orderBy(
-            F.col("gid").desc(),
-            F.asc_nulls_first("o_orderstatus"),
-            F.asc_nulls_first("o_orderpriority"),
+        # (status x priority)-bounded grouping-sets output
+        .transform(
+            lambda d: bounded_sort(
+                d,
+                F.col("gid").desc(),
+                F.asc_nulls_first("o_orderstatus"),
+                F.asc_nulls_first("o_orderpriority"),
+            )
         )
     )
 
@@ -436,7 +452,8 @@ def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
             .alias("total"),
         )
-        .orderBy("yr", "mo")
+        # calendar-bounded output
+        .transform(lambda d: bounded_sort(d, "yr", "mo"))
     )
 
 
@@ -461,7 +478,8 @@ def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
         )
-        .orderBy("n_regionkey")
+        # region-bounded output
+        .transform(lambda d: bounded_sort(d, "n_regionkey"))
     )
 
 
@@ -511,7 +529,7 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag", "l_linestatus"],
         ["l_returnflag"],
         "l_suppkey",
-    ).orderBy("l_returnflag")
+    ).transform(lambda d: bounded_sort(d, "l_returnflag"))  # flag-bounded
 
 
 @register(
@@ -636,5 +654,6 @@ def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_k").cast("int").alias("day_k"),
         )
         .agg(F.count("*").alias("n_users"))
-        .orderBy("cohort_day", "day_k")
+        # (calendar day x small k)-bounded output
+        .transform(lambda d: bounded_sort(d, "cohort_day", "day_k"))
     )

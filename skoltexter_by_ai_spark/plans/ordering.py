@@ -1,0 +1,39 @@
+"""Deterministic output ordering for DIMENSION-BOUNDED frames.
+
+Many declared queries end with a global ``orderBy`` purely to make the
+output order deterministic. Spark plans that as a range exchange —
+which first runs a SAMPLING job over the child, then shuffles into
+range partitions, then sorts — two extra scheduled jobs per query,
+paid even when the frame being ordered is a 5-row GROUP BY over an
+enum key (r11 floor census: the range-sort tail cost 2 of a typical
+sub-second query's 4 jobs; A/B on the x49 shape: 0.85 s -> 0.52 s,
+4 -> 2 jobs).
+
+:func:`bounded_sort` emits the SAME rows in the SAME order as
+``df.orderBy(*cols)`` but as ``coalesce(1).sortWithinPartitions``:
+one task reads the (bounded) frame and sorts it in place — no
+sampling job, no range exchange, and under AQE the sort typically
+fuses into the final-aggregate read stage.
+
+SCALE CONTRACT — callers must only use this on frames whose row count
+is bounded by a DIMENSION, not by the corpus: aggregates over enum or
+calendar keys (return flag, priority, nation/region, brand, year,
+year-month, bucket/tier ids, labels), scalar aggregates, or frames
+already reduced to a top-k. ``coalesce(1)`` additionally collapses
+the final aggregation into the same single task, so the bound must
+cover the map-side partials too (map tasks x groups rows) — true for
+every enum-keyed aggregate at any input size, NEVER true for
+per-document/per-order outputs, which must keep the distributed
+range sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+
+def bounded_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """``df.orderBy(*cols)`` for dimension-bounded frames, without the
+    range exchange + sampling job (see module docstring for the
+    boundedness contract the caller asserts)."""
+    return df.coalesce(1).sortWithinPartitions(*cols)

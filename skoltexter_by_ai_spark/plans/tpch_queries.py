@@ -34,6 +34,7 @@ from skoltexter_by_ai_spark.plans.analytics_queries import (
     _rev4_col,
     _rev_col,
 )
+from skoltexter_by_ai_spark.plans.ordering import bounded_sort
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -77,7 +78,8 @@ def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
+        # enum-bounded output (5 priorities): single-task sort
+        .transform(lambda d: bounded_sort(d, "o_orderpriority"))
     )
 
 
@@ -164,7 +166,12 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        # histogram over order counts — bounded by max orders/customer
+        .transform(
+            lambda d: bounded_sort(
+                d, F.col("custdist").desc(), F.col("c_count").desc()
+            )
+        )
     )
 
 
@@ -216,11 +223,14 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev4).cast("bigint").alias("total_scaled"),
         )
     )
-    return monthly.select(
-        "ym",
-        _bp_floor(F.col("promo_scaled"), F.col("total_scaled")).alias("promo_bps"),
-        "total_scaled",
-    ).orderBy("ym")
+    return bounded_sort(
+        monthly.select(
+            "ym",
+            _bp_floor(F.col("promo_scaled"), F.col("total_scaled")).alias("promo_bps"),
+            "total_scaled",
+        ),
+        "ym",  # calendar-bounded output
+    )
 
 
 @register(
@@ -320,7 +330,8 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(top), rev.total_revenue == F.col("__max_rev"))
         .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
+        # only the max-revenue tie set survives the join: bounded
+        .transform(lambda d: bounded_sort(d, "s_suppkey"))
     )
 
 
@@ -358,7 +369,8 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.filter(cond)
         .groupBy("p_brand")
         .agg((F.sum(_rev4_col()).cast("double") / 10000).alias("revenue"))
-        .orderBy("p_brand")
+        # brand-bounded output
+        .transform(lambda d: bounded_sort(d, "p_brand"))
     )
 
 
@@ -471,7 +483,8 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
         )
         .agg((F.sum(_rev4_col()).cast("double") / 10000).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "yr")
+        # (nation, nation, year)-bounded output
+        .transform(lambda d: bounded_sort(d, "supp_nation", "cust_nation", "yr"))
     )
 
 
@@ -543,7 +556,7 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t4").cast("double") / 10000).alias("target_revenue"),
         (F.col("r4").cast("double") / 10000).alias("total_revenue"),
         _bp_floor(F.col("t4"), F.col("r4")).alias("share_bp"),
-    ).orderBy("yr")
+    ).transform(lambda d: bounded_sort(d, "yr"))  # year-bounded
 
 
 @register(
@@ -691,7 +704,8 @@ def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "forecast_revenue"
             ),
         )
-        .orderBy("yr")
+        # year-bounded output
+        .transform(lambda d: bounded_sort(d, "yr"))
     )
 
 
