@@ -243,20 +243,32 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stream = toks.select(F.col(id_col), F.explode(pairs_arr).alias("__p")).select(
         id_col, F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b")
     )
-    # Pin both vocabulary-bounded count tables (lazily): each is read
-    # twice (the stream join + a scalar), and unpinned each reference
-    # re-ran its whole tokenize tower (r11 plan: 4 corpus scans). The
-    # vocabulary scalar now counts the pinned unigram table.
+    # ONE exploded scan + ONE count shuffle serves BOTH count tables
+    # (r11, the bigram_pmi shape): bigrams ride as (a, b) and unigrams
+    # as (a, NULL) in the same stream — a real token is never NULL, so
+    # the NULL right token unambiguously tags the unigram rows.
+    # Previously each count table tokenized the corpus separately. The
+    # combined vocabulary-bounded table is pinned (lazily) and every
+    # consumer (stream join, unigram join, vocabulary scalar) reads
+    # the one materialization.
     from skoltexter_by_ai_spark.operators.pinning import pin
 
-    pair_counts = pin(
-        stream.groupBy("__a", "__b").agg(F.count("*").alias("__cab")), eager=False
+    uni_arr = F.transform(
+        F.col("__t"),
+        lambda t: F.struct(t.alias("a"), F.lit(None).cast("string").alias("b")),
     )
-    uni = pin(
-        toks.select(F.explode("__t").alias("__a"))
-        .groupBy("__a")
-        .agg(F.count("*").alias("__ca")),
+    counts = pin(
+        toks.select(F.explode(F.concat(pairs_arr, uni_arr)).alias("__p"))
+        .select(F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count("*").alias("__n")),
         eager=False,
+    )
+    pair_counts = counts.filter(F.col("__b").isNotNull()).select(
+        "__a", "__b", F.col("__n").alias("__cab")
+    )
+    uni = counts.filter(F.col("__b").isNull()).select(
+        "__a", F.col("__n").alias("__ca")
     )
     vocab = uni.agg(F.count("*").alias("__v"))
     lp = F.log(

@@ -595,26 +595,43 @@ def label_centroids(
     once on label to reassemble the (dim-bounded) array; no
     ``collect``, no UDF, scale-bound by labels × dims, not rows.
     """
+    # posexplode_OUTER so a NULL/empty vector still emits one (NULL,
+    # NULL) row: the row count per label then rides the SAME exploded
+    # scan (sum of per-(label, pos) counts at pos 0 or NULL == exact
+    # COUNT(*) of the input, NULL-vector rows included) — previously a
+    # second full scan of df plus a join reassembled n_vecs (r11).
     ex = df.select(
         F.col(label_col).alias("label"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__v"),
+        F.posexplode_outer(_as_double(F.col(vec_col))).alias("__pos", "__v"),
     )
-    dims = ex.groupBy("label", "__pos").agg(F.avg("__v").alias("__m"))
-    cent = dims.groupBy("label").agg(
+    dims = ex.groupBy("label", "__pos").agg(
+        F.avg("__v").alias("__m"), F.count("*").alias("__c")
+    )
+    return dims.groupBy("label").agg(
+        F.sum(
+            F.when((F.col("__pos") == 0) | F.col("__pos").isNull(), F.col("__c"))
+        ).alias("n_vecs"),
         F.transform(
-            F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+            F.array_sort(
+                # Drop the NULL-position row (the empty/NULL-vector
+                # marker) before assembling the centroid array.
+                F.filter(
+                    F.collect_list(F.struct("__pos", "__m")),
+                    lambda s: s["__pos"].isNotNull(),
+                )
+            ),
             # + 0.0 normalizes IEEE negative zero: a mean of near-
             # cancelling components can round to -0.0 in one engine and
             # +0.0 in the other (value-equal, repr/hash-distinct — the
             # r10 skew-fixture sweep caught exactly this), and
             # (-0.0) + 0.0 == +0.0 in round-to-nearest on both.
             lambda s: F.round(s["__m"], round_to) + F.lit(0.0),
-        ).alias("centroid")
+        ).alias("centroid"),
+    ).filter(
+        # A label whose vectors are ALL empty/NULL has no centroid —
+        # the pre-r11 inner join dropped it; keep that contract.
+        F.size("centroid") > 0
     )
-    nv = df.groupBy(F.col(label_col).alias("label")).agg(
-        F.count("*").alias("n_vecs")
-    )
-    return nv.join(cent, "label")
 
 
 def nearest_centroid_labels(

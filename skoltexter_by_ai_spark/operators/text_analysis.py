@@ -650,27 +650,31 @@ def bigram_pmi(
         F.lit(1),
         F.greatest(F.size("__t") - 1, F.lit(0)),
     )
-    bg = toks.select(F.explode(pairs_arr).alias("__p")).select(
-        F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b")
-    )
-    # Pin both count tables (lazily): pair_counts feeds the totals
-    # scalar AND the output chain, uni feeds the totals scalar and
-    # BOTH unigram joins — unpinned, the r11 plan tokenized the corpus
-    # FIVE times (one tower per reference). The pins are vocabulary-
-    # bounded executor-local blocks (same state class as the shingle
-    # and signature pins), and the scalar totals now aggregate the
-    # pinned tables instead of re-exploding the corpus.
+    # ONE exploded scan + ONE count shuffle serves BOTH count tables
+    # (r11): bigrams ride as (a, b) and unigrams as (a, NULL) in the
+    # same stream — a real token is never NULL, so the NULL right
+    # token unambiguously tags the unigram rows. Previously pair and
+    # unigram counts each tokenized the corpus (two scans, two
+    # shuffles); shuffle bytes are unchanged (same pair + token rows,
+    # plus a NULL field). The combined table is pinned (lazily) and
+    # every consumer — totals scalars, the pair chain, both unigram
+    # joins — reads the one vocabulary-bounded materialization.
     from skoltexter_by_ai_spark.operators.pinning import pin
 
-    pair_counts = pin(
-        bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("pair_count")),
+    uni_arr = F.transform(
+        F.col("__t"),
+        lambda t: F.struct(t.alias("a"), F.lit(None).cast("string").alias("b")),
+    )
+    counts = pin(
+        toks.select(F.explode(F.concat(pairs_arr, uni_arr)).alias("__p"))
+        .select(F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("pair_count")),
         eager=False,
     )
-    uni = pin(
-        toks.select(F.explode("__t").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("__c")),
-        eager=False,
+    pair_counts = counts.filter(F.col("tok_b").isNotNull())
+    uni = counts.filter(F.col("tok_b").isNull()).select(
+        F.col("tok_a").alias("tok"), F.col("pair_count").alias("__c")
     )
     totals = pair_counts.agg(F.sum("pair_count").alias("__npairs")).crossJoin(
         uni.agg(F.sum("__c").alias("__ntoks"))
