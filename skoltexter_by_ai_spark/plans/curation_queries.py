@@ -770,10 +770,16 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, "text", 6)
     rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
-    # merge-table-bounded (driver-local rows)
+    # merge-table-bounded (driver-local rows). ONE slice explicitly:
+    # a bare createDataFrame parallelizes the pickled rows across
+    # defaultParallelism Python slices, and the coalesce(1) inside
+    # bounded_sort then pays one SEQUENTIAL Python-worker round per
+    # parent slice inside the single task (~5 s for 6 rows at 32
+    # cores, measured r11); one slice makes it one round.
     return bounded_sort(
         spark.createDataFrame(
-            rows, "rank int, left string, right string, pair_count bigint"
+            spark.sparkContext.parallelize(rows, 1),
+            "rank int, left string, right string, pair_count bigint",
         ),
         "rank",
     )
