@@ -696,3 +696,23 @@ def test_simhash_radius6_pigeonhole_on_block_boundaries(spark):
     assert got[(1, 2)] == 6
     assert got[(1, 3)] == 6
     assert (1, 4) not in got and (4, 1) not in got
+
+
+def test_dedup_clusters_plan_stays_bounded_on_deep_chain(spark):
+    # r11 regression guard: the local-mode loop pins each round's label
+    # table with a lineage-TRUNCATING localCheckpoint. A persist-based
+    # pin chain nests every prior round's cached plan ~3x per round,
+    # and on a deep chain the explain string alone grows exponentially
+    # (measured: OOMs a 1 GB vanilla-session driver at diameter 14).
+    # A long chain needs several pointer-jumping rounds; the returned
+    # frame's plan text must stay flat regardless.
+    n = 17
+    ids = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    out = dedup.dedup_clusters(ids, pairs, "doc_id")
+    plan = out._jdf.queryExecution().toString()
+    assert len(plan) < 20_000, f"plan text blew up to {len(plan)} chars"
+    labels = {r.doc_id: r.cluster for r in out.collect()}
+    assert labels == {i: 1 for i in range(1, n + 1)}

@@ -648,3 +648,26 @@ def test_label_centroids_normalize_negative_zero(spark):
     cent = label_centroids(lab, "label", "v").collect()[0].centroid
     assert cent[0] == 0.0 and math.copysign(1.0, cent[0]) == 1.0
     assert cent[1] == 1.0
+
+
+def test_label_centroids_counts_null_and_empty_vectors(spark):
+    # r11: n_vecs rides the exploded scan (posexplode_outer) instead of
+    # a second COUNT(*) pass — the fused count must still equal exact
+    # COUNT(*) per label with NULL/empty vectors present, and a label
+    # whose vectors are ALL empty/NULL must drop entirely (the old
+    # inner join's behavior).
+    rows = [
+        (0, "a", [1.0, 3.0]),
+        (1, "a", None),          # counted in n_vecs, ignored in the mean
+        (2, "a", []),            # likewise
+        (3, "b", [2.0, 2.0]),
+        (4, "c", None),          # label with no usable vectors at all
+        (5, "c", []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = {r.label: r for r in similarity.label_centroids(df, "label", "embedding").collect()}
+    assert set(out) == {"a", "b"}  # c dropped: no centroid
+    assert out["a"].n_vecs == 3
+    assert out["a"].centroid == [1.0, 3.0]
+    assert out["b"].n_vecs == 1
+    assert out["b"].centroid == [2.0, 2.0]
