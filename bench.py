@@ -171,7 +171,15 @@ def main() -> None:
         # loadavg — round 9 saw ~100k stolen jiffies turn an 89 s
         # suite into 115 s with loadavg near zero.
         "steal_jiffies": _steal_jiffies() - steal_start,
-        "cpus": os.cpu_count(),
+        # The HONORED core budget, not the box's physical count: the
+        # session builds local[$SPARK_GRAFT_CPUS] (session.py), so the
+        # record must prove which value this run actually ran at — the
+        # r11 8-core driver leg self-reported 32 via os.cpu_count() and
+        # tripped the driver's `scaling.suspect_cpus_ignored` flag
+        # (VERDICT r11 item 2).
+        "cpus": default_parallelism(),
+        "master": spark.sparkContext.master,
+        "host_cpus": os.cpu_count(),
         "policy": "per query: 1 untimed warm run, then min of 2 timed runs",
     }
     full = dict(result, queries=timings, failures=failures or None, conditions=conditions)

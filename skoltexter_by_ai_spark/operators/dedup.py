@@ -693,6 +693,14 @@ def dedup_clusters(
     # labels}, and changed == 0 still certifies label constancy across
     # every edge — so the terminal labels are the component-minimum
     # ids exactly as before (equality pinned by the oracle tests).
+    if max_iter < 1:
+        # Zero propagation rounds: the identity labeling (every node
+        # its own cluster) — the pre-r11 contract; the r11 fused loop
+        # left `labels` as None here and raised AttributeError
+        # (ADVICE r11).
+        return nodes.select(
+            F.col("id").alias(id_col), F.col("id").alias("cluster")
+        )
     aug = edges.unionByName(
         nodes.select(F.col("id").alias("a"), F.col("id").alias("b"))
     )
@@ -773,61 +781,77 @@ def dedup_clusters(
     from pyspark.storagelevel import StorageLevel
 
     spark = ids.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Defaulted + guarded read: the conf is non-numeric on some
+    # platforms (e.g. "auto" under auto-optimized shuffle) — fall back
+    # to defaultParallelism rather than crash (ADVICE r11), mirroring
+    # the defensive pattern in _spread above.
+    try:
+        nparts = int(
+            spark.conf.get(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+        )
+    except ValueError:
+        nparts = spark.sparkContext.defaultParallelism
     aug = aug.repartition(nparts, "a").persist(StorageLevel.MEMORY_AND_DISK)
     labels = None
-    for _ in range(max_iter):
-        if labels is None:
-            # ROUND 1 (r11): the identity labeling makes the join a
-            # no-op — one aggregation straight over aug (see the
-            # reliable branch). Its job also materializes the aug
-            # cache that later rounds' joins read.
-            rows = aug.select(
-                "b",
-                F.col("a").alias("cluster"),
-                (F.col("a") == F.col("b")).alias("__self"),
+    try:
+        for _ in range(max_iter):
+            if labels is None:
+                # ROUND 1 (r11): the identity labeling makes the join a
+                # no-op — one aggregation straight over aug (see the
+                # reliable branch). Its job also materializes the aug
+                # cache that later rounds' joins read.
+                rows = aug.select(
+                    "b",
+                    F.col("a").alias("cluster"),
+                    (F.col("a") == F.col("b")).alias("__self"),
+                )
+            else:
+                lbl = labels.alias("__lbl")
+                j1 = aug.join(
+                    lbl.hint("shuffle_hash"), aug["a"] == F.col("__lbl.id")
+                ).select(
+                    aug["b"].alias("b"),
+                    F.col("__lbl.cluster").alias("cluster"),
+                    (aug["a"] == aug["b"]).alias("__self"),
+                )
+                le = labels.select(
+                    F.col("cluster").alias("a"), F.col("id").alias("b")
+                ).alias("__le")
+                j2 = le.join(
+                    lbl.hint("shuffle_hash"), F.col("__le.a") == F.col("__lbl.id")
+                ).select(
+                    F.col("__le.b").alias("b"),
+                    F.col("__lbl.cluster").alias("cluster"),
+                    (F.col("__le.a") == F.col("__le.b")).alias("__self"),
+                )
+                rows = j1.unionByName(j2)
+            # LAZY pin + count-probe fusion, exactly as the reliable
+            # branch: the changed-label count is the round's ONE action
+            # and materializes the localCheckpoint as it computes.
+            new_full = pin(
+                rows.groupBy("b")
+                .agg(
+                    F.min("cluster").alias("cluster"),
+                    F.min(F.when(F.col("__self"), F.col("cluster"))).alias("__old"),
+                )
+                .select(F.col("b").alias("id"), "cluster", "__old"),
+                eager=False,
             )
-        else:
-            lbl = labels.alias("__lbl")
-            j1 = aug.join(
-                lbl.hint("shuffle_hash"), aug["a"] == F.col("__lbl.id")
-            ).select(
-                aug["b"].alias("b"),
-                F.col("__lbl.cluster").alias("cluster"),
-                (aug["a"] == aug["b"]).alias("__self"),
-            )
-            le = labels.select(
-                F.col("cluster").alias("a"), F.col("id").alias("b")
-            ).alias("__le")
-            j2 = le.join(
-                lbl.hint("shuffle_hash"), F.col("__le.a") == F.col("__lbl.id")
-            ).select(
-                F.col("__le.b").alias("b"),
-                F.col("__lbl.cluster").alias("cluster"),
-                (F.col("__le.a") == F.col("__le.b")).alias("__self"),
-            )
-            rows = j1.unionByName(j2)
-        # LAZY pin + count-probe fusion, exactly as the reliable
-        # branch: the changed-label count is the round's ONE action
-        # and materializes the localCheckpoint as it computes.
-        new_full = pin(
-            rows.groupBy("b")
-            .agg(
-                F.min("cluster").alias("cluster"),
-                F.min(F.when(F.col("__self"), F.col("cluster"))).alias("__old"),
-            )
-            .select(F.col("b").alias("id"), "cluster", "__old"),
-            eager=False,
-        )
-        changed = new_full.filter(F.col("cluster") != F.col("__old")).count()
-        labels = new_full.select("id", "cluster")
-        if changed == 0:
-            break
-    # The returned labels are localCheckpoint-backed and independent
-    # of aug; release the persisted edge table now — persist() entries
-    # live in the CacheManager until explicitly released, unlike
-    # localCheckpoint blocks which free on DataFrame GC.
-    aug.unpersist()
+            changed = new_full.filter(F.col("cluster") != F.col("__old")).count()
+            labels = new_full.select("id", "cluster")
+            if changed == 0:
+                break
+    finally:
+        # The returned labels are localCheckpoint-backed and independent
+        # of aug; release the persisted edge table now — persist()
+        # entries live in the CacheManager until explicitly released,
+        # unlike localCheckpoint blocks which free on DataFrame GC. The
+        # finally keeps a per-round failure from leaking the cache entry
+        # (ADVICE r11).
+        aug.unpersist()
     return labels.withColumnRenamed("id", id_col)
 
 

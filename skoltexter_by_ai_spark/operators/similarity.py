@@ -629,9 +629,13 @@ def label_centroids(
         ).alias("centroid"),
     ).filter(
         # A label whose vectors are ALL empty/NULL has no centroid —
-        # the pre-r11 inner join dropped it; keep that contract.
+        # the pre-r11 inner join dropped it; keep that contract. The
+        # NULL label group is dropped too: the pre-r11 nv.join(cent,
+        # 'label') used non-null-safe equality (matching the oracle's
+        # USING (label) join), so a NULL-label row never survived —
+        # the r11 single-groupBy rewrite silently kept it (ADVICE r11).
         F.size("centroid") > 0
-    )
+    ).filter(F.col("label").isNotNull())
 
 
 def nearest_centroid_labels(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from skoltexter_by_ai_spark.plans.ordering import bounded_sort
+from skoltexter_by_ai_spark.plans.ordering import bounded_sort, bounded_sort_after_wide
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -392,8 +392,11 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("s_suppkey", "s_name")
-        # one survivor per nation: nation-bounded output
-        .transform(lambda d: bounded_sort(d, "s_suppkey"))
+        # One survivor per nation: nation-bounded OUTPUT, but the
+        # producing stage is the row_number window over the full
+        # supplier table — keep it parallel behind an explicit
+        # boundary instead of coalescing it into one task (ADVICE r11).
+        .transform(lambda d: bounded_sort_after_wide(d, "s_suppkey"))
     )
 
 

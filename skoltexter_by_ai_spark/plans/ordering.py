@@ -25,6 +25,23 @@ cover the map-side partials too (map tasks x groups rows) — true for
 every enum-keyed aggregate at any input size, NEVER true for
 per-document/per-order outputs, which must keep the distributed
 range sort.
+
+``coalesce(1)`` is a NARROW dependency: it collapses the whole stage
+back to the previous exchange. When that stage is itself fact-scaled
+— a window over the full table (q14's keep-first row_number), a join
+streaming a fact-scaled probe side (x58's supplier tie-set join) —
+collapsing it serializes real work, not just the bounded final merge.
+Those callers use :func:`bounded_sort_after_wide` instead, which puts
+an explicit single-partition EXCHANGE between the wide stage and the
+sort: the producing stage keeps its natural parallelism and only the
+bounded output rows cross to the one sorting task. It still skips the
+range sort's sampling job, so it costs one job fewer than ``orderBy``
+and one more than :func:`bounded_sort` (ADVICE r11).
+
+Every call site of either function is pinned in
+``tests/test_ordering_contract.py`` — an allowlisted census with the
+boundedness argument per site — so a new corpus-bounded call cannot
+sneak in unreviewed (VERDICT r11 item 8).
 """
 
 from __future__ import annotations
@@ -37,3 +54,14 @@ def bounded_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
     range exchange + sampling job (see module docstring for the
     boundedness contract the caller asserts)."""
     return df.coalesce(1).sortWithinPartitions(*cols)
+
+
+def bounded_sort_after_wide(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """``df.orderBy(*cols)`` for a dimension-bounded frame PRODUCED BY
+    a fact-scaled stage (window / join) that must keep its
+    parallelism: a single-partition round-robin exchange forms the
+    stage boundary ``coalesce(1)`` would have erased, then one task
+    sorts the bounded rows. Same rows, same order as ``orderBy`` —
+    the final sort establishes the total order regardless of how the
+    exchange interleaved rows — minus the range sort's sampling job."""
+    return df.repartition(1).sortWithinPartitions(*cols)

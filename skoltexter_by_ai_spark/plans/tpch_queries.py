@@ -34,7 +34,7 @@ from skoltexter_by_ai_spark.plans.analytics_queries import (
     _rev4_col,
     _rev_col,
 )
-from skoltexter_by_ai_spark.plans.ordering import bounded_sort
+from skoltexter_by_ai_spark.plans.ordering import bounded_sort, bounded_sort_after_wide
 from skoltexter_by_ai_spark.plans.registry import register
 from skoltexter_by_ai_spark.sources.tables import load_table
 
@@ -330,8 +330,12 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(top), rev.total_revenue == F.col("__max_rev"))
         .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
-        # only the max-revenue tie set survives the join: bounded
-        .transform(lambda d: bounded_sort(d, "s_suppkey"))
+        # Only the max-revenue tie set survives the join: bounded
+        # OUTPUT — but the producing stage streams the full per-
+        # supplier revenue aggregate through the tie-set join, so it
+        # must keep its parallelism behind an explicit boundary
+        # rather than be coalesced into one task (ADVICE r11).
+        .transform(lambda d: bounded_sort_after_wide(d, "s_suppkey"))
     )
 
 

@@ -109,6 +109,19 @@ def test_dedup_clusters_chain_and_isolated(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_dedup_clusters_max_iter_zero_returns_identity(spark):
+    # ADVICE r11: max_iter <= 0 must return the identity labeling
+    # (every node its own cluster, edge endpoints included), not raise
+    # AttributeError from the never-assigned labels frame.
+    ids = spark.createDataFrame([(i,) for i in range(1, 4)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], ["id_a", "id_b"])
+    out = {
+        r.doc_id: r.cluster
+        for r in dedup.dedup_clusters(ids, pairs, "doc_id", max_iter=0).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
 def test_simhash_exact_dups_identical_fingerprint(spark):
     sig = {r.doc_id: r.simhash for r in dedup.simhash64(_docs(spark), "doc_id", "text").collect()}
     assert sig[1] == sig[4]

@@ -671,3 +671,20 @@ def test_label_centroids_counts_null_and_empty_vectors(spark):
     assert out["a"].centroid == [1.0, 3.0]
     assert out["b"].n_vecs == 1
     assert out["b"].centroid == [2.0, 2.0]
+
+
+def test_label_centroids_drops_null_label_group(spark):
+    # ADVICE r11: the pre-r11 nv.join(cent, "label") used non-null-safe
+    # equality (the oracle's USING (label) semantics), so a NULL-label
+    # group never reached the output even when its vectors were
+    # non-empty. The r11 single-groupBy rewrite must preserve that.
+    rows = [
+        (0, None, [5.0, 5.0]),
+        (1, None, [7.0, 9.0]),
+        (2, "a", [1.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = {r.label: r for r in similarity.label_centroids(df, "label", "embedding").collect()}
+    assert set(out) == {"a"}
+    assert out["a"].n_vecs == 1
+    assert out["a"].centroid == [1.0, 3.0]
