@@ -682,15 +682,27 @@ def grouped_median_mad(
         ).cast("long"),
         F.lit(0),
     )
-    # Lazy: the width/ngroups probe below is the first action and
-    # materializes the stats scan in the same cascade.
-    stats = pin(
-        stats.select(g, "__n", guarded_min.alias("__min"), "__max", "__gk"),
-        reliable=reliable_checkpoint,
-        eager=False,
-    )
+    # persist, not localCheckpoint: under AQE a localCheckpoint —
+    # even a lazy one — synchronously EXECUTES every upstream stage to
+    # produce the final RDD (measured ~1 s on the x72 stats pass), an
+    # extra barrier on top of the probe action below. persist defers
+    # entirely: the probe materializes the stats pass into the cache
+    # and the windows broadcast reads it back. The entry is released
+    # before return (both exits), so nothing leaks into the
+    # CacheManager across bench runs (no cross-run result reuse). The
+    # reliable mode keeps the checkpoint pin — there the file write is
+    # the point.
+    stats = stats.select(g, "__n", guarded_min.alias("__min"), "__max", "__gk")
+    if reliable_checkpoint:
+        stats = pin(stats, reliable=True, eager=False)
+        stats_cached = None
+    else:
+        from pyspark.storagelevel import StorageLevel
 
-    s = F.lit(int(slack)).cast("long")
+        stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+        stats_cached = stats
+
+    s = f"{int(slack)}L"
     # Window geometry, all LONG arithmetic (`div` truncation direction
     # is absorbed by the ± slack; window edges are never load-bearing —
     # a pick outside its window is DETECTED and falls back):
@@ -701,222 +713,248 @@ def grouped_median_mad(
     #   unioned over the median bracket, merged into one window when
     #   they touch (tiny-IQR groups) so in-range buckets stay disjoint
     #   and no value is double-counted. An empty W2 is [max+1, max].
+    #
+    # Each level is ONE selectExpr parsed JVM-side: the former
+    # withColumns chain built ~30 Column trees through py4j, a
+    # measurable slice of the per-call driver time at bench scale
+    # (same single-parse rationale as the r11 SimHash rewrite);
+    # operator-identical expressions, levels kept separate so every
+    # column is still defined exactly once.
     spec = (
-        stats.withColumns(
-            {
-                "__mlo": F.col("__gk")[0].cast("long"),
-                "__mhi": F.col("__gk")[1].cast("long"),
-                "__q1i": F.col("__gk")[2].cast("long"),
-                "__q3i": F.col("__gk")[3].cast("long"),
-                "__q1o": F.col("__gk")[4].cast("long"),
-                "__q3o": F.col("__gk")[5].cast("long"),
-            }
+        stats.selectExpr(
+            "*",
+            "cast(__gk[0] as bigint) as __mlo",
+            "cast(__gk[1] as bigint) as __mhi",
+            "cast(__gk[2] as bigint) as __q1i",
+            "cast(__gk[3] as bigint) as __q3i",
+            "cast(__gk[4] as bigint) as __q1o",
+            "cast(__gk[5] as bigint) as __q3o",
         )
-        .withColumns(
-            {
-                "__dlo": F.greatest(
-                    F.lit(0).cast("long"),
-                    2 * F.least(F.col("__mlo") - F.col("__q1i"), F.col("__q3i") - F.col("__mhi")) - s,
-                ),
-                "__dhi": 2 * F.greatest(F.col("__mhi") - F.col("__q1o"), F.col("__q3o") - F.col("__mlo")) + s,
-            }
+        .selectExpr(
+            "*",
+            "greatest(cast(0 as bigint), 2 * least(__mlo - __q1i, __q3i - __mhi)"
+            f" - {s}) as __dlo",
+            f"2 * greatest(__mhi - __q1o, __q3o - __mlo) + {s} as __dhi",
         )
-        .withColumns(
-            {
-                "__w0l": F.greatest(F.col("__mlo") - s, F.col("__min")),
-                "__w0h": F.least(F.col("__mhi") + s, F.col("__max")),
-                "__ral": F.greatest(F.expr("(2*__mlo - __dhi) div 2") - s, F.col("__min")),
-                "__rah": F.least(F.expr("(2*__mhi - __dlo) div 2") + s, F.col("__max")),
-                "__rbl": F.greatest(F.expr("(2*__mlo + __dlo) div 2") - s, F.col("__min")),
-                "__rbh": F.least(F.expr("(2*__mhi + __dhi) div 2") + s, F.col("__max")),
-            }
+        .selectExpr(
+            "*",
+            f"greatest(__mlo - {s}, __min) as __w0l",
+            f"least(__mhi + {s}, __max) as __w0h",
+            f"greatest((2*__mlo - __dhi) div 2 - {s}, __min) as __ral",
+            f"least((2*__mhi - __dlo) div 2 + {s}, __max) as __rah",
+            f"greatest((2*__mlo + __dlo) div 2 - {s}, __min) as __rbl",
+            f"least((2*__mhi + __dhi) div 2 + {s}, __max) as __rbh",
         )
-        .withColumn("__merge", F.col("__rah") >= F.col("__rbl") - 1)
-        .withColumns(
-            {
-                "__w1l": F.col("__ral"),
-                "__w1h": F.when(F.col("__merge"), F.col("__rbh")).otherwise(F.col("__rah")),
-                "__w2l": F.when(F.col("__merge"), F.col("__max") + 1).otherwise(F.col("__rbl")),
-                "__w2h": F.when(F.col("__merge"), F.col("__max")).otherwise(F.col("__rbh")),
-            }
+        .selectExpr("*", "(__rah >= __rbl - 1) as __merge")
+        .selectExpr(
+            "*",
+            "__ral as __w1l",
+            "if(__merge, __rbh, __rah) as __w1h",
+            "if(__merge, __max + 1, __rbl) as __w2l",
+            "if(__merge, __max, __rbh) as __w2h",
         )
-        .withColumns(
-            {
-                "__k1": F.expr("(__n - 1) div 2"),
-                "__k2": F.expr("__n div 2"),
-                "__width": F.greatest(F.lit(0).cast("long"), F.col("__w0h") - F.col("__w0l") + 1)
-                + F.greatest(F.lit(0).cast("long"), F.col("__w1h") - F.col("__w1l") + 1)
-                + F.greatest(F.lit(0).cast("long"), F.col("__w2h") - F.col("__w2l") + 1),
-            }
+        .selectExpr(
+            "*",
+            "(__n - 1) div 2 as __k1",
+            "__n div 2 as __k2",
+            "greatest(cast(0 as bigint), __w0h - __w0l + 1)"
+            " + greatest(cast(0 as bigint), __w1h - __w1l + 1)"
+            " + greatest(cast(0 as bigint), __w2h - __w2l + 1) as __width",
         )
     )
-    # One probe job serves both driver scalars: the window-width
-    # budget check AND the non-NULL group count the completeness
-    # probe needs at the end (spec is 1:1 with stats — no filters —
-    # so counting here equals counting stats).
-    probe = spec.agg(
-        F.max("__width").alias("__wmax"),
-        F.count(F.when(F.col(g).isNotNull(), 1)).alias("__ngroups"),
-    ).first()
-    wmax, expected = probe["__wmax"], probe["__ngroups"]
-    if wmax is not None and wmax > _EXACT_RANGE_CAP:
-        return None  # caller falls back to the generic two-round path
+    try:
+        # One probe job serves both driver scalars: the window-width
+        # budget check AND the non-NULL group count the completeness
+        # probe needs at the end (spec is 1:1 with stats — no filters —
+        # so counting here equals counting stats).
+        probe = spec.agg(
+            F.max("__width").alias("__wmax"),
+            F.count(F.when(F.col(g).isNotNull(), 1)).alias("__ngroups"),
+        ).first()
+        wmax, expected = probe["__wmax"], probe["__ngroups"]
+        if wmax is not None and wmax > _EXACT_RANGE_CAP:
+            return None  # caller falls back to the generic two-round path
 
-    def _w(wid: int, lo: str, hi: str) -> Column:
-        return F.struct(
-            F.lit(wid).cast("int").alias("__wid"),
-            F.col(lo).alias("__wl"),
-            F.col(hi).alias("__wh"),
-        )
+        def _w(wid: int, lo: str, hi: str) -> Column:
+            return F.struct(
+                F.lit(wid).cast("int").alias("__wid"),
+                F.col(lo).alias("__wl"),
+                F.col(hi).alias("__wh"),
+            )
 
-    windows = spec.select(
-        g,
-        F.explode(
-            F.array(_w(0, "__w0l", "__w0h"), _w(1, "__w1l", "__w1h"), _w(2, "__w2l", "__w2h"))
-        ).alias("__w"),
-    ).select(g, "__w.__wid", "__w.__wl", "__w.__wh")
-
-    # THE one data pass: width-1 value counts per window, with below/
-    # above overflow buckets so every row is accounted somewhere.
-    hist = (
-        base.join(F.broadcast(windows), [g])
-        .groupBy(
+        # The windows frame carries EVERY per-group scalar the downstream
+        # selection needs (ranks, n, delta band, merge flag): the r11
+        # formulation re-attached them through ~8 tiny broadcast joins
+        # (ranks, spec projections, medstats, outs/meta), and under AQE
+        # every broadcast build is its own scheduled job — measured ~20
+        # stage jobs per fused call, half the x72 bench time (VERDICT r11
+        # item 1). Riding them on the (3 x groups)-row broadcast costs a
+        # few longs per row and deletes every one of those joins.
+        windows = spec.select(
             g,
-            "__wid",
-            "__wl",
-            F.expr(
-                f"CASE WHEN __v < __wl THEN -1L WHEN __v > __wh THEN {_OVERFLOW_HI}L "
-                "ELSE __v - __wl END"
-            ).alias("__b"),
-        )
-        .agg(F.count("*").alias("__c"))
-    )
-    # Lazy: the first downstream action (the medstats broadcast build
-    # inside the dmap join, transitively the completeness count)
-    # materializes the one data pass and pins it for the other two
-    # consumers — an eager pin here was a whole extra scheduling
-    # round-trip per call.
-    hist = pin(hist, reliable=reliable_checkpoint, eager=False)
-
-    # array_distinct INSIDE the row replaces a distinct() shuffle: g is
-    # unique per spec row, so per-row dedup of [k1, k2] IS the global
-    # distinct — one exchange (plus its AQE stage job) gone per call.
-    ranks = spec.select(
-        g, F.explode(F.array_distinct(F.array("__k1", "__k2"))).alias("__k")
-    )
-    expected_nk = F.when(F.col("__k1") == F.col("__k2"), 1).otherwise(2)
-
-    # Median: global rank = below-count (-1 bucket) + running count.
-    cum_w0 = (
-        Window.partitionBy(g)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c0 = hist.filter(F.col("__wid") == 0).withColumn("__cum", F.sum("__c").over(cum_w0))
-    cand0 = c0.filter((F.col("__b") >= 0) & (F.col("__b") != _OVERFLOW_HI))
-    # Every join below whose small side is a per-group frame (ranks,
-    # spec projections, aggregates of hist) carries an explicit
-    # broadcast hint: these frames are groups-sized by the operator's
-    # bounded-state contract (the windows frame already broadcasts onto
-    # the scan for the same reason), and without the hint a stats-less
-    # planner SMJs them — each such join is 2 exchanges + sorts, and
-    # under AQE every exchange materializes as its own scheduled job
-    # (measured: 25 jobs per fused call at bench scale, ~half of them
-    # these tiny-join stages).
-    picked_m = cand0.join(F.broadcast(ranks), g).filter(
-        (F.col("__cum") >= F.col("__k") + 1) & (F.col("__cum") - F.col("__c") <= F.col("__k"))
-    )
-    medstats = (
-        picked_m.groupBy(g)
-        .agg(
-            F.min(F.col("__wl") + F.col("__b")).alias("__v1"),
-            F.max(F.col("__wl") + F.col("__b")).alias("__v2"),
-            F.countDistinct("__k").alias("__nk"),
-        )
-        .join(F.broadcast(spec.select(g, "__k1", "__k2")), g)
-        .filter(F.col("__nk") == expected_nk)
-        .select(g, (F.col("__v1") + F.col("__v2")).alias("__m2"))
-    )
-    # Lazy for the same reason as hist above: the dmap broadcast build
-    # is the first action and pins it for the final gstats join.
-    medstats = pin(medstats, reliable=reliable_checkpoint, eager=False)
-
-    # MAD: map the quartile windows' value counts to deltas on the
-    # doubled grid; cum(t) = n − outer − mapped(>t) is exact for any
-    # candidate in the delta band (see docstring).
-    din = hist.filter(
-        F.col("__wid").isin(1, 2) & (F.col("__b") >= 0) & (F.col("__b") != _OVERFLOW_HI)
-    )
-    dmap = (
-        din.join(F.broadcast(medstats), g)
-        .groupBy(g, F.abs(2 * (F.col("__wl") + F.col("__b")) - F.col("__m2")).alias("__d"))
-        .agg(F.sum("__c").alias("__c"))
-    )
-    outs = hist.groupBy(g).agg(
-        F.sum(F.when((F.col("__wid") == 1) & (F.col("__b") == -1), F.col("__c"))).alias("__below"),
-        F.sum(
-            F.when((F.col("__wid") == 1) & (F.col("__b") == _OVERFLOW_HI), F.col("__c"))
-        ).alias("__ab1"),
-        F.sum(
-            F.when((F.col("__wid") == 2) & (F.col("__b") == _OVERFLOW_HI), F.col("__c"))
-        ).alias("__ab2"),
-    )
-    meta = (
-        spec.select(g, "__n", "__dlo", "__dhi", "__merge")
-        .join(F.broadcast(outs), g, "left")
-        .select(
-            g,
+            F.explode(
+                F.array(_w(0, "__w0l", "__w0h"), _w(1, "__w1l", "__w1h"), _w(2, "__w2l", "__w2h"))
+            ).alias("__w"),
             "__n",
+            "__k1",
+            "__k2",
             "__dlo",
             "__dhi",
-            (
-                F.coalesce("__below", F.lit(0))
-                + F.when(F.col("__merge"), F.coalesce("__ab1", F.lit(0))).otherwise(
-                    F.coalesce("__ab2", F.lit(0))
-                )
-            ).alias("__outer"),
+            "__merge",
+        ).select(
+            g, "__w.__wid", "__w.__wl", "__w.__wh",
+            "__n", "__k1", "__k2", "__dlo", "__dhi", "__merge",
         )
-    )
-    sfx_w = (
-        Window.partitionBy(g)
-        .orderBy(F.col("__d").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cd = (
-        dmap.withColumn("__sfx", F.sum("__c").over(sfx_w))
-        .join(F.broadcast(meta), g)
-        .withColumn("__cum", F.col("__n") - F.col("__outer") - (F.col("__sfx") - F.col("__c")))
-    )
-    picked_d = cd.join(F.broadcast(ranks), g).filter(
-        (F.col("__cum") >= F.col("__k") + 1)
-        & (F.col("__cum") - F.col("__c") <= F.col("__k"))
-        & (F.col("__d") >= F.col("__dlo"))
-        & (F.col("__d") <= F.col("__dhi"))
-    )
-    madstats = (
-        picked_d.groupBy(g)
-        .agg(
-            F.min("__d").alias("__d1"),
-            F.max("__d").alias("__d2"),
-            F.countDistinct("__k").alias("__nk"),
+
+        # THE one data pass: width-1 value counts per window, with below/
+        # above overflow buckets so every row is accounted somewhere. The
+        # per-group scalars are constant within every (g, wid, wl, b)
+        # aggregation group, so first() recovers them exactly without
+        # widening the shuffle key.
+        hist = (
+            base.join(F.broadcast(windows), [g])
+            .groupBy(
+                g,
+                "__wid",
+                "__wl",
+                F.expr(
+                    f"CASE WHEN __v < __wl THEN -1L WHEN __v > __wh THEN {_OVERFLOW_HI}L "
+                    "ELSE __v - __wl END"
+                ).alias("__b"),
+            )
+            .agg(
+                F.count("*").alias("__c"),
+                *[
+                    F.first(c).alias(c)
+                    for c in ["__n", "__k1", "__k2", "__dlo", "__dhi", "__merge"]
+                ],
+            )
         )
-        .join(F.broadcast(spec.select(g, "__k1", "__k2")), g)
-        .filter(F.col("__nk") == expected_nk)
-        .select(g, "__d1", "__d2")
-    )
-    # Lazy checkpoint: the completeness count below is the first
-    # action, so it materializes the checkpoint in the same job
-    # instead of paying a separate eager pass first.
-    gstats = pin(
-        medstats.join(F.broadcast(madstats), g), reliable=reliable_checkpoint, eager=False
-    )
-    # Completeness probe: every non-NULL-keyed group must have closed
-    # BOTH order statistics inside its windows; anything else is a
-    # sketch miss and the caller reruns generically. NULL group keys
-    # drop at the first equi-join in both paths (same dropout the
-    # generic machinery has), so they are excluded from the check
-    # (``expected`` rode along with the width-probe job above).
-    ok = gstats.count() == expected
+
+        # ONE tiny exchange re-clusters the bounded count table by group;
+        # hash(g) satisfies every window/aggregation requirement below
+        # (each needs clustering by g or by a superset of {g}), so the
+        # whole median+MAD selection — cumulative counts, rank matching,
+        # delta re-binning, suffix counts, the final per-group reduction —
+        # fuses into this single post-shuffle stage: no joins, no further
+        # exchanges, no intermediate pins. Per-group partition size stays
+        # bounded by the window budget (≤ 3 x _EXACT_RANGE_CAP rows), the
+        # same bound the old per-(g, wid) cumulative window already had.
+        h = hist.repartition(F.col(g))
+
+        # The whole selection below is SQL-string window expressions
+        # parsed JVM-side in five selectExpr calls (single-parse
+        # rationale, as with `spec` above) — operator-identical to the
+        # Column formulation it replaces.
+        gq = f"`{g}`"
+        over_grp = f"over (partition by {gq})"
+        # Median: global rank = below-count (-1 bucket) + running count
+        # within the median window (wid 0); only in-range buckets may be
+        # picked, but overflow rows still contribute to the running count.
+        h = h.selectExpr(
+            "*",
+            f"sum(__c) over (partition by {gq}, __wid order by __b"
+            " rows between unbounded preceding and current row) as __cum",
+        )
+        in0 = f"(__wid = 0 and __b >= 0 and __b != {_OVERFLOW_HI}L)"
+
+        def _match_med(k: str) -> str:
+            return f"({in0} and __cum >= {k} + 1 and __cum - __c <= {k})"
+
+        # Exactly one in-range bucket brackets each rank (the cumulative
+        # count is strictly increasing across non-empty buckets), so the
+        # group-window max IS the value at that rank — NULL when the rank
+        # fell outside the window (a sketch miss, caught by the
+        # completeness probe exactly as the old nk-count filter did).
+        h = h.selectExpr(
+            "*",
+            f"max(case when {_match_med('__k1')} then __wl + __b end)"
+            f" {over_grp} as __mv1",
+            f"max(case when {_match_med('__k2')} then __wl + __b end)"
+            f" {over_grp} as __mv2",
+        ).selectExpr("*", "__mv1 + __mv2 as __m2")
+
+        # MAD: map the quartile windows' value counts to deltas on the
+        # doubled grid; cum(t) = n − outer − mapped(>t) is exact for any
+        # candidate in the delta band (see docstring). Rows of the two
+        # quartile windows mapping to the SAME delta (a value and its
+        # mirror) merge through the (g, __d) window sum, replacing the old
+        # groupBy + join-back.
+        is_d = f"(__wid in (1, 2) and __b >= 0 and __b != {_OVERFLOW_HI}L)"
+        h = h.selectExpr(
+            "*",
+            f"case when {is_d} then abs(2 * (__wl + __b) - __m2) end as __d",
+        )
+        dcount = "case when __d is not null then __c end"
+        h = h.selectExpr(
+            "*",
+            # merged count for this delta value (both quartile windows)
+            f"sum({dcount}) over (partition by {gq}, __d) as __dc",
+            # RANGE frame: every row whose delta sorts at or above this
+            # row's — duplicate-delta rows land in the same frame, so
+            # the suffix equals the old distinct-delta rows-frame sum.
+            f"sum({dcount}) over (partition by {gq} order by __d desc"
+            " range between unbounded preceding and current row) as __sfx",
+            f"coalesce(sum(case when __wid = 1 and __b = -1 then __c end)"
+            f" {over_grp}, 0)"
+            " + if(__merge,"
+            f" coalesce(sum(case when __wid = 1 and __b = {_OVERFLOW_HI}L"
+            f" then __c end) {over_grp}, 0),"
+            f" coalesce(sum(case when __wid = 2 and __b = {_OVERFLOW_HI}L"
+            f" then __c end) {over_grp}, 0)) as __outer",
+        ).selectExpr("*", "__n - __outer - (__sfx - __dc) as __cumd")
+
+        def _match_mad(k: str) -> str:
+            return (
+                f"(__d is not null and __cumd >= {k} + 1"
+                f" and __cumd - __dc <= {k}"
+                " and __d >= __dlo and __d <= __dhi)"
+            )
+
+        h = h.selectExpr(
+            "*",
+            f"max(case when {_match_mad('__k1')} then __d end) {over_grp} as __dd1",
+            f"max(case when {_match_mad('__k2')} then __d end) {over_grp} as __dd2",
+        )
+
+        # Per-group reduction (no exchange: still clustered by g). A group
+        # survives only when BOTH median ranks and BOTH delta ranks closed
+        # inside their windows — identical to the old nk == expected_nk
+        # filters on medstats and madstats plus their inner join.
+        gstats = (
+            h.groupBy(g)
+            .agg(
+                F.max("__mv1").alias("__mv1"),
+                F.max("__mv2").alias("__mv2"),
+                F.max("__dd1").alias("__d1"),
+                F.max("__dd2").alias("__d2"),
+            )
+            .filter(
+                F.col("__mv1").isNotNull()
+                & F.col("__mv2").isNotNull()
+                & F.col("__d1").isNotNull()
+                & F.col("__d2").isNotNull()
+            )
+            .select(g, (F.col("__mv1") + F.col("__mv2")).alias("__m2"), "__d1", "__d2")
+        )
+        # Lazy checkpoint: the completeness count below is the first
+        # action, so it materializes the checkpoint in the same job
+        # instead of paying a separate eager pass first.
+        gstats = pin(gstats, reliable=reliable_checkpoint, eager=False)
+        # Completeness probe: every non-NULL-keyed group must have closed
+        # BOTH order statistics inside its windows; anything else is a
+        # sketch miss and the caller reruns generically. NULL group keys
+        # drop at the first equi-join in both paths (same dropout the
+        # generic machinery has), so they are excluded from the check
+        # (``expected`` rode along with the width-probe job above).
+        ok = gstats.count() == expected
+    finally:
+        # Release the cached stats on EVERY exit (success, the
+        # over-budget early return, a guard failure mid-action) so
+        # no CacheManager entry outlives the call (ADVICE r11
+        # pattern).
+        if stats_cached is not None:
+            stats_cached.unpersist()
     return gstats, ok
 
 
