@@ -652,17 +652,40 @@ def dedup_clusters(
     from skoltexter_by_ai_spark.operators.pinning import pin
 
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if max_iter < 1:
+        # Zero propagation rounds: the identity labeling (every node
+        # its own cluster) — the pre-r11 contract; the r11 fused loop
+        # left `labels` as None here and raised AttributeError
+        # (ADVICE r11). Derived straight from the unpinned edge list:
+        # this path runs no loop, so there is nothing to pin for.
+        return (
+            ids.select(F.col(id_col))
+            .unionByName(sym.select(F.col("a").alias(id_col)))
+            .distinct()
+            .select(F.col(id_col), F.col(id_col).alias("cluster"))
+        )
     # Pin the edge list BEFORE anything reads it: `pairs` is typically
-    # the whole near-dup candidate pipeline, and without a checkpoint
-    # every iteration's join + convergence probe would recompute it from
-    # the source (measured 5x wall on x20 once bench timed builders).
-    # Lazy: round 1's count-probe materializes the edge pipeline and
-    # the pin in the same job (no separate build-time action).
-    edges = pin(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
-        reliable=reliable_checkpoint,
-        eager=False,
-    )
+    # the whole near-dup candidate pipeline, and without a pin every
+    # iteration's join + convergence probe would recompute it from the
+    # source (measured 5x wall on x20 once bench timed builders).
+    # Local mode pins via persist, not localCheckpoint: under AQE a
+    # localCheckpoint — even a lazy one — synchronously EXECUTES the
+    # whole candidate pipeline at build time as its own barrier;
+    # persist defers, so round 1's count-probe materializes the edge
+    # pipeline, the cache and the round in ONE cascade. The entry is
+    # released in the loop's finally (nothing leaks into the
+    # CacheManager across bench runs); the returned labels are
+    # checkpoint-backed and never reference it. Reliable mode keeps
+    # the checkpoint pin — there the reliable file is the point.
+    if reliable_checkpoint:
+        edges = pin(sym, reliable=True, eager=False)
+        edges_cached = None
+    else:
+        from pyspark.storagelevel import StorageLevel as _SL
+
+        edges = sym.persist(_SL.MEMORY_AND_DISK)
+        edges_cached = edges
     # Extra endpoints come from the CHECKPOINTED symmetric edge list —
     # `edges` contains every endpoint in its `a` column, and deriving
     # them from `e` would evaluate the candidate pipeline a second time
@@ -693,14 +716,6 @@ def dedup_clusters(
     # labels}, and changed == 0 still certifies label constancy across
     # every edge — so the terminal labels are the component-minimum
     # ids exactly as before (equality pinned by the oracle tests).
-    if max_iter < 1:
-        # Zero propagation rounds: the identity labeling (every node
-        # its own cluster) — the pre-r11 contract; the r11 fused loop
-        # left `labels` as None here and raised AttributeError
-        # (ADVICE r11).
-        return nodes.select(
-            F.col("id").alias(id_col), F.col("id").alias("cluster")
-        )
     aug = edges.unionByName(
         nodes.select(F.col("id").alias("a"), F.col("id").alias("b"))
     )
@@ -846,12 +861,14 @@ def dedup_clusters(
                 break
     finally:
         # The returned labels are localCheckpoint-backed and independent
-        # of aug; release the persisted edge table now — persist()
-        # entries live in the CacheManager until explicitly released,
-        # unlike localCheckpoint blocks which free on DataFrame GC. The
-        # finally keeps a per-round failure from leaking the cache entry
-        # (ADVICE r11).
+        # of aug and the edge cache; release both persisted entries now
+        # — persist() entries live in the CacheManager until explicitly
+        # released, unlike localCheckpoint blocks which free on
+        # DataFrame GC. The finally keeps a per-round failure from
+        # leaking the cache entries (ADVICE r11).
         aug.unpersist()
+        if edges_cached is not None:
+            edges_cached.unpersist()
     return labels.withColumnRenamed("id", id_col)
 
 

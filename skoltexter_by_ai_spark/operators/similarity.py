@@ -117,7 +117,15 @@ def cosine_vectorized(a: Column, b: Column) -> Column:
         it = iter(out.tolist())
         return pd.Series([next(it) if o else None for o in ok], dtype="object")
 
-    return cos_pd(a, b)
+    # asNondeterministic: the verify pattern is `select(cos AS cos_sim)
+    # .filter(cos_sim >= t)`, and Catalyst pushes the filter below the
+    # projection by DUPLICATING the UDF — two ArrowEvalPython nodes,
+    # every surviving pair paying the cosine twice (optimization guide
+    # §4.4; seen in the r11 x67/x15 plans). Marking it non-deterministic
+    # forbids the copy, yielding one evaluation. The function is in fact
+    # deterministic — this is purely an optimizer fence, results are
+    # identical — and no other filter needs to push past it here.
+    return cos_pd.asNondeterministic()(a, b)
 
 
 def cosine_topk(
@@ -275,7 +283,12 @@ def lsh_bucket_gemm(vec_col: Column, planes: list[list[float]]) -> Column:
         it = iter(computed)
         return pd.Series([next(it) if o else None for o in ok], dtype="object")
 
-    return bucket_of(vec_col)
+    # asNondeterministic: downstream bucket equi-joins add an
+    # isnotnull filter on the computed bucket, which Catalyst pushes
+    # below the projection by DUPLICATING the UDF (two GEMM towers per
+    # join side in the r11 x06 plan — guide §4.4). Deterministic in
+    # fact; the mark is an optimizer fence only, results identical.
+    return bucket_of.asNondeterministic()(vec_col)
 
 
 def embedding_near_dups(
@@ -463,7 +476,10 @@ def ivf_assign(
         it = iter(int(c) for c in cells)
         return pd.Series([next(it) if o else None for o in ok], dtype="object")
 
-    return embeddings.withColumn(out_col, nearest(F.col(vec_col)))
+    # asNondeterministic: the probe filter on the assigned cell gets
+    # pushed below this projection by duplicating the UDF (two GEMM
+    # towers in the r11 x73 plan — guide §4.4). Optimizer fence only.
+    return embeddings.withColumn(out_col, nearest.asNondeterministic()(F.col(vec_col)))
 
 
 def ivf_ann_topk(
@@ -524,7 +540,8 @@ def ivf_ann_topk(
     q = query.select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
-        probe_cells(F.col(vec_col)).alias("__probes"),
+        # asNondeterministic: same §4.4 duplication fence as `nearest`.
+        probe_cells.asNondeterministic()(F.col(vec_col)).alias("__probes"),
     )
     return (
         corpus.join(F.broadcast(q))

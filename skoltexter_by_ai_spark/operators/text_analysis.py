@@ -1351,8 +1351,19 @@ def duplicate_spans(
     # _spread: parallelize the CPU-heavy tokenize/shingle stage when the
     # scan produced fewer splits than cores (tiny/unsplittable files);
     # a no-op on any real multi-split corpus.
-    base = _spread(df, id_col).select(F.col(id_col), sh.alias("__shs"))
+    spread = _spread(df, id_col)
+    base = spread.select(F.col(id_col), sh.alias("__shs"))
     pos = base.select(id_col, F.explode("__shs").alias("__sh"))
+    # The per-document span COUNT side needs only arithmetic, not the
+    # shingle arrays: a positional n-gram list has exactly
+    # max(0, n_tokens − (n−1)) entries, so the second evaluation of
+    # this lineage (the join's left side) skips the zip_with/concat_ws
+    # array construction entirely and pays one tokenize + size() —
+    # measured ~25% of x110's exec was the second array build (r12).
+    sizes = spread.select(
+        F.col(id_col),
+        F.greatest(F.size(tokens(text_col)) - (n - 1), F.lit(0)).alias("__n"),
+    )
     if min_docs <= 2:
         # Count the NON-duplicated positions instead of the duplicated
         # ones (the boilerplate_share rare-side trick, positional
@@ -1377,9 +1388,7 @@ def duplicate_spans(
             # Every span trivially occurs in >= 1 document.
             nondup = nondup.filter(F.lit(False))
         dup_expr = F.col("__n") - F.coalesce(F.col("__nn"), F.lit(0))
-        joined = base.select(id_col, F.size("__shs").alias("__n")).join(
-            nondup, id_col, "left"
-        )
+        joined = sizes.join(nondup, id_col, "left")
     else:
         hot = (
             pos.select("__sh", id_col)
@@ -1393,9 +1402,7 @@ def duplicate_spans(
             F.count("*").alias("__ndup")
         )
         dup_expr = F.coalesce(F.col("__ndup"), F.lit(0))
-        joined = base.select(id_col, F.size("__shs").alias("__n")).join(
-            dup, id_col, "left"
-        )
+        joined = sizes.join(dup, id_col, "left")
     return joined.select(
         id_col,
         F.col("__n").cast("bigint").alias("n_spans"),
