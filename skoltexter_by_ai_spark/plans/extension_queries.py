@@ -1786,3 +1786,56 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing, incoming, "doc_id", "text", n=2, num_hashes=32, bands=8,
         seed=42, min_jaccard=0.5,
     ).orderBy("new_id", "existing_id")
+
+
+@register(
+    "x124_scaling_canary",
+    # Compute-bound, embarrassingly parallel scaling canary
+    # (VERDICT r11 item 2): every other query at sf0.1 is dominated by
+    # the scheduling/py4j floor, so the driver's low-core bench leg
+    # read ratios of ~1 everywhere and could not verify that the
+    # engine honors $SPARK_GRAFT_CPUS. This query reads a FIXED
+    # pushdown-pruned key slice of the small supplier table
+    # (s_suppkey <= 200 — fixed-size at every scale factor, the x122
+    # fixed-batch precedent), fans it out over the honored core
+    # budget, and computes 100,000 sha256 hashes per row (~20M) — pure
+    # executor CPU behind a tiny scan, one aggregate row out — so its
+    # wall time tracks the core budget (local[32] vs local[8]
+    # measurements in OPTIMIZATION_r12.md). DuckDB computes the
+    # identical checksum (sha256 hex + ascii + exact integer sum), so
+    # it stays oracle-hashed like every other declared query.
+    oracle="""
+        SELECT CAST(SUM(ascii(substr(sha256(
+                   CAST(s_suppkey AS VARCHAR) || '-' ||
+                   CAST(i AS VARCHAR)), 1, 1))) AS BIGINT) AS checksum,
+               COUNT(*) AS n
+        FROM supplier, generate_series(1, 100000) AS t(i)
+        WHERE s_suppkey <= 200
+    """,
+    covers="compute-bound scaling canary: embarrassingly parallel per-row hashing whose wall time tracks the honored core budget (VERDICT r11 item 2)",
+    tags=("analytics", "bench"),
+)
+def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 200)
+        .select("s_suppkey")
+    )
+    # Repartition to the HONORED core budget, not to
+    # spark.sql.shuffle.partitions: the bench sizes shuffle partitions
+    # to the DATA (~4 MB each — 8 at sf0.1), which caps every shuffle
+    # stage at 8 tasks regardless of cores; this query's entire point
+    # is that its wall time tracks defaultParallelism, so its one
+    # compute stage must fan out to exactly that. Scale-adaptive by
+    # construction (grows with the cluster, no local constant); the
+    # exchange moves only the ~200 filtered key rows, never payload.
+    rows = sup.repartition(spark.sparkContext.defaultParallelism).select(
+        "s_suppkey",
+        F.explode(F.sequence(F.lit(1), F.lit(100000))).alias("i"),
+    )
+    val = F.ascii(
+        F.substring(F.sha2(F.concat_ws("-", "s_suppkey", "i"), 256), 1, 1)
+    )
+    return rows.agg(
+        F.sum(val).alias("checksum"), F.count("*").alias("n")
+    )
