@@ -405,6 +405,7 @@ def winsorize(
         else:
             bounds = df.groupBy(group_col).agg(lo, hi)
     else:
+        from skoltexter_by_ai_spark.operators.pinning import pin
         from skoltexter_by_ai_spark.operators.quantiles import exact_quantile_bounds
 
         groups = [] if group_col is None else [group_col]
@@ -412,6 +413,12 @@ def winsorize(
             df, value_col, groups, [lower, upper], scale=scale,
             reliable_checkpoint=reliable_checkpoint,
         ).withColumnsRenamed({"__q0": "__lo", "__q1": "__hi"})
+        # Pin the groups-sized bounds table: the broadcast build below
+        # otherwise re-executes the whole interpolation tail (the
+        # per-rank/value joins over the bisection's pinned frames —
+        # ~8 tiny AQE stage jobs) at every consumption of the returned
+        # plan; one bounded materialization serves them all.
+        bounds = pin(bounds, reliable=reliable_checkpoint, eager=False)
     if group_col is None:
         joined = df.crossJoin(F.broadcast(bounds))
     else:
