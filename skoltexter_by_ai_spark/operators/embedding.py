@@ -116,4 +116,9 @@ def hashed_embedding(
                 vecs.append([float(x) for x in v])
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
 
-    return df.mapInPandas(gen, out_schema)
+    # Project to exactly (id, text) BEFORE the Arrow boundary:
+    # mapInPandas is opaque to column pruning, so every caller column
+    # would otherwise be read from storage, transposed into Arrow and
+    # shipped to the Python workers just to be dropped here (guide
+    # §4.1 — the same fix llm_enrich got in r11).
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
