@@ -423,6 +423,21 @@ def boilerplate_share(
     # _spread: parallelize tokenize/shingle when the scan under-splits
     # (tiny files); a no-op on any real multi-split corpus.
     base = _spread(df, id_col).select(F.col(id_col), sh.alias("__shs"))
+    if not single_pass:
+        # Both non-single-pass paths read this frame twice (the
+        # exploded df aggregation AND the per-doc n_shingles side, or
+        # the generic path's two occ references) — unpinned, each
+        # consumer re-runs the tokenize + shingle + array_distinct
+        # tower over the whole corpus, the operator's dominant compute
+        # (the x02/x67 multi-consumer-pin precedent). Lazy: the
+        # builder stays a pure plan; blocks are corpus-linear (the
+        # per-doc distinct-shingle arrays, ~n x text bytes), live only
+        # while the returned frame is referenced, and are reclaimed by
+        # the ContextCleaner on release. single_pass reads the lineage
+        # once and skips the pin.
+        from skoltexter_by_ai_spark.operators.pinning import pin
+
+        base = pin(base, eager=False)
     occ = base.select(id_col, F.explode("__shs").alias("__sh"))
     if single_pass:
         probe = occ.withColumn(
@@ -1347,22 +1362,31 @@ def duplicate_spans(
         raise ValueError(f"n must be >= 1: {n}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1: {min_docs}")
-    sh = shingles_from_tokens(tokens(text_col), n, distinct=False)
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
     # _spread: parallelize the CPU-heavy tokenize/shingle stage when the
     # scan produced fewer splits than cores (tiny/unsplittable files);
     # a no-op on any real multi-split corpus.
-    spread = _spread(df, id_col)
-    base = spread.select(F.col(id_col), sh.alias("__shs"))
-    pos = base.select(id_col, F.explode("__shs").alias("__sh"))
-    # The per-document span COUNT side needs only arithmetic, not the
-    # shingle arrays: a positional n-gram list has exactly
-    # max(0, n_tokens − (n−1)) entries, so the second evaluation of
-    # this lineage (the join's left side) skips the zip_with/concat_ws
-    # array construction entirely and pays one tokenize + size() —
-    # measured ~25% of x110's exec was the second array build (r12).
-    sizes = spread.select(
+    # One pinned tokenize serves BOTH sides (x02/x67 multi-consumer
+    # precedent): the positional-shingle explode reads the token
+    # arrays, and the span-COUNT side — a positional n-gram list has
+    # exactly max(0, n_tokens − (n−1)) entries — is pure arithmetic
+    # over the same arrays, so the join's left side no longer pays its
+    # own tokenize pass (r12: the second array BUILD was already cut;
+    # this removes the second tokenize too). Lazy pin, token arrays
+    # ~text bytes, released with the returned frame.
+    tok = pin(
+        _spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("__t")),
+        eager=False,
+    )
+    base = tok.select(
         F.col(id_col),
-        F.greatest(F.size(tokens(text_col)) - (n - 1), F.lit(0)).alias("__n"),
+        shingles_from_tokens(F.col("__t"), n, distinct=False).alias("__shs"),
+    )
+    pos = base.select(id_col, F.explode("__shs").alias("__sh"))
+    sizes = tok.select(
+        F.col(id_col),
+        F.greatest(F.size("__t") - (n - 1), F.lit(0)).alias("__n"),
     )
     if min_docs <= 2:
         # Count the NON-duplicated positions instead of the duplicated
@@ -1508,8 +1532,18 @@ def ngram_novelty(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
-    base = _spread(df, id_col).select(
-        F.col(id_col), word_shingles(text_col, n).alias("__shs")
+    from skoltexter_by_ai_spark.operators.pinning import pin
+
+    # Two consumers (the exploded min-id aggregation and the per-doc
+    # totals) — unpinned, each re-runs the tokenize + shingle +
+    # array_distinct tower over the corpus (the x02/x67 multi-consumer
+    # precedent). Lazy pin: pure plan until executed; corpus-linear
+    # blocks, released with the returned frame.
+    base = pin(
+        _spread(df, id_col).select(
+            F.col(id_col), word_shingles(text_col, n).alias("__shs")
+        ),
+        eager=False,
     )
     pos = base.select(id_col, F.explode("__shs").alias("__sh"))
     novel = (
@@ -1568,6 +1602,15 @@ def remove_duplicate_spans(
         raise ValueError(f"n must be >= 1: {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    # NOT pinned, deliberately (r12): three consumers do re-run the
+    # tokenize pass (both ``sp`` references and the final rebuild
+    # join), but an interleaved A/B of the token-array pin measured a
+    # wash-to-slightly-worse wall (0.93 -> 0.98 s min-of-3 at steal
+    # <100) — deserializing cached token arrays costs about what the
+    # split costs, and the positional-shingle build above the pin
+    # still runs per consumer. Contrast boilerplate_share /
+    # ngram_novelty / duplicate_spans, where the pin removes the
+    # heavier shingle+distinct tower and measured -33..-42%.
     base = _spread(df, id_col).select(
         F.col(id_col), tokens(text_col).alias("__t")
     )

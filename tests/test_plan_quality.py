@@ -418,6 +418,41 @@ def test_token_vocabulary_window_shape_matches_size_gate(spark):
     assert "__pid" not in plan, plan
 
 
+def test_shingle_diagnostics_share_one_tokenize_pin(spark):
+    # r12: boilerplate_share / ngram_novelty / duplicate_spans each
+    # read their tokenize(+shingle) frame from TWO consumers (the
+    # exploded aggregation and the per-doc totals). The shared frame
+    # must be pinned (one materialization, visible as Scan ExistingRDD)
+    # so the split/shingle tower never appears per consumer in the
+    # executed plan — unpinned, each consumer re-ran it over the whole
+    # corpus (interleaved A/B: -33..-42% wall on x101/x110/x120).
+    from skoltexter_by_ai_spark.operators.text_analysis import (
+        boilerplate_share,
+        duplicate_spans,
+        ngram_novelty,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i % 3} epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for out in (
+        boilerplate_share(df, "doc_id", "text", n=3, min_df=2),
+        ngram_novelty(df, "doc_id", "text", n=3),
+        duplicate_spans(df, "doc_id", "text", n=5, min_docs=2),
+    ):
+        plan = _plan(out)
+        assert "Scan ExistingRDD" in plan, plan
+        # The tokenize (split) runs behind the pin, never per consumer.
+        assert "split(" not in plan, plan
+    # single_pass reads the lineage once — the pin would be pure
+    # overhead there, so that path must stay unpinned: its tokenize
+    # stays visible in the plan (the local-relation input also prints
+    # as ExistingRDD, so the split() expression is the signature).
+    sp = _plan(boilerplate_share(df, "doc_id", "text", n=3, min_df=2, single_pass=True))
+    assert "split(" in sp, sp
+
+
 def test_bigram_pmi_never_forces_vocabulary_broadcast(spark):
     # x97: the unigram count tables are vocabulary-sized (10^8 tokens
     # on an open-web corpus) and must NOT carry a broadcast hint — with
