@@ -173,11 +173,22 @@ def ngram_jaccard_pairs(
     (see :func:`~skoltexter_by_ai_spark.operators.pinning.pin`).
     """
     from skoltexter_by_ai_spark.operators.pinning import pin
-    sh = (
+    # The per-doc distinct-shingle ARRAY is pinned (lazily) before the
+    # explode: the df-prune count below and the pruning join both
+    # explode this frame, and unpinned each one re-ran the tokenize +
+    # zip_with + array_distinct tower over the whole corpus — the same
+    # shared-tokenize fix the shingle diagnostics got (r12).
+    # Corpus-linear blocks, released with the returned frame.
+    arr = pin(
         _spread(df, id_col)
         .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
-        .select("__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__s"))
+        .select(
+            "__id", shingles_from_tokens(F.col("__toks"), n).alias("__sharr")
+        ),
+        reliable=reliable_checkpoint,
+        eager=False,
     )
+    sh = arr.select("__id", F.explode("__sharr").alias("__s"))
     # df-prune: drop ubiquitous shingles BEFORE the self-join.
     rare = sh.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
     # Pin the pruned shingle list (lazily — the builder stays a pure
